@@ -1,0 +1,83 @@
+"""Command-line entry points matching the reference's bin/ scripts.
+
+``find-json-schema [-f] file...``  (bin/find-json-schema → JsonSchemaFinder.main)
+``shred-json file...``             (bin/shred-json → JsonShredder.main)
+
+Diagnostics go to stderr for the finder and stdout for the shredder —
+the same (inconsistent) stream split the reference uses
+(JsonSchemaFinder.java:231,248 vs JsonShredder.java:93,109).
+
+Add ``--spark`` to run the distributed fold instead of the local one.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from hive_json_spark.infer import infer_files_local, infer_schema
+from hive_json_spark.shred import shred_files_local
+from hive_json_spark.types import StructT, to_flat, to_hive_ddl
+
+
+def find_json_schema(argv: list[str]) -> int:
+    flat = False
+    use_spark = False
+    files: list[str] = []
+    for arg in argv:
+        if arg == "-f":
+            flat = True
+        elif arg == "--spark":
+            use_spark = True
+        else:
+            files.append(arg)
+    if use_spark:
+        from hive_json_spark.session import get_spark
+
+        result = infer_schema(get_spark(), files, ndjson=False)
+    else:
+        for f in files:
+            print(f"Reading {f}", file=sys.stderr)
+        result = infer_files_local(files)
+    print(f"{result.records} records read", file=sys.stderr)
+    print(file=sys.stderr)
+    if result.htype is None:
+        return 1
+    if flat:
+        sys.stdout.write(to_flat(result.htype, "root"))
+    else:
+        sys.stdout.write(to_hive_ddl(result.htype))
+    return 0
+
+
+def shred_json(argv: list[str]) -> int:
+    out_dir = "."
+    files: list[str] = []
+    it = iter(argv)
+    for arg in it:
+        if arg == "-o":
+            out_dir = next(it)
+        else:
+            files.append(arg)
+    for f in files:
+        print(f"Reading {f}")
+    count = shred_files_local(files, out_dir)
+    print(f"{count} records read")
+    print()
+    return 0
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print("usage: hive_json_spark.cli {find-json-schema|shred-json} ...", file=sys.stderr)
+        return 2
+    cmd, rest = sys.argv[1], sys.argv[2:]
+    if cmd == "find-json-schema":
+        return find_json_schema(rest)
+    if cmd == "shred-json":
+        return shred_json(rest)
+    print(f"unknown command: {cmd}", file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

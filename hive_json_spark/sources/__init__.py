@@ -1,0 +1,1 @@
+from hive_json_spark.sources.tables import TABLES, load_table, register_all  # noqa: F401

@@ -1,0 +1,88 @@
+"""End-to-end inference tests: local vs distributed parity, file formats,
+packaging variants (FIXTURES.md A9), and the events.props column fold."""
+
+import gzip
+import json
+
+import pytest
+
+from hive_json_spark.infer import infer_files_local, infer_schema, infer_schema_of_column
+from hive_json_spark.types import canonicalize, to_hive_ddl
+
+CORPUS_DOCS = [
+    {"id": 12, "actor": {"login": "alice", "uid": 3000000000}, "ts": "2016-01-05T12:34:56Z"},
+    {"id": 70000, "actor": {"login": "bob"}, "payload": [1, 2, 3]},
+    {"id": 1.5, "payload": "deadbeef"},
+    {"id": None, "tags": []},
+]
+# canonical form: union branches sorted by kind order (binary < list)
+EXPECTED = (
+    "struct<actor:struct<login:string,uid:bigint>,id:decimal(6,1),"
+    "payload:uniontype<binary,list<tinyint>>,tags:list<void>,ts:timestamp>"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    ndjson = "\n".join(json.dumps(doc) for doc in CORPUS_DOCS) + "\n"
+    concat = "".join(json.dumps(doc) for doc in CORPUS_DOCS)
+    (d / "a.json").write_text(ndjson)
+    (d / "b.json").write_text(concat)
+    with gzip.open(d / "c.json.gz", "wt") as f:
+        f.write(ndjson)
+    # multi-file split of the same corpus
+    (d / "part1.json").write_text("\n".join(json.dumps(x) for x in CORPUS_DOCS[:2]))
+    (d / "part2.json").write_text("\n".join(json.dumps(x) for x in CORPUS_DOCS[2:]))
+    return d
+
+
+def test_local_all_variants_identical(corpus):
+    expected_canon = None
+    for name, count in [("a.json", 4), ("b.json", 4), ("c.json.gz", 4)]:
+        r = infer_files_local(str(corpus / name))
+        assert r.records == count, name
+        canon = canonicalize(r.htype)
+        assert str(canon) == EXPECTED, name
+        expected_canon = canon
+    multi = infer_files_local([str(corpus / "part1.json"), str(corpus / "part2.json")])
+    assert multi.records == 4
+    assert canonicalize(multi.htype) == expected_canon
+
+
+def test_distributed_matches_local_ndjson(spark, corpus):
+    r = infer_schema(spark, str(corpus / "a.json"), ndjson=True)
+    assert r.records == 4
+    assert str(r.htype) == EXPECTED
+
+
+def test_distributed_whole_file_mode_gz(spark, corpus):
+    r = infer_schema(spark, [str(corpus / "b.json"), str(corpus / "c.json.gz")], ndjson=False)
+    assert r.records == 8
+    assert str(r.htype) == EXPECTED
+
+
+def test_infer_column_events_props(spark, sf_dir):
+    from hive_json_spark.sources import load_table
+    events = load_table(spark, sf_dir, "events")
+    r = infer_schema_of_column(events, "props")
+    assert r.records == events.filter("props is not null").count()
+    # props is {"k": <int 0..~100>} → struct with a single small-int field
+    assert str(r.htype).startswith("struct<k:")
+    ddl = to_hive_ddl(r.htype)
+    assert ddl.startswith("create table tbl (\n  k ")
+
+
+def test_cli_find_json_schema(corpus, capsys):
+    from hive_json_spark.cli import find_json_schema
+
+    rc = find_json_schema(["-f", str(corpus / "a.json")])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "root.actor.login: string" in out.out
+    assert "4 records read" in out.err
+
+    rc = find_json_schema([str(corpus / "a.json")])
+    out = capsys.readouterr()
+    assert rc == 0
+    assert out.out.startswith("create table tbl (")
