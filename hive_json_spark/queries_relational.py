@@ -1,0 +1,503 @@
+"""Relational query suite: the engine's declared query surface, each entry
+paired with an ANSI-SQL DuckDB oracle (the t2 correctness gate).
+
+Conventions (driver contract):
+- every computed column is aliased identically in Spark and SQL;
+- counts cast to bigint on both sides (DuckDB sums/counts can be int128);
+- double aggregates rounded (2 for money, 6 for ratios) so independent
+  summation orders hash identically;
+- limit queries carry a unique tiebreak key so the *set* of rows is
+  deterministic under any partitioning.
+
+Scale notes are on each query: what shuffles, what broadcasts, and why the
+plan survives 1000 executors at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from hive_json_spark.functions.classifiers import classify_string
+from hive_json_spark.operators.relational import (
+    anti_join,
+    broadcast_join,
+    semi_join,
+    sessionize,
+    top_k,
+    top_k_per_group,
+)
+from hive_json_spark.sources import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- aggregation + filter (TPC-H Q1 shape) -----------------------------------
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                   AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6)                              AS avg_price,
+           ROUND(AVG(l_discount), 6)                                   AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial agg map-side, one shuffle on a 6-value grouping key; the
+    shipdate filter pushes down to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- multi-join + agg + top-k (TPC-H Q3 shape) -------------------------------
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer is small after the segment filter → broadcast into orders;
+    orders⋈lineitem shuffles on orderkey (the natural key both sides);
+    top-k is TakeOrderedAndProject, never a global sort."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    joined = broadcast_join(o, c.select("c_custkey"), F.col("c_custkey") == F.col("o_custkey"))
+    joined = l.join(joined, F.col("l_orderkey") == F.col("o_orderkey"))
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("l_orderkey")], 10).select(
+        "l_orderkey", "revenue", "o_orderdate"
+    )
+
+
+# --- star join across the full schema (TPC-H Q5 shape) -----------------------
+
+@query(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+      JOIN nation n   ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o   ON o.o_custkey   = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey   = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region/nation/supplier/customer are dimensions → all broadcast; the
+    only shuffle is orders⋈lineitem on orderkey + the final 5-key agg."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    nr = broadcast_join(n, r, F.col("n_regionkey") == F.col("r_regionkey"))
+    cn = broadcast_join(c, nr.select("n_nationkey", "n_name"), F.col("c_nationkey") == F.col("n_nationkey"))
+    ol = l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    joined = broadcast_join(ol, cn.select("c_custkey", "n_name", F.col("n_nationkey").alias("cn_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+    joined = broadcast_join(
+        joined,
+        s.select("s_suppkey", "s_nationkey"),
+        (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("cn_nationkey")),
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+# --- broadcast dimension join + agg ------------------------------------------
+
+@query(
+    "q_brand_part_stats",
+    """
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT)          AS n_items,
+           ROUND(SUM(l.l_quantity), 2)       AS total_qty,
+           ROUND(AVG(p.p_retailprice), 6)    AS avg_retail
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 20
+    GROUP BY p.p_brand
+    """,
+)
+def q_brand_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 20)
+    return (
+        broadcast_join(l, p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_retail"),
+        )
+    )
+
+
+# --- semi / anti joins -------------------------------------------------------
+
+@query(
+    "q_semi_customers_with_orders",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 100000)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: only the key column of orders crosses the wire, and
+    the semi join short-circuits on first match."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        semi_join(c, o, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "q_anti_customers_without_orders",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return anti_join(c, o, F.col("c_custkey") == F.col("o_custkey")).select("c_custkey", "c_name")
+
+
+# --- global and per-group top-k ----------------------------------------------
+
+@query(
+    "q_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 20).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+@query(
+    "q_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ranked = top_k_per_group(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3
+    )
+    return ranked.select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"),
+        F.col("rn").cast("bigint").alias("rn"),
+    )
+
+
+# --- window functions: lag + running frames ----------------------------------
+
+@query(
+    "q_running_events",
+    """
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+           ROUND(COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1.0), 4) AS prev_value,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+    FROM events
+    """,
+)
+def q_running_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single shuffle on user_id serves all three window functions (same
+    window spec → one exchange + one sort)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4).alias("running_value"),
+        F.round(F.coalesce(F.lag("value").over(w), F.lit(-1.0)), 4).alias("prev_value"),
+        F.row_number().over(w).cast("bigint").alias("seq"),
+    )
+
+
+# --- rollup / cube / grouping sets -------------------------------------------
+
+@query(
+    "q_rollup_lineitem",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_quantity), 2)     AS sum_qty,
+           CAST(COUNT(*) AS BIGINT)      AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@query(
+    "q_cube_orders",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(COUNT(*) AS BIGINT)         AS n,
+           ROUND(SUM(o_totalprice), 2)      AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "q_grouping_sets",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS total_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# --- distinct aggregates -----------------------------------------------------
+
+@query(
+    "q_distinct_agg",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(COUNT(*) AS BIGINT)                  AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# --- set operations ----------------------------------------------------------
+
+@query(
+    "q_set_ops",
+    """
+    SELECT c_custkey, 'both' AS tag FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    UNION ALL
+    SELECT c_custkey, 'rich_only' AS tag FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    both = rich.intersect(building).withColumn("tag", F.lit("both"))
+    rich_only = rich.exceptAll(building).distinct().withColumn("tag", F.lit("rich_only"))
+    return both.unionAll(rich_only)
+
+
+# --- statistical aggregates --------------------------------------------------
+
+@query(
+    "q_stats_agg",
+    """
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+           ROUND(VAR_SAMP(l_quantity), 6)    AS var_qty,
+           ROUND(MIN(l_quantity), 2)         AS min_qty,
+           ROUND(MAX(l_quantity), 2)         AS max_qty,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+    )
+
+
+# --- the reference's classifiers as a query ----------------------------------
+
+@query(
+    "q_classify_strings",
+    """
+    SELECT cls, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT CASE
+          WHEN regexp_full_match(l_returnflag || l_linestatus,
+               '["]?([0-9]{4}[-/][0-9]{2}[-/][0-9]{2})[T ]([0-9]{2}:[0-9]{2}:[0-9]{2})((([ ][-+]?[0-9]{2}([:][0-9]{2})?)|Z)?)["]?')
+               THEN 'timestamp'
+          WHEN regexp_full_match(l_returnflag || l_linestatus, '([0-9a-fA-F][0-9a-fA-F])+')
+               THEN 'binary'
+          ELSE 'string' END AS cls
+      FROM lineitem)
+    GROUP BY cls
+    """,
+)
+def q_classify_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pickType's string branch, vectorized: 'AF' is even-length hex →
+    binary; 'NO'/'RF'/... → string. Pure codegen, no UDF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(classify_string(F.concat("l_returnflag", "l_linestatus")).alias("cls"))
+        .groupBy("cls")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- sessionization (streaming-shaped analytics over the events table) -------
+
+@query(
+    "q_sessionize_events",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - COALESCE(LAG(ts) OVER w, ts - INTERVAL 2 HOUR)
+                       > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM seq)
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 4) AS session_value
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (1h) per user: one shuffle on user_id, running-sum
+    window, then an agg reusing the same partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, "user_id", "ts", 3600, "event_id")
+    return s.groupBy("user_id", F.col("session_seq").cast("bigint").alias("session_seq")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
