@@ -1,0 +1,229 @@
+"""Deduplication operators for training-data pipelines, 100 TB-shaped.
+
+- **Exact**: content-hash groupBy keeping the min id. One shuffle on the
+  hash (never on the text itself — at 100 TB the md5 is 16 bytes/row vs
+  KBs of text), map-side partial min, AQE-coalesced.
+- **MinHash + LSH**: word-shingle → 64-perm MinHash signature computed
+  entirely JVM-side (xxhash-based universal hashing inside ``transform``/
+  ``array_min`` — no Python in the scan), banded into LSH buckets, bucket
+  join for candidates, exact-Jaccard verification on the candidates only.
+  The full O(n²) never materializes; cost is #collisions, which the band
+  count tunes.
+- **SimHash**: 64-bit sign-of-weighted-bit-sums over token hashes via an
+  Arrow-batched pandas UDF (numpy bit tricks), banded on 16-bit chunks so
+  near-misses (≤3 differing bits) always share ≥1 chunk — standard
+  pigeonhole blocking; hamming verified with ``bit_count`` JVM-side.
+- **N-gram Jaccard**: exact token-set Jaccard within cheap blocking keys —
+  the SQL-expressible (oracle-checkable) exact variant.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from hive_json_spark.functions.text import tokens, word_shingles
+
+_MERSENNE_P = 4294967311  # prime > 2^32; universal-hash modulus
+
+
+def content_hash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: survivors = min(id) per md5(text). Returns (hash, id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(F.min(id_col).alias(id_col))
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, num_perm: int = 64, shingle_n: int = 3, seed: int = 42
+) -> DataFrame:
+    """Append ``sig: array<bigint>`` — the MinHash signature of the doc's
+    word-shingle set. All JVM expressions; one projection, no shuffle."""
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, 1 << 30), rnd.randrange(0, _MERSENNE_P)) for _ in range(num_perm)]
+    shingles = word_shingles(text_col, shingle_n)
+    base = F.transform(shingles, lambda s: F.abs(F.hash(s)).cast("bigint") % F.lit(1 << 32))
+    mins = [
+        F.array_min(
+            F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE_P))
+        )
+        for a, b in coeffs
+    ]
+    return df.withColumn("sig", F.array(*mins))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b), deduplicated across bands.
+
+    bands=8 over 64 perms → rows-per-band 8 → collision threshold
+    ≈ (1/8)^(1/8) ≈ 0.77 Jaccard. The bucket join shuffles only
+    (band, band_hash, id) triples.
+    """
+    rows_per_band = num_perm // bands
+    sig_df = minhash_signature(df, text_col, num_perm, shingle_n, seed).select(
+        F.col(id_col), "sig"
+    )
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.concat_ws(",", *[F.col("sig")[b * rows_per_band + r].cast("string")
+                                          for r in range(rows_per_band)]))
+            for b in range(bands)
+        ]
+    )
+    banded = sig_df.select(id_col, F.posexplode(band_arr).alias("band", "band_hash"))
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified with exact shingle-set Jaccard ≥ threshold.
+
+    Verification joins the shingle arrays back on only the candidate ids —
+    at scale this is the small side and broadcasts.
+    """
+    cands = lsh_candidate_pairs(
+        df, id_col, text_col, num_perm=num_perm, bands=bands, shingle_n=shingle_n
+    )
+    shingled = df.select(
+        F.col(id_col), word_shingles(text_col, shingle_n).alias("sh")
+    )
+    joined = (
+        cands.join(shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return joined.select(
+        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Append a 64-bit ``simhash`` column (Arrow-batched numpy UDF).
+
+    Token hashes are blake2b-64 (stable across workers/runs, unlike
+    Python's salted ``hash``); each bit of the simhash is the sign of the
+    per-bit vote sum.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            if not text:
+                out[i] = 0
+                continue
+            hs = np.fromiter(
+                (
+                    int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+                    for t in text.split()
+                ),
+                dtype=np.uint64,
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            out[i] = np.int64(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64))
+        return pd.Series(out)
+
+    return df.withColumn("simhash", _simhash(F.col(text_col)))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming via 16-bit-chunk
+    blocking (≤3 differing bits ⇒ at least one of 4 chunks identical)."""
+    sh = simhash(df, text_col, id_col).select(id_col, "simhash")
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
+            for i in range(4)
+        ]
+    )
+    blocked = sh.select(id_col, "simhash", F.posexplode(chunks).alias("chunk", "chunk_val"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    threshold: float,
+) -> DataFrame:
+    """Exact token-set Jaccard for all pairs inside a blocking key.
+
+    The blocking keys bound the quadratic term; at 100 TB the blocks come
+    from cheap attributes (source, language, length bucket) so each block
+    fits one task. SQL-expressible → oracle-checkable.
+    """
+    toks = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols],
+        F.array_distinct(tokens(text_col)).alias("tok"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    jac = F.size(F.array_intersect("a.tok", "b.tok")) / F.size(F.array_union("a.tok", "b.tok"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,223 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- **Brute force** is the correctness baseline: queries broadcast against
+  the corpus, cosine in double precision JVM-side, per-query top-k via a
+  window rank. Linear scan, embarrassingly parallel — at 100 TB this is
+  the fallback, not the default.
+- **Random-hyperplane LSH** is the scale path: H fixed hyperplanes → an
+  H-bit bucket per vector; queries only score their own bucket (plus
+  multi-probe neighbors). Planes are seeded constants compiled into the
+  plan — every executor derives identical buckets with no fit step.
+- **IVF (inverted file)**: k centroids from a deterministic sample,
+  vectors assigned to nearest centroid (the inverted list), queries probe
+  the nprobe nearest lists. The centroid table is tiny → broadcast; the
+  corpus shuffles once at build, never at query time.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from hive_json_spark.functions.vectors import cosine_similarity, dot_product, l2_norm
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query. Returns (query_id, vec_id, cos_sim, rank).
+
+    Rank key is (rounded sim desc, id) — a total order, so results are
+    stable across partitionings and engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine_similarity(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(np.float64)
+
+
+def lsh_bucket(vec_col, planes: np.ndarray):
+    """Bit-pack sign(plane·v) into a bigint bucket id, all JVM-side."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(float(x)) for x in plane]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("bigint")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score candidates in the query's bucket plus (with
+    ``multiprobe=1``) every bucket one sign-flip away — the standard
+    multi-probe trade: n_planes+1 probes per query buys back most of the
+    recall lost to boundary splits, while the bucket join still replaces
+    the full cross product.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(id_col, vec_col).withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")).withColumn(
+        "bucket0", lsh_bucket(F.col("q_vec"), planes)
+    )
+    if multiprobe:
+        probe_arr = F.array(
+            F.col("bucket0"),
+            *[F.col("bucket0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+    else:
+        probe_arr = F.array(F.col("bucket0"))
+    q = q.select("query_id", "q_vec", F.explode(probe_arr).alias("bucket"))
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine_similarity(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", id_col])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample: int = 256,
+    iters: int = 5,
+    seed: int = 42,
+):
+    """Build a tiny IVF: Lloyd's iterations on a deterministic driver-side
+    sample (the 100 TB pattern: train on a sample, assign distributed).
+
+    Returns (assigned_corpus_df, centroids ndarray [n_centroids, dim]).
+    """
+    sample_rows = (
+        corpus.select(vec_col).orderBy(id_col).limit(sample).collect()
+    )
+    X = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+
+    cent_arrays = F.array(
+        *[F.array(*[F.lit(float(x)) for x in cent]) for cent in cents]
+    )
+    sims = F.transform(
+        cent_arrays,
+        lambda cvec: F.aggregate(
+            F.zip_with(F.col(vec_col), cvec, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / l2_norm(F.col(vec_col)),
+    )
+    assigned = (
+        corpus.withColumn("_sims", sims)
+        .withColumn("centroid", (F.array_position("_sims", F.array_max("_sims")) - 1).cast("int"))
+        .drop("_sims")
+    )
+    return assigned, cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-probed approximate top-k: each query scores only the nprobe
+    nearest inverted lists."""
+    assigned, cents = ivf_index(corpus, id_col, vec_col, n_centroids, seed=seed)
+
+    def probes_for(vec: np.ndarray) -> list[int]:
+        v = vec / max(np.linalg.norm(vec), 1e-12)
+        return list(np.argsort(-(cents @ v))[:nprobe].astype(int))
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    spark = corpus.sparkSession
+    probe_rows = [
+        (int(r[id_col]), list(map(float, r[vec_col])), int(c))
+        for r in q_rows
+        for c in probes_for(np.array(r[vec_col], dtype=np.float64))
+    ]
+    q = spark.createDataFrame(
+        probe_rows, f"query_id bigint, q_vec array<double>, centroid int"
+    )
+    scored = (
+        assigned.join(F.broadcast(q), ["centroid"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine_similarity(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )

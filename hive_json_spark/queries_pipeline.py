@@ -1,0 +1,208 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis —
+each oracled in DuckDB where SQL can express the semantics; approximate /
+hash-dependent operators (MinHash-LSH, SimHash, hyperplane-LSH, IVF) are
+declared without oracles (the driver records rows-only checks for them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hive_json_spark.operators.dedup import (
+    content_hash_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from hive_json_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+from hive_json_spark.operators.textstats import fingerprint, lang_id, text_profile
+from hive_json_spark.sources import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- deduplication -----------------------------------------------------------
+
+@query(
+    "q_dedup_exact",
+    """
+    SELECT md5(text) AS content_md5, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return content_hash_dedup(docs, "text", "doc_id")
+
+
+@query(
+    "q_ngram_jaccard_pairs",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.tok, b.tok))), 4) AS jaccard
+    FROM (SELECT doc_id, lang, source,
+                 list_distinct(string_split(text, ' ')) AS tok FROM documents) a
+    JOIN (SELECT doc_id, lang, source,
+                 list_distinct(string_split(text, ' ')) AS tok FROM documents) b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.tok, b.tok))), 4) >= 0.5
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", ["lang", "source"], 0.5)
+
+
+@query("q_minhash_dedup_pairs")  # hash-dependent → rows-only check
+def q_minhash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+@query("q_simhash_pairs")  # hash-dependent → rows-only check
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=10)
+
+
+@query(
+    "q_doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs, "doc_id", "text")
+
+
+# --- text analysis -----------------------------------------------------------
+
+@query(
+    "q_text_profile",
+    """
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT)                 AS n_tokens,
+           CAST(length(text) AS BIGINT)              AS n_chars,
+           CAST(len(list_distinct(toks)) AS BIGINT)  AS n_distinct,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                                                     AS n_bpe_tokens,
+           ROUND(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE)
+                 / greatest(len(toks), 1), 6)        AS stop_ratio
+    FROM (SELECT doc_id, text,
+                 list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
+          FROM documents)
+    """,
+)
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_profile(docs, "doc_id", "text").drop("quality")
+
+
+@query(
+    "q_quality_by_source",
+    """
+    WITH t AS (
+      SELECT source,
+             CAST(len(toks) AS DOUBLE) AS n_tok,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS diversity,
+             CAST(len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS DOUBLE)
+               / greatest(len(toks), 1) AS stop_ratio
+      FROM (SELECT source, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
+            FROM documents))
+    SELECT source,
+           ROUND(AVG(ROUND(greatest(least(
+               0.5 * diversity
+               + 0.5 * (CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
+               - 0.25 * stop_ratio, 1.0), 0.0), 6)), 6) AS avg_quality,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM t GROUP BY source
+    """,
+)
+def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from hive_json_spark.functions.text import quality_score
+
+    return docs.groupBy("source").agg(
+        F.round(F.avg(quality_score("text")), 6).alias("avg_quality"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@query("q_lang_id")  # heuristic marker argmax → rows-only check
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_id(docs, "doc_id", "text")
+
+
+# --- similarity search -------------------------------------------------------
+
+@query(
+    "q_similarity_bruteforce",
+    """
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim,
+             CAST(ROW_NUMBER() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                      CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                         c.vec_id) AS BIGINT) AS rank
+      FROM embeddings c JOIN embeddings q
+        ON q.vec_id < 5 AND c.vec_id != q.vec_id)
+    WHERE rank <= 5
+    """,
+)
+def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@query(
+    "q_embedding_norms",
+    """
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 6)
+             AS l2_norm,
+           CAST(len(embedding) AS BIGINT) AS dim
+    FROM embeddings
+    """,
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_json_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm("embedding"), 6).alias("l2_norm"),
+        F.size("embedding").cast("bigint").alias("dim"),
+    )
+
+
+@query("q_similarity_lsh")  # approximate → rows-only check
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@query("q_similarity_ivf")  # approximate → rows-only check
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)

@@ -1,0 +1,156 @@
+"""Behavioral tests for dedup/similarity/text/multimodal operators using
+planted fixtures (known near-duplicates, known nearest neighbors)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank yesterday"
+    other = "completely different words about spark engines and parquet columnar files"
+    rows = [(1, base), (2, near), (3, other), (4, base)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_content_hash_dedup_exact(spark, docs_with_dups):
+    from hive_json_spark.operators.dedup import content_hash_dedup
+
+    out = content_hash_dedup(docs_with_dups, "text", "doc_id").collect()
+    survivors = sorted(r["doc_id"] for r in out)
+    assert survivors == [1, 2, 3]  # doc 4 deduped into doc 1
+
+
+def test_minhash_finds_planted_near_dup(spark, docs_with_dups):
+    from hive_json_spark.operators.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(
+        docs_with_dups, "doc_id", "text", threshold=0.5, bands=16, num_perm=64
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 4) in got          # exact dup always collides
+    assert (1, 2) in got or (2, 4) in got  # planted near-dup found
+    assert all(p not in got for p in [(1, 3), (2, 3)])  # unrelated doc never pairs
+    # jaccard on the exact pair is 1.0
+    exact = [r["jaccard"] for r in pairs if (r["id_a"], r["id_b"]) == (1, 4)]
+    assert exact == [1.0]
+
+
+def test_simhash_near_dup(spark, docs_with_dups):
+    from hive_json_spark.operators.dedup import simhash_near_dup_pairs
+
+    pairs = simhash_near_dup_pairs(docs_with_dups, "text", "doc_id", max_hamming=16).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((1, 4)) == 0  # identical text → identical simhash
+    assert (1, 2) in got  # one-word difference → small hamming
+
+
+def test_ngram_jaccard_blocked(spark):
+    from hive_json_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "a b c d", "s1", "en"),
+        (2, "a b c e", "s1", "en"),
+        (3, "a b c d", "s2", "en"),  # same text, different block → never paired
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string, lang string")
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", ["lang", "source"], 0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    assert pairs[0]["jaccard"] == 0.6  # |{a,b,c}|/|{a,b,c,d,e}|
+
+
+def test_brute_force_topk_planted(spark):
+    from hive_json_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # nearest to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = brute_force_topk(emb, emb.filter("vec_id = 0"), k=3).collect()
+    ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2, 3]
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    from hive_json_spark.operators.similarity import brute_force_topk, lsh_topk
+    from hive_json_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = lsh_topk(emb, queries, k=5, n_planes=4, multiprobe=1).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for r in approx:
+        total += 1
+        if r["vec_id"] in exact_sets.get(r["query_id"], set()):
+            hits += 1
+    assert total > 0 and hits / total >= 0.5  # LSH finds a real fraction of true top-k
+
+
+def test_ivf_runs_and_ranks(spark, sf_dir):
+    from hive_json_spark.operators.similarity import ivf_topk
+    from hive_json_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 2), k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert all(r["vec_id"] != q for r in rows)
+
+
+def test_lang_id_markers(spark):
+    from hive_json_spark.operators.textstats import lang_id
+
+    rows = [
+        (1, "the cat and the dog of the house"),
+        (2, "der hund und die katze ist ein tier"),
+        (3, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["pred_lang"] for r in lang_id(df, "doc_id", "text").collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "und"
+
+
+def test_multimodal_fake_decode(spark):
+    from hive_json_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_and_featurize,
+        frame_sample_plan,
+    )
+
+    rows = [
+        (1, b"imagebytes-aaaa", "image", "png", 32, 32, None),
+        (2, b"imagebytes-aaaa", "image", "png", 32, 32, None),  # same content
+        (3, b"other-bytes", "image", "jpg", 64, 64, None),
+        (4, b"videobytes", "video", "mp4", 640, 480, 3500),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = decode_and_featurize(media, dim=16, fake=True).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert len(by_id[1]["feature"]) == 16
+    assert by_id[1]["feature"] == by_id[2]["feature"]  # deterministic kernel
+    assert by_id[1]["feature"] != by_id[3]["feature"]
+    assert by_id[1]["n_bytes"] == len(b"imagebytes-aaaa")
+
+    plan = frame_sample_plan(media, every_ms=1000).collect()
+    assert sorted(r["frame_ts_ms"] for r in plan) == [0, 1000, 2000]
+
+    # real-codec path is explicitly stubbed
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_and_featurize(media, dim=16, fake=False).collect()
