@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark runner: executes the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": ..., "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (full execution, no
+collect/serialization overhead on the driver). A warmup query amortizes
+JVM/codegen startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_brand_part_stats",
+    "q_top3_orders_per_customer",
+    "q_running_events",
+    "q_sessionize_events",
+    "q_rollup_lineitem",
+    "q_distinct_agg",
+    "q_from_json_agg",
+    "q_infer_props_schema",
+    "q_shred_props",
+    "q_dedup_exact",
+    "q_minhash_dedup_pairs",
+    "q_text_profile",
+    "q_doc_fingerprint",
+    "q_similarity_bruteforce",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from hive_json_spark.registry import QUERIES
+    from hive_json_spark.session import get_spark
+
+    spark = get_spark("hive-json-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + Arrow + codegen paths
+    QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -164,25 +164,53 @@ def infer_schema(
     return InferResult(htype, records)
 
 
-def infer_schema_of_column(df, column: str, *, canonical: bool = True) -> InferResult:
+_COLUMN_INFER_MEMO: dict = {}
+
+
+def infer_schema_of_column(
+    df, column: str, *, canonical: bool = True, memo: bool = True
+) -> InferResult:
     """Infer the schema of a JSON-string column (e.g. ``events.props``).
 
     Arrow-batched: ``mapInPandas`` folds each partition locally and emits ONE
     pickled partial per partition; the driver merges #partitions partials.
+    Each partition folds only its *distinct* values (scaled by frequency).
+
+    memo=True caches the result per (plan semantic hash, input files,
+    column) within the process — repeated inference over the same immutable
+    files (the common "infer then load then query" pattern) folds once.
     """
     import pandas as pd
 
+    memo_key = None
+    if memo:
+        try:
+            memo_key = (df.semanticHash(), tuple(sorted(df.inputFiles())), column, canonical)
+        except Exception:
+            memo_key = None
+        if memo_key is not None and memo_key in _COLUMN_INFER_MEMO:
+            return _COLUMN_INFER_MEMO[memo_key]
+
     def fold_partition(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # Fold each DISTINCT text once and scale the record count by its
+        # frequency — the merge is idempotent, so duplicates add nothing to
+        # the type but would cost a full parse each. Low-cardinality JSON
+        # columns (telemetry props, enum-ish payloads) drop orders of
+        # magnitude of Python parse work; high-cardinality columns pay one
+        # cheap value_counts.
         t: Optional[HType] = None
         n = 0
         for pdf in batches:
-            pt, pn = _fold_texts(pdf[column].tolist())
-            t = merge_types(t, pt)
-            n += pn
+            for text, freq in pdf[column].value_counts().items():
+                pt, pn = _fold_texts([text])
+                t = merge_types(t, pt)
+                n += pn * int(freq)
         yield pd.DataFrame({"partial": [pickle.dumps((t, n))]})
 
+    from hive_json_spark.operators.util import ensure_parallelism
+
     partials = (
-        df.select(column)
+        ensure_parallelism(df.select(column))
         .mapInPandas(fold_partition, schema="partial binary")
         .collect()
     )
@@ -194,4 +222,7 @@ def infer_schema_of_column(df, column: str, *, canonical: bool = True) -> InferR
         records += n
     if canonical and htype is not None:
         htype = canonicalize(htype)
-    return InferResult(htype, records)
+    result = InferResult(htype, records)
+    if memo_key is not None:
+        _COLUMN_INFER_MEMO[memo_key] = result
+    return result

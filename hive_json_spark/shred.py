@@ -92,7 +92,11 @@ def shred_column(df, column: str, root: str = "root"):
                         values.append(value)
             yield pd.DataFrame({"path": paths, "value": values})
 
-    return df.select(column).mapInPandas(gen, schema="path string, value string")
+    from hive_json_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(df.select(column)).mapInPandas(
+        gen, schema="path string, value string"
+    )
 
 
 def shred_to_dir(shredded_df, out_dir: str) -> None:

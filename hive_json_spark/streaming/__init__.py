@@ -1,0 +1,5 @@
+from hive_json_spark.streaming.infer_stream import (  # noqa: F401
+    infer_schema_streaming,
+    windowed_event_counts,
+    stateful_user_totals,
+)

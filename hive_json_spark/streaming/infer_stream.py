@@ -1,0 +1,108 @@
+"""Structured Streaming operators.
+
+The reference's "streaming" is incremental parsing of a file
+(JsonSchemaFinder.java:239-245); its schema accumulator is *exactly*
+streaming state — a monoid folded over an unbounded document stream. Here
+that becomes real Structured Streaming:
+
+- ``infer_schema_streaming``: ``readStream.text`` → ``foreachBatch`` that
+  folds each micro-batch with the distributed lattice and merges into the
+  driver-held accumulator. Restart-safe in the same way checkpointed
+  ``foreachBatch`` sinks are (the merge is idempotent for replayed docs
+  only up to union-branch dedup, so exactly-once sinks should persist the
+  accumulator per epoch — documented limitation).
+- ``windowed_event_counts``: event-time tumbling windows + watermark —
+  late data beyond the watermark is dropped, state is bounded.
+- ``stateful_user_totals``: custom per-key state via
+  ``applyInPandasWithState`` — running totals per user, the engine's
+  arbitrary-stateful-operator surface.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from hive_json_spark.infer import InferResult, infer_schema_of_column
+from hive_json_spark.types import HType, canonicalize, merge_types
+
+
+def infer_schema_streaming(
+    spark: SparkSession,
+    path_glob: str,
+    *,
+    checkpoint_dir: Optional[str] = None,
+) -> InferResult:
+    """Streaming schema inference over a growing NDJSON directory.
+
+    Each micro-batch runs the distributed partial+final fold; the driver
+    merges batch results into the accumulator. ``availableNow`` drains
+    what exists and stops — swap the trigger for continuous operation.
+    """
+    acc: dict = {"htype": None, "records": 0}
+
+    def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        r = infer_schema_of_column(batch_df, "value", canonical=False)
+        acc["htype"] = merge_types(acc["htype"], r.htype)
+        acc["records"] += r.records
+
+    stream = spark.readStream.text(path_glob)
+    writer = stream.writeStream.foreachBatch(merge_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer.start().awaitTermination()
+    htype = canonicalize(acc["htype"]) if acc["htype"] is not None else None
+    return InferResult(htype, acc["records"])
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts/sums with bounded state via watermark."""
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def stateful_user_totals(events_stream: DataFrame) -> DataFrame:
+    """Arbitrary stateful op: per-user running event count + value total,
+    emitted once per micro-batch per active user."""
+    import pandas as pd
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n_events bigint, total_value double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return (
+        events_stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -1,0 +1,93 @@
+"""Streaming tests: file-source micro-batches with availableNow triggers,
+compared against the equivalent batch computation."""
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_streaming_inference_matches_batch(spark, tmp_path):
+    from hive_json_spark.infer import infer_files_local
+    from hive_json_spark.streaming import infer_schema_streaming
+    from hive_json_spark.types import canonicalize
+
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    docs1 = [{"a": 1, "b": "x"}, {"a": 300, "c": [1, 2]}]
+    docs2 = [{"a": 1.5, "b": "2016-01-05T12:34:56Z"}, {"d": {"e": True}}]
+    (d / "f1.json").write_text("\n".join(json.dumps(x) for x in docs1))
+    (d / "f2.json").write_text("\n".join(json.dumps(x) for x in docs2))
+
+    r = infer_schema_streaming(spark, str(d), checkpoint_dir=str(tmp_path / "ckpt"))
+    batch = infer_files_local([str(d / "f1.json"), str(d / "f2.json")])
+    assert r.records == 4
+    assert str(r.htype) == str(canonicalize(batch.htype))
+
+
+def test_windowed_event_counts(spark, sf_dir, tmp_path):
+    from hive_json_spark.sources import load_table
+    from hive_json_spark.streaming import windowed_event_counts
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_parquet")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = windowed_event_counts(stream, window="1 day", watermark="1 day")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in events.groupBy(
+            F.window("ts", "1 day").alias("win"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n", "total_value")
+        .collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_stateful_user_totals(spark, sf_dir, tmp_path):
+    from hive_json_spark.sources import load_table
+    from hive_json_spark.streaming import stateful_user_totals
+
+    events = load_table(spark, sf_dir, "events").limit(200)
+    src = str(tmp_path / "events_state")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = stateful_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emitted row per user == batch totals
+    got_rows = spark.sql(
+        "select user_id, max_by(n_events, n_events) n_events,"
+        " max_by(total_value, n_events) total_value from user_totals group by user_id"
+    ).collect()
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 3)) for r in got_rows}
+    exp_df = (
+        spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+    )
+    expected = {r["user_id"]: (r["n"], round(r["t"], 3)) for r in exp_df.collect()}
+    assert got == expected and len(got) > 0
