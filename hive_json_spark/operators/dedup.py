@@ -287,3 +287,45 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    impl: str = "exact",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    impl="exact": all-pairs self-join (id_a < id_b), cosine in double
+    precision JVM-side — the oracle-able baseline. O(n²) comparisons; the
+    smaller side is broadcast so no shuffle, but this is the fallback, not
+    the 100 TB path.
+
+    impl="lsh": random-hyperplane buckets prune candidates first — the
+    scale path. The join becomes an equi-join on the bucket id (shuffle on
+    bucket instead of a cross product); recall dips only for pairs whose
+    cosine sits near the threshold boundary across a hyperplane.
+    """
+    from hive_json_spark.functions.vectors import cosine_similarity
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    if impl == "lsh":
+        from hive_json_spark.operators.similarity import _hyperplanes, lsh_bucket
+
+        planes = _hyperplanes(dim, n_planes, seed)
+        a = a.withColumn("_bkt", lsh_bucket(F.col("_va"), planes))
+        b = b.withColumn("_bkt", lsh_bucket(F.col("_vb"), planes))
+        joined = a.join(b, ["_bkt"]).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
+    return (
+        joined.select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

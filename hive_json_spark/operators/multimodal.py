@@ -91,3 +91,25 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.transform(F.sequence(F.lit(0), n_frames - 1), lambda i: i * every_ms)
         ).alias("frame_ts_ms"),
     )
+
+
+def synthetic_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic media table derived from a text corpus.
+
+    The container ships no codecs or binary corpora, so this stands in for
+    a real binary source: content is the UTF-8 bytes of the text, and all
+    metadata is keyed off the id so every engine derives the identical
+    table (which is what makes the downstream queries oracle-checkable).
+    """
+    slot = (F.col(id_col) % 3 + 1).cast("int")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("content"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), slot).alias(
+            "media_type"
+        ),
+        F.element_at(F.array(F.lit("png"), F.lit("wav"), F.lit("mp4")), slot).alias("format"),
+        ((F.col(id_col) % 64 + 1) * 8).cast("int").alias("width"),
+        ((F.col(id_col) % 48 + 1) * 8).cast("int").alias("height"),
+        ((F.col(id_col) % 10 + 1) * 1500).cast("bigint").alias("duration_ms"),
+    )

@@ -10,9 +10,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hive_json_spark.operators.dedup import (
     content_hash_dedup,
+    embedding_near_dup_pairs,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
+)
+from hive_json_spark.operators.multimodal import (
+    decode_and_featurize,
+    frame_sample_plan,
+    synthetic_media,
 )
 from hive_json_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from hive_json_spark.operators.textstats import fingerprint, lang_id, text_profile
@@ -148,10 +154,53 @@ def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_lang_id")  # heuristic marker argmax → rows-only check
+@query(
+    "q_lang_id",
+    """
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS tk
+                  FROM documents),
+    scores AS (
+      SELECT doc_id, m.lang,
+             len(list_filter(tk, t -> list_contains(m.markers, t))) AS hits
+      FROM toks, (VALUES
+         ('en', ['the','a','of','and','to','in','is']),
+         ('de', ['der','die','das','und','ist','ein']),
+         ('es', ['el','la','de','que','y','es','un']),
+         ('fr', ['le','la','de','et','est','un','une']),
+         ('zh', ['的','是','了','在','和'])) AS m(lang, markers)),
+    best AS (
+      SELECT doc_id, lang, hits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+      FROM scores)
+    SELECT doc_id,
+           CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang,
+           CAST(hits AS BIGINT) AS marker_hits
+    FROM best WHERE rn = 1
+    """,
+)
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ties on hits break toward the lexicographically greatest language in
+    # both engines (Spark array_max struct order == the oracle's ORDER BY
+    # hits DESC, lang DESC), so the argmax is fully deterministic
     docs = load_table(spark, sf_dir, "documents")
     return lang_id(docs, "doc_id", "text")
+
+
+@query(
+    "q_embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
 
 
 # --- similarity search -------------------------------------------------------
@@ -209,3 +258,46 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+# --- multimodal plumbing -----------------------------------------------------
+
+@query(
+    "q_media_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(32 AS BIGINT) AS feat_dim
+    FROM documents
+    """,
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: the Arrow-batched fake-decode kernel
+    runs end-to-end; the oracle pins the byte accounting and output shape
+    (the feature values themselves are pinned by unit tests — blake2b is
+    not SQL-expressible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_and_featurize(synthetic_media(docs), dim=32, fake=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.size("feature").cast("bigint").alias("feat_dim"),
+    )
+
+
+@query(
+    "q_frame_sample",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, (doc_id % 10 + 1) * 1500 AS duration_ms
+      FROM documents WHERE doc_id % 3 = 2)
+    SELECT media_id,
+           CAST(unnest(range(0, greatest(duration_ms // 1000, 1))) * 1000 AS BIGINT)
+             AS frame_ts_ms
+    FROM media
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    plan = frame_sample_plan(synthetic_media(docs), every_ms=1000)
+    return plan.select("media_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"))

@@ -154,3 +154,22 @@ def test_multimodal_fake_decode(spark):
 
     with _pytest.raises(Exception):
         decode_and_featurize(media, dim=16, fake=False).collect()
+
+
+def test_embedding_near_dup_exact_and_lsh(spark, sf_dir):
+    from hive_json_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert exact, "threshold 0.4 should yield pairs on the test corpus"
+    assert all(a < b for a, b in exact)
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.4, impl="lsh").collect()
+    }
+    # LSH prunes candidates: every returned pair is a true near-dup pair
+    # (the score filter is exact), it just may miss some
+    assert lsh <= exact
