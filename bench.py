@@ -50,8 +50,15 @@ def main() -> int:
     spark = get_spark("hive-json-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + Arrow + codegen paths
+    # warmup: JVM + codegen paths, plus the Python worker pool (workers are
+    # reused across stages — spark.python.worker.reuse — so spawning all of
+    # them once keeps per-query numbers about steady-state throughput, not
+    # one-time process forks)
     QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    n = spark.sparkContext.defaultParallelism
+    spark.range(0, n * 4, 1, n).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

