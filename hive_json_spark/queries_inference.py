@@ -47,8 +47,11 @@ def query(name: str, oracle: str | None = None):
 def q_infer_props_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     result = infer_schema_of_column(events, "props")
-    return spark.createDataFrame(
-        [(str(result.htype), result.records)], "hive_type string, records bigint"
+    # literal projection over range(1) stays a JVM LocalTableScan;
+    # createDataFrame([...]) would detour through the Python-RDD pickle path
+    return spark.range(1).select(
+        F.lit(str(result.htype)).alias("hive_type"),
+        F.lit(result.records).cast("bigint").alias("records"),
     )
 
 
