@@ -501,3 +501,42 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("session_value"),
     )
+
+
+# --- scalar function pack (date / string / math passthroughs) ----------------
+
+@query(
+    "q_scalar_pack",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)        AS order_year,
+           CAST(month(o_orderdate) AS INT)       AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           o_orderdate + INTERVAL 30 DAY         AS due_date,
+           upper(substr(o_orderpriority, 1, 4))  AS pri4,
+           CAST(length(o_orderstatus) AS INT)    AS status_len,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_pri,
+           ROUND(abs(o_totalprice - 100000.0), 2) AS price_delta,
+           CAST(o_orderkey % 7 AS BIGINT)        AS key_mod7,
+           ROUND(sqrt(o_totalprice), 6)          AS price_sqrt
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+)
+def q_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/string/math scalar surface in one projection — every function a
+    JVM built-in inside whole-stage codegen; the filter and the 3-column
+    read both push to the parquet scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.upper(F.substring("o_orderpriority", 1, 4)).alias("pri4"),
+        F.length("o_orderstatus").cast("int").alias("status_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_pri"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("price_delta"),
+        (F.col("o_orderkey") % 7).cast("bigint").alias("key_mod7"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+    )
