@@ -31,6 +31,7 @@ import io
 import json
 import os
 import pickle
+import re
 from dataclasses import dataclass
 from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
 
@@ -226,3 +227,118 @@ def infer_schema_of_column(
     if memo_key is not None:
         _COLUMN_INFER_MEMO[memo_key] = result
     return result
+
+
+# --- loading under the inferred schema (incl. union data) --------------------
+
+
+def _contains_union(t: HType) -> bool:
+    from hive_json_spark import types as _t
+
+    if isinstance(t, _t.UnionT):
+        return True
+    if isinstance(t, _t.StructT):
+        return any(_contains_union(ft) for _, ft in t.fields)
+    if isinstance(t, _t.ListT):
+        return _contains_union(t.element)
+    return False
+
+
+def load_json_column(df, column: str, htype: Optional[HType] = None, *, union_mode: str = "tagged"):
+    """JSON-string column → typed ``parsed`` column under the inferred schema.
+
+    Union-free schemas load with ``from_json`` — pure JVM, codegen, zero
+    Python. Schemas containing unions (which Spark cannot natively load)
+    are materialized by an Arrow kernel that routes each value to its union
+    branch — the *first* branch that subsumes it, mirroring
+    UnionType.java:89-100 — and emits the ORC-style tagged struct
+    ``struct<tag:tinyint, field0:..., field1:...>``. ``union_mode="string"``
+    instead decays union values to their JSON text (lossy, but keeps the
+    whole load JVM-side via from_json where the rest of the tree allows).
+    """
+    from pyspark.sql import functions as F, types as T
+
+    from hive_json_spark import types as _t
+    from hive_json_spark.types import infer_type, to_spark_type
+
+    if htype is None:
+        htype = infer_schema_of_column(df, column).htype
+    spark_schema = to_spark_type(htype, union_mode=union_mode)
+
+    if union_mode == "string" or not _contains_union(htype):
+        return df.withColumn("parsed", F.from_json(F.col(column), spark_schema))
+
+    import datetime as _dt
+    import decimal as _dec
+
+    import pandas as pd
+
+    _TS_ZONE = re.compile(r"(Z|[+-][0-9]{2}(:[0-9]{2})?)$")
+
+    def encode(value, t: HType):
+        if value is None or isinstance(t, _t.NullT):
+            return None
+        if isinstance(t, _t.BooleanT):
+            return bool(value)
+        if isinstance(t, _t.NumericT):
+            text = str(value)
+            if t.num_kind is _t.Kind.DECIMAL:
+                return _dec.Decimal(text)
+            if t.num_kind in (_t.Kind.FLOAT, _t.Kind.DOUBLE):
+                return float(text)
+            return int(text)
+        if isinstance(t, _t.StringT):
+            if t.str_kind is _t.Kind.TIMESTAMP:
+                text = str(value).replace("/", "-").replace("T", " ", 1)
+                m = _TS_ZONE.search(text)
+                tz = None
+                if m:
+                    z = m.group(1)
+                    text = text[: m.start()]
+                    if z == "Z":
+                        tz = _dt.timezone.utc
+                    else:
+                        hh = int(z[1:3])
+                        mm = int(z[4:6]) if len(z) > 3 else 0
+                        sign = -1 if z[0] == "-" else 1
+                        tz = _dt.timezone(sign * _dt.timedelta(hours=hh, minutes=mm))
+                parsed = _dt.datetime.strptime(text.strip(), "%Y-%m-%d %H:%M:%S")
+                if tz is not None:
+                    parsed = parsed.replace(tzinfo=tz).astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                return parsed
+            return str(value)
+        if isinstance(t, _t.StructT):
+            obj = value if isinstance(value, dict) else {}
+            return {name: encode(obj.get(name), ft) for name, ft in t.fields}
+        if isinstance(t, _t.ListT):
+            items = value if isinstance(value, list) else []
+            return [encode(v, t.element) for v in items]
+        if isinstance(t, _t.UnionT):
+            vt = infer_type(value)
+            row = {"tag": None}
+            for i in range(len(t.children)):
+                row[f"field{i}"] = None
+            for i, child in enumerate(t.children):
+                if child.subsumes(vt) or vt.subsumes(child):
+                    row["tag"] = i
+                    row[f"field{i}"] = encode(value, child)
+                    break
+            return row
+        raise ValueError(f"unknown type {t}")
+
+    out_fields = [f for f in df.schema.fields] + [T.StructField("parsed", spark_schema, True)]
+    out_schema = T.StructType(out_fields)
+    ht = htype
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            parsed = []
+            for text in pdf[column]:
+                if text is None:
+                    parsed.append(None)
+                    continue
+                doc = next(iter_json_documents(text), None)
+                parsed.append(encode(doc, ht))
+            yield pdf.assign(parsed=parsed)
+
+    return df.mapInPandas(kernel, out_schema)

@@ -86,3 +86,47 @@ def test_cli_find_json_schema(corpus, capsys):
     out = capsys.readouterr()
     assert rc == 0
     assert out.out.startswith("create table tbl (")
+
+
+def test_load_json_column_union_tagged(spark):
+    """Heterogeneous values load as ORC-style tagged structs and are
+    queryable by tag — SURVEY §7.5.1 end-to-end."""
+    from hive_json_spark.infer import infer_schema_of_column, load_json_column
+
+    rows = [
+        (1, '{"u": 5}'),
+        (2, '{"u": "hello"}'),
+        (3, '{"u": {"a": true}}'),
+        (4, '{"u": null}'),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, js string")
+    res = infer_schema_of_column(df, "js")
+    assert "uniontype<" in str(res.htype)
+
+    loaded = load_json_column(df, "js", res.htype)
+    assert "tag" in loaded.schema["parsed"].dataType["u"].dataType.fieldNames()
+    got = {r["id"]: r["parsed"] for r in loaded.collect()}
+    tags = {i: (got[i]["u"]["tag"] if got[i] and got[i]["u"] else None) for i in got}
+    # three distinct branches hit, null/missing stay null
+    assert sorted(t for t in tags.values() if t is not None) == [0, 1, 2]
+    assert tags[4] is None and got[5] is None
+    # branch payloads land in their fieldN slot
+    by_tag = {}
+    for i, p in got.items():
+        if p and p["u"] and p["u"]["tag"] is not None:
+            u = p["u"]
+            by_tag[u["tag"]] = [u[f"field{j}"] for j in range(3)]
+    vals = {tuple(v is not None for v in slots) for slots in by_tag.values()}
+    assert all(sum(mask) == 1 for mask in vals)
+
+
+def test_load_json_column_no_union_uses_from_json(spark):
+    from hive_json_spark.infer import load_json_column
+    from hive_json_spark.types import infer_type
+
+    df = spark.createDataFrame([('{"k": 1}',), ('{"k": 200}',)], "js string")
+    loaded = load_json_column(df, "js", infer_type({"k": 200}))
+    # pure-JVM path: no Python in the plan
+    assert "mapInPandas" not in loaded._jdf.queryExecution().toString().lower().replace(" ", "")
+    assert [r["parsed"]["k"] for r in loaded.orderBy("js").collect()] == [1, 200]
