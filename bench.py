@@ -18,6 +18,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# every registered query runs; this subset orders first so the headline
+# numbers land even if a long tail query hits a snag
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -61,7 +63,7 @@ def main() -> int:
     ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + sorted(set(QUERIES) - set(HEADLINE)):
         fn = QUERIES[name]
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

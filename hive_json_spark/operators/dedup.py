@@ -355,31 +355,57 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity.
 
-    impl="exact": all-pairs self-join (id_a < id_b), cosine in double
-    precision JVM-side — the oracle-able baseline. O(n²) comparisons; the
-    smaller side is broadcast so no shuffle, but this is the fallback, not
-    the 100 TB path.
+    impl="exact": the oracle-able all-pairs baseline. The corpus matrix is
+    normalized once, broadcast, and each partition computes its rows × all
+    columns as one float64 GEMM — O(n²) work but BLAS throughput, never
+    interpreted per-element expression eval. The broadcast bounds this
+    variant to corpora that fit executor memory (~10⁷ × dim floats); past
+    that, use impl="lsh".
 
     impl="lsh": random-hyperplane buckets prune candidates first — the
-    scale path. The join becomes an equi-join on the bucket id (shuffle on
+    100 TB path. The join becomes an equi-join on the bucket id (shuffle on
     bucket instead of a cross product); recall dips only for pairs whose
     cosine sits near the threshold boundary across a hyperplane.
     """
-    from hive_json_spark.functions.vectors import cosine_similarity
-
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     if impl == "lsh":
+        from hive_json_spark.functions.vectors import cosine_similarity
         from hive_json_spark.operators.similarity import _hyperplanes, lsh_bucket
 
         planes = _hyperplanes(dim, n_planes, seed)
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
         a = a.withColumn("_bkt", lsh_bucket(F.col("_va"), planes))
         b = b.withColumn("_bkt", lsh_bucket(F.col("_vb"), planes))
         joined = a.join(b, ["_bkt"]).filter(F.col("id_a") < F.col("id_b"))
-    else:
-        joined = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    sim = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
+        sim = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
+        return (
+            joined.select("id_a", "id_b", sim.alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold)
+        )
+
+    rows = df.select(id_col, vec_col).collect()
+    ids_all = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    bcast = df.sparkSession.sparkContext.broadcast((ids_all, M))
+
+    def kernel(batches):
+        bids, bm = bcast.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ida = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            S = np.round(V @ bm.T, 6)
+            keep = (S >= threshold) & (ida[:, None] < bids[None, :])
+            ii, jj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id_a": ida[ii], "id_b": bids[jj], "cos_sim": S[ii, jj]}
+            )
+
     return (
-        joined.select("id_a", "id_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+        ensure_parallelism(df)
+        .select(id_col, vec_col)
+        .mapInPandas(kernel, "id_a bigint, id_b bigint, cos_sim double")
     )

@@ -160,23 +160,29 @@ def ivf_index(
                 v = members.mean(axis=0)
                 cents[c] = v / max(np.linalg.norm(v), 1e-12)
 
-    cent_arrays = F.array(
-        *[F.array(*[F.lit(float(x)) for x in cent]) for cent in cents]
+    # assignment is one narrow Arrow map with the centroid matrix broadcast:
+    # a numpy GEMM + argmax per batch, not 16×dim literal expressions in the
+    # plan (which cost both analysis time and interpreted per-element eval)
+    from pyspark.sql import types as T
+
+    import pandas as pd
+
+    from hive_json_spark.operators.util import ensure_parallelism
+
+    bcast = corpus.sparkSession.sparkContext.broadcast(cents)
+    out_schema = T.StructType(
+        list(corpus.schema.fields) + [T.StructField("centroid", T.IntegerType(), False)]
     )
-    sims = F.transform(
-        cent_arrays,
-        lambda cvec: F.aggregate(
-            F.zip_with(F.col(vec_col), cvec, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        / l2_norm(F.col(vec_col)),
-    )
-    assigned = (
-        corpus.withColumn("_sims", sims)
-        .withColumn("centroid", (F.array_position("_sims", F.array_max("_sims")) - 1).cast("int"))
-        .drop("_sims")
-    )
+
+    def assign_kernel(batches):
+        C = bcast.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            yield pdf.assign(centroid=np.argmax(V @ C.T, axis=1).astype(np.int32))
+
+    assigned = ensure_parallelism(corpus).mapInPandas(assign_kernel, out_schema)
     return assigned, cents
 
 
@@ -200,14 +206,18 @@ def ivf_topk(
 
     q_rows = queries.select(id_col, vec_col).collect()
     spark = corpus.sparkSession
-    probe_rows = [
-        (int(r[id_col]), list(map(float, r[vec_col])), int(c))
-        for r in q_rows
-        for c in probes_for(np.array(r[vec_col], dtype=np.float64))
-    ]
-    q = spark.createDataFrame(
-        probe_rows, f"query_id bigint, q_vec array<double>, centroid int"
+    import pandas as pd
+
+    probe_pdf = pd.DataFrame(
+        [
+            (int(r[id_col]), list(map(float, r[vec_col])), int(c))
+            for r in q_rows
+            for c in probes_for(np.array(r[vec_col], dtype=np.float64))
+        ],
+        columns=["query_id", "q_vec", "centroid"],
     )
+    # pandas → Arrow createDataFrame stays off the slow Python-RDD pickle path
+    q = spark.createDataFrame(probe_pdf, "query_id bigint, q_vec array<double>, centroid int")
     scored = (
         assigned.join(F.broadcast(q), ["centroid"])
         .filter(F.col(id_col) != F.col("query_id"))
