@@ -130,3 +130,31 @@ def test_load_json_column_no_union_uses_from_json(spark):
     # pure-JVM path: no Python in the plan
     assert "mapInPandas" not in loaded._jdf.queryExecution().toString().lower().replace(" ", "")
     assert [r["parsed"]["k"] for r in loaded.orderBy("js").collect()] == [1, 200]
+
+
+def test_write_table_partitioned_and_bucketed(spark, tmp_path):
+    from hive_json_spark.sources.tables import write_table
+
+    df = spark.range(100).selectExpr("id", "id % 4 AS k", "id * 2 AS v")
+    # partitioned write → partition pruning on read
+    p = str(tmp_path / "part")
+    write_table(df, p, partition_by=["k"])
+    back = spark.read.parquet(p).filter("k = 2")
+    assert back.count() == 25
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(k" in plan
+    # bucketed write → join on bucket key has no exchange on the bucketed side
+    write_table(df, str(tmp_path / "bkt"), bucket_by=(4, ["id"]), sort_by=["id"], table_name="t_bkt")
+    t = spark.table("t_bkt")
+    j = t.join(t.withColumnRenamed("v", "v2"), "id")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join: the bucketed scan must serve the join's
+        # partitioning with zero shuffle exchanges
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Bucketed: true" in plan
+    spark.sql("DROP TABLE t_bkt")
