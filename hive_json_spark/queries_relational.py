@@ -540,3 +540,27 @@ def q_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 7).cast("bigint").alias("key_mod7"),
         F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
     )
+
+
+# --- event-time tumbling window (batch twin of streaming/windowed_event_counts)
+
+@query(
+    "q_windowed_counts",
+    """
+    SELECT time_bucket(INTERVAL 1 DAY, ts) AS win_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows — identical semantics to the streaming
+    operator (streaming/infer_stream.py windowed_event_counts) so batch
+    backfill and live stream produce the same rows; one hash agg, window
+    start is derived (no shuffle beyond the group-by)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
+    )
