@@ -90,3 +90,29 @@ def sessionize(
     return df.withColumn("session_seq", F.sum(is_new).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ))
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join for the extreme hot-key case.
+
+    The skewed side gets a uniform random salt in [0, n_salts); the other
+    side is replicated n_salts× (one row per salt value), and the join key
+    becomes (key..., salt) — so one celebrity key spreads across n_salts
+    tasks instead of melting one executor. AQE's skew-join split handles
+    moderate skew on its own; reach for this when a single key dominates
+    (null-heavy foreign keys, power-law graphs) or when AQE is off.
+
+    Cost model: replicates the *other* side n_salts× — use with a small or
+    pre-filtered right side, or combine with broadcast when it fits.
+    """
+    salted_left = skewed.withColumn("_salt", (F.rand(42) * n_salts).cast("int"))
+    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    salted_right = other.withColumn("_salt", salts)
+    out = salted_left.join(salted_right, [*on, "_salt"], how)
+    return out.drop("_salt")

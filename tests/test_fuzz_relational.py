@@ -1,0 +1,98 @@
+"""Differential fuzzing: seeded random filter+group+aggregate queries built
+twice from one spec — once as a DataFrame plan, once as SQL for DuckDB —
+must agree exactly. Complements the hand-written oracle suite with shapes
+nobody thought to write.
+"""
+
+import math
+import random
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+GROUP_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+AGGS = [
+    ("sum", F.sum, "SUM"),
+    ("min", F.min, "MIN"),
+    ("max", F.max, "MAX"),
+    ("avg", F.avg, "AVG"),
+]
+FILTERS = [
+    # (spark_condition_builder, sql_text)
+    (lambda: F.col("l_quantity") > 25, "l_quantity > 25"),
+    (lambda: F.col("l_discount") <= 0.05, "l_discount <= 0.05"),
+    (lambda: F.col("l_returnflag") == "R", "l_returnflag = 'R'"),
+    (lambda: F.col("l_extendedprice").between(10000, 50000), "l_extendedprice BETWEEN 10000 AND 50000"),
+    (lambda: F.col("l_linenumber") % 2 == 0, "l_linenumber % 2 = 0"),
+    (lambda: F.col("l_shipdate") < F.lit("1997-06-01").cast("timestamp"), "l_shipdate < TIMESTAMP '1997-06-01 00:00:00'"),
+]
+
+
+def make_spec(seed: int):
+    rnd = random.Random(seed)
+    n_filters = rnd.randint(0, 3)
+    filters = rnd.sample(FILTERS, n_filters)
+    group = rnd.sample(GROUP_COLS, rnd.randint(1, 2))
+    aggs = [
+        (rnd.choice(AGGS), rnd.choice(NUM_COLS), i)
+        for i in range(rnd.randint(1, 3))
+    ]
+    return filters, group, aggs
+
+
+def run_spec(spark, duck, seed: int):
+    filters, group, aggs = make_spec(seed)
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    conds_sql = []
+    for build, sql in filters:
+        df = df.filter(build())
+        conds_sql.append(sql)
+    agg_cols, agg_sqls = [], []
+    for (name, fn, sql_fn), col, i in aggs:
+        alias = f"a{i}_{name}_{col}"
+        agg_cols.append(F.round(fn(col), 4).alias(alias))
+        agg_sqls.append(f"ROUND({sql_fn}({col}), 4) AS {alias}")
+    agg_cols.append(F.count("*").alias("n"))
+    agg_sqls.append("CAST(COUNT(*) AS BIGINT) AS n")
+    sdf = df.groupBy(*group).agg(*agg_cols)
+
+    where = f"WHERE {' AND '.join(conds_sql)}" if conds_sql else ""
+    sql = (
+        f"SELECT {', '.join(group)}, {', '.join(agg_sqls)} "
+        f"FROM lineitem {where} GROUP BY {', '.join(group)}"
+    )
+    cols = sorted(sdf.columns)
+    spark_rows = sorted(
+        tuple(_norm(row[c]) for c in cols) for row in sdf.collect()
+    )
+    res = duck.execute(sql)
+    names = [d[0] for d in res.description]
+    idx = [names.index(c) for c in cols]
+    duck_rows = sorted(tuple(_norm(r[i]) for i in idx) for r in res.fetchall())
+    assert spark_rows == duck_rows, f"seed={seed} sql={sql}"
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.6g}"
+    return str(v)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_agg_query_matches_duckdb(spark, duck, seed):
+    run_spec(spark, duck, seed)

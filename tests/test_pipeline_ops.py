@@ -173,3 +173,16 @@ def test_embedding_near_dup_exact_and_lsh(spark, sf_dir):
     # LSH prunes candidates: every returned pair is a true near-dup pair
     # (the score filter is exact), it just may miss some
     assert lsh <= exact
+
+
+def test_salted_join_matches_plain_join(spark):
+    from hive_json_spark.operators.relational import salted_join
+
+    # 90% of left rows share one hot key
+    left = spark.range(1000).selectExpr(
+        "id", "CASE WHEN id % 10 = 0 THEN id % 7 ELSE 1 END AS k"
+    )
+    right = spark.range(7).selectExpr("id AS k", "id * 100 AS payload")
+    plain = left.join(right, ["k"]).select("id", "k", "payload")
+    salted = salted_join(left, right, ["k"]).select("id", "k", "payload")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
