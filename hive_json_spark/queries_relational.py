@@ -564,3 +564,96 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
     )
+
+
+# --- outer join + distribution (TPC-H Q13 shape) -----------------------------
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserves order-less customers (COUNT(col) skips their
+    NULLs); two hash aggs, the second over a tiny domain — AQE coalesces its
+    shuffle to a handful of partitions."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --- HAVING + semi-join back (TPC-H Q18 shape) -------------------------------
+
+@query(
+    "q18_big_orders",
+    """
+    SELECT o.o_orderkey, o.o_orderdate, ROUND(o.o_totalprice, 2) AS totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING → post-agg filter; the qualifying-key set is small, so the
+    semi-join back into orders broadcasts it (no orders shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    qualified = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi")
+    return (
+        qualified.join(l, qualified.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+# --- correlated scalar subquery (TPC-H Q17 shape) ----------------------------
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN (SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
+          FROM lineitem GROUP BY l_partkey) p
+      ON l.l_partkey = p.l_partkey
+    WHERE l.l_quantity < p.half_avg
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated scalar subquery (per-part average) is de-correlated
+    into an aggregate + self-join — the per-part agg output is one row per
+    part (small) and broadcasts; lineitem never shuffles."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        l.groupBy(F.col("l_partkey").alias("p_key"))
+        .agg((F.avg("l_quantity") * 0.5).alias("half_avg"))
+    )
+    return (
+        l.join(F.broadcast(per_part), l.l_partkey == per_part.p_key)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )

@@ -1,0 +1,56 @@
+"""Plan-quality regression tests: pin the physical-plan properties that
+make these queries scale (SCALE.md). A refactor that silently drops a
+pushdown, un-broadcasts a dimension, or turns top-k into a global sort
+fails here — before it fails at 100 TB.
+"""
+
+import pytest
+
+from hive_json_spark.registry import QUERIES
+from tests.conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 11-column table, 7-column read: projection reached the scan
+    read = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_q5_broadcasts_all_dimensions(spark):
+    plan = plan_of(spark, "q5_region_revenue")
+    # region/nation/customer/supplier joins all broadcast; only
+    # orders⋈lineitem and the final agg may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "q_topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no full sort node
+
+
+def test_running_window_single_exchange(spark):
+    # three window functions over the same spec: exactly one shuffle
+    plan = plan_of(spark, "q_running_events")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q18_semi_join_broadcasts_qualifying_keys(spark):
+    plan = plan_of(spark, "q18_big_orders")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_scalar_pack_stays_in_codegen(spark):
+    # a pure projection: no exchange, whole-stage codegen covers the plan
+    plan = plan_of(spark, "q_scalar_pack")
+    assert "Exchange" not in plan
+    # "*(n)" marks operators fused into a WholeStageCodegen stage
+    assert plan.lstrip().startswith("*(1)")
