@@ -54,10 +54,14 @@ __all__ = [
 
 @dataclass
 class InferResult:
-    """Discovered type + record count (count parity: JsonSchemaFinder.java:248)."""
+    """Discovered type + record count (count parity: JsonSchemaFinder.java:248).
+
+    ``corrupt`` counts undecodable documents skipped under
+    ``on_error="skip"`` (always 0 under the default ``"raise"``)."""
 
     htype: Optional[HType]
     records: int
+    corrupt: int = 0
 
 
 # --- local (single-process) path: CLI parity with the reference main ---------
@@ -96,9 +100,16 @@ def infer_files_local(paths: Sequence[str] | str) -> InferResult:
 # --- distributed paths -------------------------------------------------------
 
 
-def _fold_texts(texts: Iterable[str]) -> Tuple[Optional[HType], int]:
+def _fold_texts(
+    texts: Iterable[str], on_error: str = "raise"
+) -> Tuple[Optional[HType], int, int]:
+    """Fold texts into (type, records, corrupt). ``on_error="skip"`` drops
+    an undecodable text (counting it) instead of failing the task — at
+    100 TB a handful of truncated documents must not kill a 10-hour job;
+    the corrupt count keeps the skip visible instead of silent."""
     t: Optional[HType] = None
     n = 0
+    corrupt = 0
     dec = json.JSONDecoder(parse_int=JsonNumber, parse_float=JsonNumber)
     for text in texts:
         if text is None:
@@ -114,10 +125,15 @@ def _fold_texts(texts: Iterable[str]) -> Tuple[Optional[HType], int]:
                 continue
             except ValueError:
                 pass
-        for doc in iter_json_documents(s):
-            t = merge_types(t, infer_type(doc))
-            n += 1
-    return t, n
+        try:
+            for doc in iter_json_documents(s):
+                t = merge_types(t, infer_type(doc))
+                n += 1
+        except ValueError:
+            if on_error != "skip":
+                raise
+            corrupt += 1
+    return t, n, corrupt
 
 
 def infer_schema(
@@ -127,6 +143,7 @@ def infer_schema(
     ndjson: bool = True,
     canonical: bool = True,
     min_partitions: Optional[int] = None,
+    on_error: str = "raise",
 ) -> InferResult:
     """Distributed inference over JSON corpus files.
 
@@ -153,23 +170,23 @@ def infer_schema(
         rdd = binaries.map(decode)
 
     def seq(acc, text):
-        t, n = _fold_texts([text])
-        return merge_types(acc[0], t), acc[1] + n
+        t, n, bad = _fold_texts([text], on_error)
+        return merge_types(acc[0], t), acc[1] + n, acc[2] + bad
 
     def comb(a, b):
-        return merge_types(a[0], b[0]), a[1] + b[1]
+        return merge_types(a[0], b[0]), a[1] + b[1], a[2] + b[2]
 
-    htype, records = rdd.treeAggregate((None, 0), seq, comb, depth=2)
+    htype, records, corrupt = rdd.treeAggregate((None, 0, 0), seq, comb, depth=2)
     if canonical and htype is not None:
         htype = canonicalize(htype)
-    return InferResult(htype, records)
+    return InferResult(htype, records, corrupt)
 
 
 _COLUMN_INFER_MEMO: dict = {}
 
 
 def infer_schema_of_column(
-    df, column: str, *, canonical: bool = True, memo: bool = True
+    df, column: str, *, canonical: bool = True, memo: bool = True, on_error: str = "raise"
 ) -> InferResult:
     """Infer the schema of a JSON-string column (e.g. ``events.props``).
 
@@ -186,7 +203,13 @@ def infer_schema_of_column(
     memo_key = None
     if memo:
         try:
-            memo_key = (df.semanticHash(), tuple(sorted(df.inputFiles())), column, canonical)
+            memo_key = (
+                df.semanticHash(),
+                tuple(sorted(df.inputFiles())),
+                column,
+                canonical,
+                on_error,
+            )
         except Exception:
             memo_key = None
         if memo_key is not None and memo_key in _COLUMN_INFER_MEMO:
@@ -201,12 +224,14 @@ def infer_schema_of_column(
         # cheap value_counts.
         t: Optional[HType] = None
         n = 0
+        bad = 0
         for pdf in batches:
             for text, freq in pdf[column].value_counts().items():
-                pt, pn = _fold_texts([text])
+                pt, pn, pbad = _fold_texts([text], on_error)
                 t = merge_types(t, pt)
                 n += pn * int(freq)
-        yield pd.DataFrame({"partial": [pickle.dumps((t, n))]})
+                bad += pbad * int(freq)
+        yield pd.DataFrame({"partial": [pickle.dumps((t, n, bad))]})
 
     from hive_json_spark.operators.util import ensure_parallelism
 
@@ -217,13 +242,15 @@ def infer_schema_of_column(
     )
     htype: Optional[HType] = None
     records = 0
+    corrupt = 0
     for row in partials:
-        t, n = pickle.loads(row["partial"])
+        t, n, bad = pickle.loads(row["partial"])
         htype = merge_types(htype, t)
         records += n
+        corrupt += bad
     if canonical and htype is not None:
         htype = canonicalize(htype)
-    result = InferResult(htype, records)
+    result = InferResult(htype, records, corrupt)
     if memo_key is not None:
         _COLUMN_INFER_MEMO[memo_key] = result
     return result

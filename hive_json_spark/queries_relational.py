@@ -657,3 +657,30 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+# --- exact percentiles (interpolated), grouped -------------------------------
+
+@query(
+    "q_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
+           ROUND(quantile_cont(l_discount, 0.50), 4)      AS disc_p50
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (sort-based within group). The scale
+    path for loose accuracy needs is approx_percentile (t-digest sketch,
+    map-side combinable); the exact form is the oracle-checked baseline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.9))")
+    return li.groupBy("l_returnflag").agg(
+        F.round(pcts[0], 4).alias("p25"),
+        F.round(pcts[1], 4).alias("p50"),
+        F.round(pcts[2], 4).alias("p90"),
+        F.round(F.expr("percentile(l_discount, 0.5)"), 4).alias("disc_p50"),
+    )

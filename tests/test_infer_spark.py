@@ -158,3 +158,17 @@ def test_write_table_partitioned_and_bucketed(spark, tmp_path):
     assert "Exchange hashpartitioning" not in plan
     assert "Bucketed: true" in plan
     spark.sql("DROP TABLE t_bkt")
+
+
+def test_infer_on_error_skip_counts_corrupt(spark):
+    from hive_json_spark.infer import infer_schema_of_column
+
+    rows = [('{"a": 1}',), ('{"a": 2',), ('{"a": "x"}',), ("[1, 2",)]
+    df = spark.createDataFrame(rows, "js string")
+    r = infer_schema_of_column(df, "js", on_error="skip")
+    assert r.records == 2 and r.corrupt == 2
+    assert "uniontype<" in str(r.htype) or "a:" in str(r.htype)
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        infer_schema_of_column(df, "js", memo=False)
