@@ -600,3 +600,42 @@ def to_spark_type(t: HType, *, union_mode: str = "tagged", strict_binary: bool =
         raise ValueError(f"unknown kind {k}")
 
     return conv(t)
+
+
+# --- schema evolution --------------------------------------------------------
+
+
+def schema_diff(old: Optional[HType], new: Optional[HType], prefix: str = "root"):
+    """Field-level diff between two discovered schemas.
+
+    Returns a list of (path, change, detail) with change ∈ {"added",
+    "removed", "widened", "changed"} — "widened" when the new type subsumes
+    the old (safe evolution: numeric rank up, string decay, new union
+    branch), "changed" when it does not (readers must re-infer). The bread
+    and butter of monitoring a JSON feed for drift: run yesterday's schema
+    against today's and alert on anything not "widened".
+    """
+    out = []
+    if old is None and new is None:
+        return out
+    if old is None:
+        out.append((prefix, "added", str(new)))
+        return out
+    if new is None:
+        out.append((prefix, "removed", str(old)))
+        return out
+    if str(old) == str(new):
+        return out
+    if isinstance(old, StructT) and isinstance(new, StructT):
+        old_f, new_f = dict(old.fields), dict(new.fields)
+        for name in sorted(set(old_f) | set(new_f)):
+            out.extend(schema_diff(old_f.get(name), new_f.get(name), f"{prefix}.{name}"))
+        return out
+    if isinstance(old, ListT) and isinstance(new, ListT):
+        return schema_diff(old.element, new.element, f"{prefix}._list")
+    merged = merge_types(old, new)
+    if str(merged) == str(new):
+        out.append((prefix, "widened", f"{old} -> {new}"))
+    else:
+        out.append((prefix, "changed", f"{old} -> {new}"))
+    return out

@@ -157,3 +157,22 @@ def test_merge_associative_up_to_canonical_order(a, b, c):
     left = merge_types(merge_types(ta, tb), tc)
     right = merge_types(ta, merge_types(tb, tc))
     assert canonicalize(left) == canonicalize(right)
+
+
+def test_schema_diff_evolution():
+    from hive_json_spark.types import infer_type, merge_types, schema_diff
+
+    old = infer_type({"a": 1, "b": "x", "gone": True})
+    new = infer_type({"a": 100000, "b": "y", "fresh": [1]})
+    d = dict((p, (c, det)) for p, c, det in schema_diff(old, new))
+    assert d["root.a"][0] == "widened"          # tinyint -> int
+    assert d["root.fresh"][0] == "added"
+    assert d["root.gone"][0] == "removed"
+    assert "root.b" not in d                     # unchanged
+    # incompatible change flags as "changed"
+    old2 = infer_type({"x": 1})
+    new2 = infer_type({"x": "s"})
+    assert schema_diff(old2, new2)[0][1] == "changed"
+    # merging old into new is always "widened"-only from old's perspective
+    widened = merge_types(old, new)
+    assert all(c in ("widened", "added") for _, c, _ in schema_diff(old, widened))
