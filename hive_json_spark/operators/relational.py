@@ -116,3 +116,83 @@ def salted_join(
     salted_right = other.withColumn("_salt", salts)
     out = salted_left.join(salted_right, [*on, "_salt"], how)
     return out.drop("_salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_vals: Sequence[str],
+) -> DataFrame:
+    """Backward as-of join: each left row gets the right row with the
+    largest ``right_ts`` ≤ its ``left_ts`` (per key). The classic
+    point-in-time lookup (trades ⋈ latest quote, event ⋈ current config).
+
+    Spark-first plan: tag + union both sides, one window partitioned by key
+    ordered by (ts, side) carries the latest right values forward
+    (``last(..., ignorenulls)``), then keep left rows. ONE shuffle on the
+    key — no range predicate ever reaches a join operator (a naive
+    theta-join would be a broadcast-nested-loop over every key group).
+    Right rows sort before left rows at equal timestamps (ties inclusive).
+    """
+    lcols = [c for c in left.columns]
+    tagged_left = left.select(
+        *[F.col(c) for c in lcols],
+        F.lit(1).alias("_side"),
+        F.col(left_ts).alias("_ts"),
+        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(f"_r_{v}") for v in right_vals],
+    )
+    tagged_right = right.select(
+        *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) if c not in on else F.col(c) for c in lcols],
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_ts"),
+        *[F.col(v).alias(f"_r_{v}") for v in right_vals],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        "_side",
+        *[F.last(f"_r_{v}", ignorenulls=True).over(w).alias(v) for v in right_vals],
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join (point ∈ [lo, hi)) via bucket-explode.
+
+    A raw ``p >= lo AND p < hi`` join has no equi-key, so Spark plans a
+    broadcast-nested-loop/cartesian — O(|points|·|ranges|). Exploding each
+    range into the fixed-width buckets it overlaps and equi-joining on the
+    point's bucket makes it O(|points| + Σ range-width/bucket) with a
+    normal shuffle/broadcast hash join; the residual exact predicate
+    filters bucket-edge false positives. Pick ``bucket_width`` near the
+    median range width (each range then explodes into ~2 rows).
+    """
+    b = F.lit(float(bucket_width))
+    lo_b = F.floor(F.col(lo_col) / b).cast("bigint")
+    hi_b = F.floor((F.col(hi_col) - F.lit(1e-9)) / b).cast("bigint")
+    exploded = ranges.withColumn("_bucket", F.explode(F.sequence(lo_b, F.greatest(hi_b, lo_b))))
+    pts = points.withColumn("_bucket", F.floor(F.col(point_col) / b).cast("bigint"))
+    out = pts.join(
+        exploded,
+        (pts["_bucket"] == exploded["_bucket"])
+        & (F.col(point_col) >= F.col(lo_col))
+        & (F.col(point_col) < F.col(hi_col)),
+        how,
+    )
+    return out.drop("_bucket")

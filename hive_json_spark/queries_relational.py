@@ -684,3 +684,62 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pcts[2], 4).alias("p90"),
         F.round(F.expr("percentile(l_discount, 0.5)"), 4).alias("disc_p50"),
     )
+
+
+# --- as-of join (point-in-time lookup) ---------------------------------------
+
+@query(
+    "q_asof_join",
+    """
+    WITH p AS (SELECT user_id, ts, MAX(value) AS pv
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT e.event_id, e.user_id, ROUND(p.pv, 4) AS last_purchase
+    FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event annotated with the user's most recent (≤ ts) purchase
+    value — the operators.relational.asof_join carry-forward plan; the
+    oracle is DuckDB's native ASOF JOIN."""
+    e = load_table(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "ts")
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pv"))
+    )
+    from hive_json_spark.operators.relational import asof_join
+
+    out = asof_join(left, right, ["user_id"], "ts", "ts", ["pv"])
+    return out.select("event_id", "user_id", F.round("pv", 4).alias("last_purchase"))
+
+
+# --- range join (interval containment) ---------------------------------------
+
+@query(
+    "q_range_join",
+    """
+    WITH bands AS (SELECT i AS band_id, i * 5.0 AS lo, i * 5.0 + 5 AS hi
+                   FROM range(10) AS t(i))
+    SELECT band_id, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(l_extendedprice), 2) AS rev
+    FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY band_id
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-band revenue via operators.relational.range_join — the
+    bucket-explode makes it an equi-join (broadcast here: 10 bands), never
+    a nested loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.range(10).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 5.0).alias("lo"),
+        (F.col("id") * 5.0 + 5).alias("hi"),
+    )
+    from hive_json_spark.operators.relational import range_join
+
+    joined = range_join(li.select("l_quantity", "l_extendedprice"), F.broadcast(bands),
+                        "l_quantity", "lo", "hi", bucket_width=5.0)
+    return joined.groupBy("band_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("rev")
+    )

@@ -186,3 +186,39 @@ def test_salted_join_matches_plain_join(spark):
     plain = left.join(right, ["k"]).select("id", "k", "payload")
     salted = salted_join(left, right, ["k"]).select("id", "k", "payload")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_asof_join_semantics(spark):
+    from hive_json_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 5, 50), ("b", 3, 30)],
+        "k string, ts int, lv int",
+    )
+    right = spark.createDataFrame(
+        [("a", 2, 200), ("a", 4, 400), ("b", 9, 900)], "k string, ts int, rv int"
+    )
+    out = {
+        (r.k, r.ts): r.rv
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["rv"]).collect()
+    }
+    assert out[("a", 1)] is None        # before any right row
+    assert out[("a", 2)] == 200         # tie is inclusive
+    assert out[("a", 5)] == 400         # latest ≤ 5
+    assert out[("b", 3)] is None        # right row is in the future
+
+
+def test_range_join_matches_theta_join(spark):
+    from hive_json_spark.operators.relational import range_join
+    from pyspark.sql import functions as F
+
+    pts = spark.range(200).select((F.col("id") * 0.37).alias("p"))
+    rngs = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 30.0, "mid"), (30.0, 80.0, "high"), (70.0, 75.0, "overlap")],
+        "lo double, hi double, label string",
+    )
+    fast = range_join(pts, rngs, "p", "lo", "hi", bucket_width=10.0)
+    slow = pts.join(rngs, (F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi")))
+    assert sorted((r.p, r.label) for r in fast.collect()) == sorted(
+        (r.p, r.label) for r in slow.collect()
+    )
