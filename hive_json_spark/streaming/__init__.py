@@ -3,3 +3,4 @@ from hive_json_spark.streaming.infer_stream import (  # noqa: F401
     windowed_event_counts,
     stateful_user_totals,
 )
+from hive_json_spark.streaming.rollup import continuous_rollup  # noqa: F401

@@ -90,9 +90,53 @@ def duck():
     con.execute(
         f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
     )
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF_DIR}/orders.parquet')"
+    )
     return con
 
 
 @pytest.mark.parametrize("seed", range(20))
 def test_random_agg_query_matches_duckdb(spark, duck, seed):
     run_spec(spark, duck, seed)
+
+
+JOIN_GROUP_COLS = ["l_returnflag", "o_orderstatus", "o_orderpriority"]
+
+
+@pytest.mark.parametrize("seed", range(100, 110))
+def test_random_join_query_matches_duckdb(spark, duck, seed):
+    rnd = random.Random(seed)
+    filters = rnd.sample(FILTERS, rnd.randint(0, 2))
+    group = rnd.sample(JOIN_GROUP_COLS, rnd.randint(1, 2))
+    aggs = [(rnd.choice(AGGS), rnd.choice(NUM_COLS), i) for i in range(rnd.randint(1, 2))]
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    conds_sql = []
+    for build, sql in filters:
+        li = li.filter(build())
+        conds_sql.append(sql)
+    df = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    agg_cols, agg_sqls = [], []
+    for (name, fn, sql_fn), col, i in aggs:
+        alias = f"a{i}_{name}_{col}"
+        agg_cols.append(F.round(fn(col), 4).alias(alias))
+        agg_sqls.append(f"ROUND({sql_fn}({col}), 4) AS {alias}")
+    agg_cols.append(F.count("*").alias("n"))
+    agg_sqls.append("CAST(COUNT(*) AS BIGINT) AS n")
+    sdf = df.groupBy(*group).agg(*agg_cols)
+
+    where = f"WHERE {' AND '.join(conds_sql)}" if conds_sql else ""
+    sql = (
+        f"SELECT {', '.join(group)}, {', '.join(agg_sqls)} FROM "
+        f"(SELECT * FROM lineitem {where}) l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        f"GROUP BY {', '.join(group)}"
+    )
+    cols = sorted(sdf.columns)
+    spark_rows = sorted(tuple(_norm(row[c]) for c in cols) for row in sdf.collect())
+    res = duck.execute(sql)
+    names = [d[0] for d in res.description]
+    idx = [names.index(c) for c in cols]
+    duck_rows = sorted(tuple(_norm(r[i]) for i in idx) for r in res.fetchall())
+    assert spark_rows == duck_rows, f"seed={seed} sql={sql}"

@@ -91,3 +91,32 @@ def test_stateful_user_totals(spark, sf_dir, tmp_path):
     )
     expected = {r["user_id"]: (r["n"], round(r["t"], 3)) for r in exp_df.collect()}
     assert got == expected and len(got) > 0
+
+
+def test_continuous_rollup_incremental_matches_batch(spark, sf_dir, tmp_path):
+    from hive_json_spark.sources import load_table
+    from hive_json_spark.streaming import continuous_rollup
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    src = str(tmp_path / "src")
+    # two separate file drops → two micro-batches via maxFilesPerTrigger
+    events.filter(F.dayofmonth("ts") <= 15).coalesce(1).write.parquet(src)
+    events.filter(F.dayofmonth("ts") > 15).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "rollup")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = continuous_rollup(stream, "ts", ["user_id"], "value", out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    expected = (
+        events.groupBy(F.col("ts").cast("date").alias("day"), "user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    )
+    g = {(str(r.day), r.user_id): (r.n, round(r.total, 4)) for r in got.collect()}
+    e = {(str(r.day), r.user_id): (r.n, round(r.total, 4)) for r in expected.collect()}
+    assert g == e
