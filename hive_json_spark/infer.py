@@ -39,6 +39,7 @@ from hive_json_spark.types import (
     HType,
     JsonNumber,
     canonicalize,
+    decay_wide_structs,
     infer_type,
     iter_json_documents,
     merge_types,
@@ -186,7 +187,13 @@ _COLUMN_INFER_MEMO: dict = {}
 
 
 def infer_schema_of_column(
-    df, column: str, *, canonical: bool = True, memo: bool = True, on_error: str = "raise"
+    df,
+    column: str,
+    *,
+    canonical: bool = True,
+    memo: bool = True,
+    on_error: str = "raise",
+    max_struct_fields: Optional[int] = None,
 ) -> InferResult:
     """Infer the schema of a JSON-string column (e.g. ``events.props``).
 
@@ -209,6 +216,7 @@ def infer_schema_of_column(
                 column,
                 canonical,
                 on_error,
+                max_struct_fields,
             )
         except Exception:
             memo_key = None
@@ -229,6 +237,10 @@ def infer_schema_of_column(
             for text, freq in pdf[column].value_counts().items():
                 pt, pn, pbad = _fold_texts([text], on_error)
                 t = merge_types(t, pt)
+                if max_struct_fields is not None and t is not None:
+                    # guard holds DURING the fold: the accumulator can never
+                    # grow past the bound within a partition either
+                    t = decay_wide_structs(t, max_struct_fields)
                 n += pn * int(freq)
                 bad += pbad * int(freq)
         yield pd.DataFrame({"partial": [pickle.dumps((t, n, bad))]})
@@ -248,6 +260,8 @@ def infer_schema_of_column(
         htype = merge_types(htype, t)
         records += n
         corrupt += bad
+    if max_struct_fields is not None and htype is not None:
+        htype = decay_wide_structs(htype, max_struct_fields)
     if canonical and htype is not None:
         htype = canonicalize(htype)
     result = InferResult(htype, records, corrupt)

@@ -79,6 +79,7 @@ class Kind(Enum):
     STRUCT = ("struct", 1)
     LIST = ("list", 1)
     UNION = ("union", 8)
+    MAP = ("map", 1)  # extension: wide-struct decay target (not in reference)
 
     def __init__(self, label: str, rank: int) -> None:
         self.label = label
@@ -349,6 +350,65 @@ class UnionT(HType):
             yield from child.flat_items(f"{prefix}.{i}")
 
 
+@dataclass(frozen=True)
+class MapT(HType):
+    """``map<string, value>`` — an EXTENSION, never produced by induction
+    (the reference always models JSON objects as structs,
+    JsonSchemaFinder.java:124-133). Created only by ``decay_wide_structs``:
+    the schema-explosion guard for objects used as key-value stores
+    (uuid-keyed props and the like), whose struct form would grow without
+    bound at corpus scale."""
+
+    value: HType = field(default_factory=NullT)
+    kind: Kind = field(init=False, default=Kind.MAP)
+
+    def __str__(self) -> str:
+        return f"map<string,{self.value}>"
+
+    def subsumes(self, other: HType) -> bool:
+        # absorbs structs so a decayed partition merges with an undecayed one
+        return other.kind in (Kind.MAP, Kind.STRUCT, Kind.NULL)
+
+    def merged_with(self, other: HType) -> HType:
+        if isinstance(other, MapT):
+            return MapT(merge_types(self.value, other.value))
+        if isinstance(other, StructT):
+            v = self.value
+            for _, ft in other.fields:
+                v = merge_types(v, ft)
+            return MapT(v)
+        return self
+
+    def flat_items(self, prefix: str) -> Iterator[Tuple[str, HType]]:
+        yield from self.value.flat_items(f"{prefix}._map")
+
+
+def decay_wide_structs(t: HType, max_fields: int = 256) -> HType:
+    """Recursively decay any struct wider than ``max_fields`` into
+    ``map<string, lub(field types)>``.
+
+    The bound caps accumulator memory AND downstream plan width: a
+    million-key struct is unusable as a Spark schema (Catalyst plans are
+    per-column), while the map form stays O(1). Applied per-partition
+    inside the distributed folds when requested, so the guard holds during
+    aggregation, not just at the end."""
+    if isinstance(t, StructT):
+        fields = tuple((n, decay_wide_structs(ft, max_fields)) for n, ft in t.fields)
+        if len(fields) > max_fields:
+            v: HType = NullT()
+            for _, ft in fields:
+                v = merge_types(v, ft)
+            return MapT(v)
+        return StructT(fields)
+    if isinstance(t, ListT):
+        return ListT(decay_wide_structs(t.element, max_fields))
+    if isinstance(t, UnionT):
+        return UnionT(tuple(decay_wide_structs(c, max_fields) for c in t.children))
+    if isinstance(t, MapT):
+        return MapT(decay_wide_structs(t.value, max_fields))
+    return t
+
+
 # --- induction ---------------------------------------------------------------
 
 JsonValue = TUnion[None, bool, int, float, str, list, dict, JsonNumber]
@@ -460,6 +520,8 @@ def canonicalize(t: HType) -> HType:
         kids = tuple(sorted((canonicalize(c) for c in t.children),
                             key=lambda c: (_CANON_ORDER[c.kind], str(c))))
         return UnionT(kids)
+    if isinstance(t, MapT):
+        return MapT(canonicalize(t.value))
     return t
 
 
@@ -503,7 +565,7 @@ def _render_type(t: Optional[HType], margin: int) -> str:
     """printType parity (JsonSchemaFinder.java:153-201)."""
     if t is None:
         return "void"
-    if t.kind not in (Kind.STRUCT, Kind.LIST, Kind.UNION):
+    if t.kind not in (Kind.STRUCT, Kind.LIST, Kind.UNION, Kind.MAP):
         return str(t)
     if isinstance(t, StructT):
         parts = []
@@ -515,6 +577,8 @@ def _render_type(t: Optional[HType], margin: int) -> str:
     if isinstance(t, UnionT):
         inner = ",".join(_render_type(c, margin + _INDENT) for c in t.children)
         return f"uniontype <{inner}>"
+    if isinstance(t, MapT):
+        return f"map <string,{_render_type(t.value, margin + _INDENT)}>"
     raise ValueError(f"unknown kind {t.kind}")
 
 
@@ -588,6 +652,8 @@ def to_spark_type(t: HType, *, union_mode: str = "tagged", strict_binary: bool =
             )
         if isinstance(t, ListT):
             return T.ArrayType(conv(t.element), containsNull=True)
+        if isinstance(t, MapT):
+            return T.MapType(T.StringType(), conv(t.value), valueContainsNull=True)
         if isinstance(t, UnionT):
             if union_mode == "string":
                 return T.StringType()

@@ -172,3 +172,19 @@ def test_infer_on_error_skip_counts_corrupt(spark):
 
     with _pt.raises(Exception):
         infer_schema_of_column(df, "js", memo=False)
+
+
+def test_infer_wide_struct_decays_to_map(spark):
+    """Schema-explosion guard: uuid-keyed objects decay to map<string,T>
+    instead of growing one struct field per distinct key."""
+    import json as _json
+
+    from hive_json_spark.infer import infer_schema_of_column
+
+    rows = [(_json.dumps({f"key_{i}_{j}": j for j in range(6)}),) for i in range(100)]
+    df = spark.createDataFrame(rows, "js string")
+    r = infer_schema_of_column(df, "js", max_struct_fields=64)
+    assert str(r.htype) == "map<string,tinyint>"
+    # without the guard: 600-field struct
+    r2 = infer_schema_of_column(df, "js", memo=False)
+    assert str(r2.htype).count("key_") == 600
