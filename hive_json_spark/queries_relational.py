@@ -743,3 +743,52 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("band_id").agg(
         F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("rev")
     )
+
+
+# --- pivot (wide conditional aggregation) ------------------------------------
+
+@query(
+    "q_pivot_status_qty",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS F,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — Catalyst rewrites it into the
+    same single-pass conditional aggregation as the oracle's CASE WHEN
+    form (one shuffle; an unlisted-values pivot would need a distinct scan
+    first, so production pivots always pass the list)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.select("l_returnflag", F.coalesce("F", F.lit(0.0)).alias("F"),
+                      F.coalesce("O", F.lit(0.0)).alias("O"))
+
+
+# --- pure-SQL interface (TPC-H Q6 shape over registered views) ---------------
+
+_Q6_SQL = """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", _Q6_SQL)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string surface: the IDENTICAL text runs on spark.sql (over
+    registered views) and on the DuckDB oracle — no DataFrame translation
+    at all. All four predicates push to the parquet scan."""
+    from hive_json_spark.sources.tables import load_table as _lt
+
+    _lt(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q6_SQL)
