@@ -301,3 +301,56 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     plan = frame_sample_plan(synthetic_media(docs), every_ms=1000)
     return plan.select("media_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"))
+
+
+# --- vocabulary building -----------------------------------------------------
+
+@query(
+    "q_vocab_topk",
+    """
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS tok
+          FROM documents)
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 100
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode → count → top-k. The explode's output
+    never materializes (pipelined into the partial agg); the shuffle
+    carries (token, partial count) — vocabulary-sized, not corpus-sized;
+    top-k is TakeOrderedAndProject with the token as tiebreak."""
+    from hive_json_spark.functions.text import tokens
+    from hive_json_spark.operators.relational import top_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    return top_k(counts, [F.col("freq").desc(), F.col("tok")], 100)
+
+
+# --- deterministic train/test split ------------------------------------------
+
+@query(
+    "q_train_test_split",
+    """
+    SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split assignment from the stable id (never rand(): reruns, retries
+    and engine changes must not reshuffle examples between train and test).
+    One narrow projection + tiny agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(F.col("doc_id") % 10 < 8, "train").otherwise("test")
+    return docs.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+    )
