@@ -2,5 +2,6 @@ from hive_json_spark.streaming.infer_stream import (  # noqa: F401
     infer_schema_streaming,
     windowed_event_counts,
     stateful_user_totals,
+    stream_stream_join,
 )
 from hive_json_spark.streaming.rollup import continuous_rollup  # noqa: F401

@@ -106,3 +106,31 @@ def stateful_user_totals(events_stream: DataFrame) -> DataFrame:
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 hour",
+    within: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: right events within ``within`` AFTER
+    the left event, same key.
+
+    Both sides buffer in state; the watermark + time-range condition is
+    what lets the engine EVICT state (without it a stream-stream join's
+    state grows forever — the non-negotiable at 100 TB/day). Column names
+    must be disjoint apart from ``key``/timestamps (alias beforehand).
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, how).drop(r[key])

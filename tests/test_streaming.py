@@ -120,3 +120,43 @@ def test_continuous_rollup_incremental_matches_batch(spark, sf_dir, tmp_path):
     g = {(str(r.day), r.user_id): (r.n, round(r.total, 4)) for r in got.collect()}
     e = {(str(r.day), r.user_id): (r.n, round(r.total, 4)) for r in expected.collect()}
     assert g == e
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    from hive_json_spark.sources import load_table
+    from hive_json_spark.streaming import stream_stream_join
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+
+    def views(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+        )
+        return clicks, buys
+
+    sc_, sb = views(spark.readStream.schema(events.schema).parquet(src))
+    joined = stream_stream_join(sc_, sb, "user_id", "click_ts", "buy_ts", within="30 minutes")
+    q = (
+        joined.writeStream.format("memory").queryName("ssj")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.click_id, r.buy_id) for r in spark.table("ssj").collect()}
+
+    bc, bb = views(events)
+    batch = bc.join(
+        bb,
+        (bc.user_id == bb.user_id)
+        & (bb.buy_ts >= bc.click_ts)
+        & (bb.buy_ts <= bc.click_ts + F.expr("INTERVAL 30 minutes")),
+    )
+    expected = {(r.click_id, r.buy_id) for r in batch.collect()}
+    assert got == expected and len(expected) > 0
