@@ -10,7 +10,7 @@ import random
 import duckdb
 import pytest
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from tests.conftest import SF_DIR
 
@@ -140,3 +140,44 @@ def test_random_join_query_matches_duckdb(spark, duck, seed):
     idx = [names.index(c) for c in cols]
     duck_rows = sorted(tuple(_norm(r[i]) for i in idx) for r in res.fetchall())
     assert spark_rows == duck_rows, f"seed={seed} sql={sql}"
+
+
+WIN_FUNCS = [
+    ("row_number", lambda w: F.row_number().over(w), "ROW_NUMBER() OVER w"),
+    ("rank", lambda w: F.rank().over(w), "RANK() OVER w"),
+    ("dense_rank", lambda w: F.dense_rank().over(w), "DENSE_RANK() OVER w"),
+    ("lag", lambda w: F.coalesce(F.lag("l_quantity").over(w), F.lit(-1.0)), "COALESCE(LAG(l_quantity) OVER w, -1.0)"),
+    ("lead", lambda w: F.coalesce(F.lead("l_quantity").over(w), F.lit(-1.0)), "COALESCE(LEAD(l_quantity) OVER w, -1.0)"),
+    ("runsum", lambda w: F.round(F.sum("l_extendedprice").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)), 4),
+     "ROUND(SUM(l_extendedprice) OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)"),
+]
+
+
+@pytest.mark.parametrize("seed", range(200, 210))
+def test_random_window_query_matches_duckdb(spark, duck, seed):
+    rnd = random.Random(seed)
+    picked = rnd.sample(WIN_FUNCS, rnd.randint(1, 3))
+    # total order inside each partition: unique (orderkey, linenumber) tiebreak
+    w = Window.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+        F.col("l_orderkey") % 7 == 0
+    )
+    sel = [F.col("l_orderkey"), F.col("l_linenumber")]
+    sql_cols = ["l_orderkey", "l_linenumber"]
+    for name, fn, sql in picked:
+        sel.append(fn(w).alias(name))
+        sql_cols.append(f"{sql} AS {name}")
+    sdf = df.select(*sel)
+    sql = (
+        f"SELECT {', '.join(sql_cols)} FROM lineitem WHERE l_orderkey % 7 = 0 "
+        f"WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)"
+    )
+    cols = sorted(sdf.columns)
+    spark_rows = sorted(tuple(_norm(row[c]) for c in cols) for row in sdf.collect())
+    res = duck.execute(sql)
+    names = [d[0] for d in res.description]
+    idx = [names.index(c) for c in cols]
+    duck_rows = sorted(tuple(_norm(r[i]) for i in idx) for r in res.fetchall())
+    assert spark_rows == duck_rows, f"seed={seed}"
