@@ -233,3 +233,24 @@ def test_range_join_matches_theta_join(spark):
     assert sorted((r.p, r.label) for r in fast.collect()) == sorted(
         (r.p, r.label) for r in slow.collect()
     )
+
+
+def test_register_engine_udfs_sql_surface(spark):
+    from hive_json_spark.functions.udf import register_engine_udfs
+
+    names = register_engine_udfs(spark)
+    assert "classify_string" in names and "infer_json_type" in names
+    row = spark.sql("""
+        SELECT is_hex_binary('deadBEEF') AS a,
+               is_hex_binary('00x0') AS b,
+               classify_string('2016-01-05 12:34:56Z') AS c,
+               token_count('  one two   three ') AS d,
+               infer_json_type('{"a": 1, "b": [1.5]}') AS e
+    """).collect()[0]
+    assert row.a is True and row.b is False
+    assert row.c == "timestamp"
+    assert row.d == 3
+    assert row.e == "struct<a:tinyint,b:list<decimal(2,1)>>"
+    # the SQL scalar functions inline into the plan (no Python eval node)
+    plan = spark.sql("SELECT classify_string('abc') AS c")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
