@@ -792,3 +792,74 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _lt(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_Q6_SQL)
+
+
+# --- returned-item reporting (TPC-H Q10 shape) -------------------------------
+
+@query(
+    "q10_returned_customers",
+    """
+    SELECT c.c_custkey, c.c_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(c.c_acctbal, 2) AS acctbal, n.n_name
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who returned the most in a quarter: nation + customer
+    broadcast, orders⋈lineitem shuffles on orderkey, top-20 via
+    TakeOrderedAndProject with custkey tiebreak."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    joined = l.join(o, l.l_orderkey == o.o_orderkey)
+    joined = broadcast_join(joined, c, F.col("o_custkey") == F.col("c_custkey"))
+    joined = broadcast_join(joined, n, F.col("c_nationkey") == F.col("n_nationkey"))
+    agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("c_custkey")], 20).select(
+        "c_custkey", "c_name", "revenue", F.round("c_acctbal", 2).alias("acctbal"), "n_name"
+    )
+
+
+# --- promo revenue share (TPC-H Q14 shape) -----------------------------------
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate ratio over a month window; part broadcasts,
+    the date filter pushes to the scan, single global agg."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return broadcast_join(l, p.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct")
+    )
