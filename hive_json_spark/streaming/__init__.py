@@ -3,5 +3,6 @@ from hive_json_spark.streaming.infer_stream import (  # noqa: F401
     windowed_event_counts,
     stateful_user_totals,
     stream_stream_join,
+    streaming_dedup,
 )
 from hive_json_spark.streaming.rollup import continuous_rollup  # noqa: F401

@@ -134,3 +134,21 @@ def stream_stream_join(
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, how).drop(r[key])
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list,
+    ts_col: str,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup: first arrival per key wins; duplicates
+    arriving within the watermark horizon are dropped.
+
+    ``dropDuplicatesWithinWatermark`` keys state by ``key_cols`` and EVICTS
+    entries once the watermark passes — bounded state, unlike a plain
+    ``dropDuplicates`` on a stream (which keeps every key forever). The
+    batch twin is ``operators.relational.exact_dedup``; a pipeline can
+    backfill with the batch form and tail with this one.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)

@@ -160,3 +160,30 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     )
     expected = {(r.click_id, r.buy_id) for r in batch.collect()}
     assert got == expected and len(expected) > 0
+
+
+def test_streaming_dedup_drops_repeats(spark, tmp_path):
+    from hive_json_spark.streaming import streaming_dedup
+
+    src = str(tmp_path / "dd")
+    df1 = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00"), ("b", "2024-01-01 10:01:00")], "k string, ts string"
+    ).select("k", F.col("ts").cast("timestamp"))
+    df1.write.parquet(src)
+    # second file repeats 'a' and adds 'c'
+    spark.createDataFrame(
+        [("a", "2024-01-01 10:05:00"), ("c", "2024-01-01 10:06:00")], "k string, ts string"
+    ).select("k", F.col("ts").cast("timestamp")).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("k string, ts timestamp").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = streaming_dedup(stream, ["k"], "ts", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("sdd")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("sdd").collect()
+    assert sorted(r.k for r in rows) == ["a", "b", "c"]  # duplicate 'a' dropped
