@@ -863,3 +863,36 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return broadcast_join(l, p.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey")).agg(
         F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct")
     )
+
+
+# --- disjunctive predicate join (TPC-H Q19 shape) ----------------------------
+
+@query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs across both join sides: Catalyst keeps the equi-key join
+    (partkey) and evaluates the disjunction as a post-join filter, while
+    the common p_brand IN (...) factor is inferred and pushed to the part
+    scan — check PushedFilters for the In(p_brand) residual."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = broadcast_join(l, p.select("p_partkey", "p_brand", "p_size"),
+                       F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n"),
+    )
