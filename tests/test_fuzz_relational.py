@@ -150,7 +150,7 @@ WIN_FUNCS = [
     ("lead", lambda w: F.coalesce(F.lead("l_quantity").over(w), F.lit(-1.0)), "COALESCE(LEAD(l_quantity) OVER w, -1.0)"),
     ("runsum", lambda w: F.round(F.sum("l_extendedprice").over(
         w.rowsBetween(Window.unboundedPreceding, 0)), 4),
-     "ROUND(SUM(l_extendedprice) OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)"),
+     "ROUND(SUM(l_extendedprice) OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)"),
 ]
 
 
@@ -158,21 +158,25 @@ WIN_FUNCS = [
 def test_random_window_query_matches_duckdb(spark, duck, seed):
     rnd = random.Random(seed)
     picked = rnd.sample(WIN_FUNCS, rnd.randint(1, 3))
-    # total order inside each partition: unique (orderkey, linenumber) tiebreak
-    w = Window.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
+    # (orderkey, linenumber) is NOT unique in the corpus; ordering by every
+    # column the query can observe makes any remaining ties full duplicates,
+    # whose relative order cannot change the output multiset
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
 
     df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
         F.col("l_orderkey") % 7 == 0
     )
-    sel = [F.col("l_orderkey"), F.col("l_linenumber")]
-    sql_cols = ["l_orderkey", "l_linenumber"]
+    sel = [F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_quantity"), F.col("l_extendedprice")]
+    sql_cols = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
     for name, fn, sql in picked:
         sel.append(fn(w).alias(name))
         sql_cols.append(f"{sql} AS {name}")
     sdf = df.select(*sel)
     sql = (
         f"SELECT {', '.join(sql_cols)} FROM lineitem WHERE l_orderkey % 7 = 0 "
-        f"WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)"
+        f"WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice)"
     )
     cols = sorted(sdf.columns)
     spark_rows = sorted(tuple(_norm(row[c]) for c in cols) for row in sdf.collect())
