@@ -414,6 +414,19 @@ def decay_wide_structs(t: HType, max_fields: int = 256) -> HType:
 JsonValue = TUnion[None, bool, int, float, str, list, dict, JsonNumber]
 
 
+_NUM_CACHE: dict = {}
+
+
+def _num(kind: Kind, int_digits: int, scale: int) -> NumericT:
+    """Interned NumericT — numeric leaves dominate allocation in the fold
+    and the distinct (kind, digits, scale) space is tiny."""
+    key = (kind, int_digits, scale)
+    t = _NUM_CACHE.get(key)
+    if t is None:
+        t = _NUM_CACHE[key] = NumericT(kind, int_digits, scale)
+    return t
+
+
 def _pick_number(text: str) -> NumericT:
     """Numeric sizing off the lexical form (JsonSchemaFinder.java:61-96)."""
     m = _DECIMAL_RE.match(text)
@@ -425,25 +438,25 @@ def _pick_number(text: str) -> NumericT:
             if int_digits < 19:
                 value = int(text)
                 if -128 <= value < 128:
-                    return NumericT(Kind.BYTE, int_digits, scale)
+                    return _num(Kind.BYTE, int_digits, scale)
                 if -32768 <= value < 32768:
-                    return NumericT(Kind.SHORT, int_digits, scale)
+                    return _num(Kind.SHORT, int_digits, scale)
                 if -2147483648 <= value < 2147483648:
-                    return NumericT(Kind.INT, int_digits, scale)
-                return NumericT(Kind.LONG, int_digits, scale)
+                    return _num(Kind.INT, int_digits, scale)
+                return _num(Kind.LONG, int_digits, scale)
             if int_digits == 19:
                 # 19 digits may or may not fit a long (JsonSchemaFinder.java:79-85)
                 value = int(text)
                 if _MIN_LONG <= value <= _MAX_LONG:
-                    return NumericT(Kind.LONG, int_digits, scale)
+                    return _num(Kind.LONG, int_digits, scale)
         if int_digits + scale <= MAX_DECIMAL_DIGITS:
-            return NumericT(Kind.DECIMAL, int_digits, scale)
+            return _num(Kind.DECIMAL, int_digits, scale)
     # scientific notation or >38 digits: Float-range test on the double value;
     # Java Float.MIN_VALUE is positive ⇒ negatives/zero go DOUBLE (bug parity)
     value_d = float(text)
     if _JAVA_FLOAT_MIN <= value_d <= _JAVA_FLOAT_MAX:
-        return NumericT(Kind.FLOAT, 0, 0)
-    return NumericT(Kind.DOUBLE, 0, 0)
+        return _num(Kind.FLOAT, 0, 0)
+    return _num(Kind.DOUBLE, 0, 0)
 
 
 def _pick_string(text: str) -> StringT:
@@ -494,6 +507,12 @@ def merge_types(previous: Optional[HType], incoming: Optional[HType]) -> HType:
     if previous is None:
         return incoming if incoming is not None else NullT()
     if incoming is None:
+        return previous
+    if previous == incoming:
+        # merge is idempotent for equal trees in every class (numeric ranks,
+        # string kinds, struct/list recursion, union child-wise) — skipping
+        # the rebuild makes the hot fold path allocation-free once the
+        # accumulator stabilizes on a homogeneous corpus
         return previous
     if previous.subsumes(incoming):
         return previous.merged_with(incoming)
