@@ -896,3 +896,61 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         F.count("*").alias("n"),
     )
+
+
+# --- market share (TPC-H Q8 shape: nation joined twice) ----------------------
+
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+        JOIN orders o    ON l.l_orderkey = o.o_orderkey
+        JOIN customer c  ON o.o_custkey = c.c_custkey
+        JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+        JOIN region r    ON nc.n_regionkey = r.r_regionkey
+        JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation joins twice under different roles (customer's vs supplier's) —
+    the aliasing stress test. Every dimension broadcasts; the one real
+    shuffle is lineitem⋈orders on orderkey, then a 2-row agg."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    nc = n.select(F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region"))
+    ns = n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
+
+    j = l.join(o, l.l_orderkey == o.o_orderkey)
+    j = broadcast_join(j, c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+    j = broadcast_join(j, nc, F.col("c_nationkey") == F.col("nc_key"))
+    j = broadcast_join(j, r.select("r_regionkey"), F.col("nc_region") == F.col("r_regionkey"))
+    j = broadcast_join(j, s.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+    j = broadcast_join(j, ns, F.col("s_nationkey") == F.col("ns_key"))
+
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    china = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0))
+    return (
+        j.select(F.year("o_orderdate").cast("int").alias("o_year"),
+                 volume.alias("volume"), china.alias("china_vol"))
+        .groupBy("o_year")
+        .agg(F.round(F.sum("china_vol") / F.sum("volume"), 6).alias("mkt_share"))
+    )
