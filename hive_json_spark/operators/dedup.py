@@ -284,7 +284,15 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming via 16-bit-chunk
     blocking (≤3 differing bits ⇒ at least one of 4 chunks identical)."""
-    sh = simhash(ensure_parallelism(df), text_col, id_col).select(id_col, "simhash")
+    # persist the (id, simhash) table: 16 bytes/doc, referenced by BOTH
+    # sides of the self-join — without the pin each side re-runs the
+    # Arrow hashing kernel over the full corpus (4 Python stages in the
+    # plan instead of 1)
+    sh = (
+        simhash(ensure_parallelism(df), text_col, id_col)
+        .select(id_col, "simhash")
+        .persist()
+    )
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
