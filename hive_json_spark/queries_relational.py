@@ -954,3 +954,60 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(F.round(F.sum("china_vol") / F.sum("volume"), 6).alias("mkt_share"))
     )
+
+
+# --- table profiling (ANALYZE-style column statistics) -----------------------
+
+@query(
+    "q_profile_lineitem",
+    """
+    SELECT 'l_quantity' AS col,
+           CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           ROUND(MIN(l_quantity), 4) AS min_v, ROUND(MAX(l_quantity), 4) AS max_v,
+           ROUND(AVG(l_quantity), 4) AS avg_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           CAST(COUNT(l_extendedprice) AS BIGINT),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+           ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4),
+           ROUND(AVG(l_extendedprice), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           CAST(COUNT(l_discount) AS BIGINT),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+           ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4),
+           ROUND(AVG(l_discount), 4)
+    FROM lineitem
+    """,
+)
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column statistics (the ANALYZE TABLE shape) for planner/quality use.
+
+    One scan feeds all three columns' stats (grouping-free aggregate with
+    per-column exprs), then an unpivot — versus the oracle's 3-scan UNION.
+    Exact distinct counts here because the oracle needs determinism; the
+    100 TB path swaps in approx_count_distinct per the SCALE.md policy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    agg = li.agg(
+        *[F.count(c).alias(f"n_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"d_{c}") for c in cols],
+        *[F.round(F.min(c), 4).alias(f"mn_{c}") for c in cols],
+        *[F.round(F.max(c), 4).alias(f"mx_{c}") for c in cols],
+        *[F.round(F.avg(c), 4).alias(f"av_{c}") for c in cols],
+    )
+    rows = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"n_{c}").alias("n_nonnull"),
+            F.col(f"d_{c}").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_v"),
+            F.col(f"mx_{c}").alias("max_v"),
+            F.col(f"av_{c}").alias("avg_v"),
+        )
+        for c in cols
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
