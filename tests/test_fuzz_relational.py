@@ -185,3 +185,41 @@ def test_random_window_query_matches_duckdb(spark, duck, seed):
     idx = [names.index(c) for c in cols]
     duck_rows = sorted(tuple(_norm(r[i]) for i in idx) for r in res.fetchall())
     assert spark_rows == duck_rows, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", range(300, 306))
+def test_random_asof_join_matches_duckdb(spark, seed):
+    """Random (key, ts, value) tables: our carry-forward asof_join must
+    equal DuckDB's native ASOF LEFT JOIN on every draw."""
+    import duckdb as _duck
+
+    from hive_json_spark.operators.relational import asof_join
+
+    rnd = random.Random(seed)
+    keys = ["a", "b", "c"]
+    left_rows = [
+        (i, rnd.choice(keys), rnd.randrange(0, 1000))
+        for i in range(rnd.randrange(30, 60))
+    ]
+    # right side: unique (key, ts) pairs so both engines pick the same row
+    right_pairs = {(rnd.choice(keys), rnd.randrange(0, 1000)) for _ in range(25)}
+    right_rows = [(k, ts, rnd.randrange(0, 10**6)) for k, ts in right_pairs]
+
+    left = spark.createDataFrame(left_rows, "lid bigint, k string, ts bigint")
+    right = spark.createDataFrame(right_rows, "k string, ts bigint, rv bigint")
+    got = {
+        r.lid: r.rv
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["rv"]).collect()
+    }
+
+    con = _duck.connect()
+    con.execute("CREATE TABLE l(lid BIGINT, k VARCHAR, ts BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)", left_rows)
+    con.execute("CREATE TABLE r(k VARCHAR, ts BIGINT, rv BIGINT)")
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", right_rows)
+    expected = dict(
+        con.execute(
+            "SELECT l.lid, r.rv FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts"
+        ).fetchall()
+    )
+    assert got == expected, f"seed={seed}"
