@@ -176,3 +176,20 @@ def test_schema_diff_evolution():
     # merging old into new is always "widened"-only from old's perspective
     widened = merge_types(old, new)
     assert all(c in ("widened", "added") for _, c, _ in schema_diff(old, widened))
+
+
+@settings(max_examples=200, deadline=None)
+@given(json_values)
+def test_canonicalize_idempotent(v):
+    t = canonicalize(infer_type(via_json(v)))
+    assert canonicalize(t) == t
+
+
+@settings(max_examples=200, deadline=None)
+@given(json_values, json_values)
+def test_to_spark_type_total(a, b):
+    """Every type the lattice can produce (incl. merge-created unions) maps
+    to a Spark type in both union modes without error."""
+    t = merge_types(infer_type(via_json(a)), infer_type(via_json(b)))
+    to_spark_type(t)
+    to_spark_type(t, union_mode="string")
