@@ -391,3 +391,47 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.length("text")).cast("bigint").alias("n_chars"),
     )
+
+
+# --- document chunking (training-window materialization) ---------------------
+
+@query(
+    "q_chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS tk
+      FROM documents),
+    n AS (
+      SELECT doc_id, tk,
+             greatest(CAST(ceil((len(tk) - 64) / 48.0) AS INT) + 1, 1) AS n_chunks
+      FROM toks)
+    SELECT doc_id,
+           CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_idx,
+           array_to_string(list_slice(tk, unnest(range(0, n_chunks)) * 48 + 1,
+                                          unnest(range(0, n_chunks)) * 48 + 64), ' ')
+             AS chunk_text
+    FROM n
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, stride 48 → 16-token
+    overlap) — the LLM-training materialization step. Pure JVM array ops:
+    tokens once per doc, chunk windows via transform+slice, posexplode;
+    output size is the only thing that grows, never shuffle width (chunking
+    is a narrow map — at 100 TB it pipelines straight into the tokenizer
+    or the sink with zero exchanges)."""
+    from hive_json_spark.functions.text import tokens
+
+    c, s = 64, 48
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - c) / float(s)).cast("int") + 1, F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * s + 1, c)),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    ).select("doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"), "chunk_text")
