@@ -435,3 +435,37 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text")
     ).select("doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"), "chunk_text")
+
+
+# --- repetition quality signal (Gopher-style duplicate-3-gram ratio) ---------
+
+@query(
+    "q_repetition_ratio",
+    """
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk
+               FROM documents),
+    s AS (SELECT doc_id,
+                 [array_to_string(tk[i+1:i+3], ' ')
+                  for i in range(0, greatest(len(tk) - 3, 0) + 1)] AS sh
+          FROM t)
+    SELECT doc_id,
+           ROUND(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6)
+             AS dup3_ratio
+    FROM s
+    """,
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-3-gram ratio per document — the repetition filter from
+    published web-corpus quality rules (high ratio ⇒ boilerplate/spam).
+    All JVM array expressions, one narrow projection."""
+    from hive_json_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
+    ratio = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / F.size(sh), 6
+    )
+    return docs.select("doc_id", ratio.alias("dup3_ratio"))

@@ -1011,3 +1011,39 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in cols
     ]
     return agg.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+# --- top supplier by quarterly revenue (TPC-H Q15 shape) ---------------------
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery over an aggregate (the Q15 view pattern): the
+    revenue agg computes once, its max broadcasts back as a filter —
+    rounded before comparison so both engines select identical rows."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("m"))
+    top = rev.join(F.broadcast(max_rev), rev.total_rev == max_rev.m).drop("m")
+    return broadcast_join(
+        s.select("s_suppkey", "s_name"), top, F.col("s_suppkey") == F.col("l_suppkey")
+    ).select("s_suppkey", "s_name", "total_rev")
