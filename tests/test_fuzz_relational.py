@@ -96,7 +96,7 @@ def duck():
     return con
 
 
-@pytest.mark.parametrize("seed", range(20))
+@pytest.mark.parametrize("seed", range(30))
 def test_random_agg_query_matches_duckdb(spark, duck, seed):
     run_spec(spark, duck, seed)
 
@@ -104,7 +104,7 @@ def test_random_agg_query_matches_duckdb(spark, duck, seed):
 JOIN_GROUP_COLS = ["l_returnflag", "o_orderstatus", "o_orderpriority"]
 
 
-@pytest.mark.parametrize("seed", range(100, 110))
+@pytest.mark.parametrize("seed", range(100, 115))
 def test_random_join_query_matches_duckdb(spark, duck, seed):
     rnd = random.Random(seed)
     filters = rnd.sample(FILTERS, rnd.randint(0, 2))
@@ -154,7 +154,7 @@ WIN_FUNCS = [
 ]
 
 
-@pytest.mark.parametrize("seed", range(200, 210))
+@pytest.mark.parametrize("seed", range(200, 215))
 def test_random_window_query_matches_duckdb(spark, duck, seed):
     rnd = random.Random(seed)
     picked = rnd.sample(WIN_FUNCS, rnd.randint(1, 3))
@@ -187,7 +187,7 @@ def test_random_window_query_matches_duckdb(spark, duck, seed):
     assert spark_rows == duck_rows, f"seed={seed}"
 
 
-@pytest.mark.parametrize("seed", range(300, 306))
+@pytest.mark.parametrize("seed", range(300, 310))
 def test_random_asof_join_matches_duckdb(spark, seed):
     """Random (key, ts, value) tables: our carry-forward asof_join must
     equal DuckDB's native ASOF LEFT JOIN on every draw."""
