@@ -469,3 +469,48 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / F.size(sh), 6
     )
     return docs.select("doc_id", ratio.alias("dup3_ratio"))
+
+
+# --- PII scrubbing (email redaction) -----------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+
+@query(
+    "q_pii_scrub",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' contact user' || doc_id || '@example.com or admin@test.org'
+                  ELSE text END AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                AS BIGINT) AS n_emails,
+           md5(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g')) AS scrubbed_md5
+    FROM aug
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email redaction over the corpus (PII is synthesized deterministically
+    onto every 5th doc since the test corpus has none). regexp runs
+    JVM-side in codegen; the pattern is RE2-and-Java compatible so the
+    oracle computes the identical redaction. Output is the count + a hash
+    of the scrubbed text, which pins every byte of the replacement."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or admin@test.org"),
+        ),
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0)).cast("bigint").alias("n_emails"),
+        F.md5(F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>")).alias("scrubbed_md5"),
+    )
