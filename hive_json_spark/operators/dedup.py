@@ -432,3 +432,59 @@ def embedding_near_dup_pairs(
         .select(id_col, vec_col)
         .mapInPandas(kernel, "id_a bigint, id_b bigint, cos_sim double")
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc_id,
+    cluster_id) with cluster_id = min doc id in the component.
+
+    The engine's iterative-algorithm surface: min-label propagation — each
+    round every node adopts the smallest label among itself and its
+    neighbors; converged when a round changes nothing. Rounds needed =
+    graph diameter (near-dup components are shallow — usually 2-3).
+
+    Scale mechanics: labels persist each round (the loop re-references
+    them), the neighbor join shuffles on node id, and the convergence
+    check is a driver-side count — the canonical Pregel-lite shape. For
+    billion-edge graphs swap in GraphFrames; this stays dependency-free.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

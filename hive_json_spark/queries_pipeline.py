@@ -514,3 +514,39 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0)).cast("bigint").alias("n_emails"),
         F.md5(F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>")).alias("scrubbed_md5"),
     )
+
+
+# --- near-dup clustering (connected components, iterative) -------------------
+
+@query(
+    "q_dedup_clusters",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM (SELECT doc_id, lang, source,
+                   list_distinct(string_split(text, ' ')) AS tok FROM documents) a
+      JOIN (SELECT doc_id, lang, source,
+                   list_distinct(string_split(text, ' ')) AS tok FROM documents) b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.tok, b.tok))) >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src)
+    SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → one cluster id per doc.
+    Spark runs iterative min-label propagation (operators.dedup.
+    dedup_clusters); the oracle closes the same graph with a recursive
+    CTE. Components over Jaccard-0.5 edges within (lang, source) blocks."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", ["lang", "source"], 0.5)
+    from hive_json_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(pairs.select("id_a", "id_b"))

@@ -254,3 +254,18 @@ def test_register_engine_udfs_sql_surface(spark):
     # the SQL scalar functions inline into the plan (no Python eval node)
     plan = spark.sql("SELECT classify_string('abc') AS c")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_clusters_multihop_chain(spark):
+    from hive_json_spark.operators.dedup import dedup_clusters
+
+    # chain 1-2-3-4-5 (diameter 4: needs several propagation rounds),
+    # plus separate pair 10-11, plus triangle 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert {got[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert {got[i] for i in (10, 11)} == {10}
+    assert {got[i] for i in (20, 21, 22)} == {20}
