@@ -7,6 +7,9 @@ shipped as constants — at 100 TB language ID is a single narrow map stage.
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from hive_json_spark.functions.text import (
@@ -61,6 +64,39 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
         best["hits"].cast("bigint").alias("marker_hits"),
+    )
+
+
+def repetition_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Duplicate-3-gram ratio per document — the repetition filter from
+    published web-corpus quality rules (high ratio ⇒ boilerplate/spam).
+
+    Arrow-batched pandas kernel rather than JVM array exprs: the
+    equivalent ``transform``+``slice`` higher-order expression tree is
+    CodegenFallback (interpreted) AND pays a ~3 s Janino compile on first
+    touch; the kernel is ~2.5× faster warm with no compile cliff. The
+    final ``F.round`` stays JVM-side so round-half-up matches the SQL
+    oracle (Python ``round`` is banker's rounding). ``re.ASCII`` keeps
+    ``\\s`` identical to Java's default ASCII character class.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dup3(texts: pd.Series) -> pd.Series:
+        ws = re.compile(r"\s+", re.ASCII)
+
+        def one(t):
+            if t is None:
+                return None
+            tk = [x for x in ws.split(t) if x]
+            positions = max(len(tk) - 3, 0) + 1
+            grams = {" ".join(tk[i : i + 3]) for i in range(positions)}
+            return 1.0 - len(grams) / positions
+
+        return texts.map(one)
+
+    return df.select(
+        F.col(id_col), F.round(_dup3(F.col(text_col)), 6).alias("dup3_ratio")
     )
 
 

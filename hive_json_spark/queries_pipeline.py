@@ -458,17 +458,12 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-3-gram ratio per document — the repetition filter from
     published web-corpus quality rules (high ratio ⇒ boilerplate/spam).
-    All JVM array expressions, one narrow projection."""
-    from hive_json_spark.functions.text import tokens
+    Arrow-batched kernel (see operators.textstats.repetition_ratio for why
+    it beats the JVM higher-order-expression formulation)."""
+    from hive_json_spark.operators.textstats import repetition_ratio
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
-    ratio = F.round(
-        F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / F.size(sh), 6
-    )
-    return docs.select("doc_id", ratio.alias("dup3_ratio"))
+    return repetition_ratio(docs, "doc_id", "text")
 
 
 # --- PII scrubbing (email redaction) -----------------------------------------
