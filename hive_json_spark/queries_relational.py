@@ -1047,3 +1047,468 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return broadcast_join(
         s.select("s_suppkey", "s_name"), top, F.col("s_suppkey") == F.col("l_suppkey")
     ).select("s_suppkey", "s_name", "total_rev")
+
+
+# =============================================================================
+# TPC-H completion: the 10 remaining query shapes (Q2 Q4 Q7 Q9 Q11 Q12 Q16
+# Q20 Q21 Q22). The testdata schema has no partsupp table and no
+# commit/receipt dates, phone, or shipmode columns, so the five queries that
+# need them (Q2 Q9 Q11 Q16 Q20) keep their exact join/subquery STRUCTURE with
+# lineitem as the part↔supplier association, and lateness is defined as
+# shipping > N days after o_orderdate. Each docstring names the substitution.
+# =============================================================================
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated semi-join then a tiny agg. The
+    reference schema's l_commitdate < l_receiptdate lateness test becomes
+    shipped >30 days after order date. Semi-join shuffles both sides on
+    orderkey once; the priority agg is 5 groups, map-side combined."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = semi_join(
+        o,
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("order_count")
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume by year. nation⋈supplier and
+    nation⋈customer broadcast; the only shuffle is lineitem⋈orders on
+    orderkey; the disjunctive nation-pair filter prunes before the agg."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = broadcast_join(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"),
+        n.select("n_nationkey", F.col("n_name").alias("supp_nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    c = broadcast_join(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+        n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    j = broadcast_join(j, s, F.col("l_suppkey") == F.col("s_suppkey"))
+    j = broadcast_join(j, c, F.col("o_custkey") == F.col("c_custkey"))
+    j = j.filter(
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eligible AS (
+      SELECT c.l_partkey, c.unit_cost, s.s_name, s.s_acctbal, n.n_name
+      FROM cost c
+        JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        JOIN part p     ON p.p_partkey = c.l_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_size = 15)
+    SELECT e.s_acctbal, e.s_name, e.n_name, e.l_partkey AS p_partkey,
+           ROUND(e.unit_cost, 4) AS unit_cost
+    FROM eligible e
+    WHERE e.unit_cost = (SELECT MIN(e2.unit_cost) FROM eligible e2
+                         WHERE e2.l_partkey = e.l_partkey)
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part within a region, via a
+    correlated min-subquery. No partsupp table, so supply cost is the
+    observed min unit price (l_extendedprice / l_quantity) per
+    (part, supplier) from lineitem. The correlated min de-correlates to a
+    window-min over partkey; MIN of identical doubles is exact on both
+    engines so the equality filter is hash-safe (no sum-order drift)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15).select("p_partkey")
+    nr = broadcast_join(n, r, F.col("n_regionkey") == F.col("r_regionkey"))
+    sn = broadcast_join(
+        s, nr.select("n_nationkey", "n_name"), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    eligible = broadcast_join(cost, sn, F.col("l_suppkey") == F.col("s_suppkey"))
+    eligible = broadcast_join(eligible, p, F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    best = eligible.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    out = best.select(
+        "s_acctbal", "s_name", "n_name", F.col("l_partkey").alias("p_partkey"),
+        F.round("unit_cost", 4).alias("unit_cost"),
+    )
+    return top_k(
+        out,
+        [F.col("s_acctbal").desc(), F.col("n_name"), F.col("s_name"), F.col("p_partkey")],
+        100,
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    """
+    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.5 * p.p_retailprice * l.l_quantity AS amount
+      FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%gear%') profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation × order year for one
+    product family. No partsupp, so cost is 0.5 × p_retailprice ×
+    quantity instead of ps_supplycost × quantity — identical join graph
+    (part+supplier+nation broadcast, lineitem⋈orders shuffles on
+    orderkey), identical agg shape."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = broadcast_join(l, p, F.col("p_partkey") == F.col("l_partkey"))
+    j = j.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    j = broadcast_join(j, s, F.col("l_suppkey") == F.col("s_suppkey"))
+    j = broadcast_join(j, n, F.col("s_nationkey") == F.col("n_nationkey"))
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+    ).agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH v AS (
+      SELECT l.l_partkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS part_value
+      FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_1', 'NATION_6', 'NATION_11')
+      GROUP BY l.l_partkey)
+    SELECT l_partkey AS p_partkey, part_value
+    FROM v
+    WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM v)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose share of total value exceeds a
+    fraction — group-agg plus a scalar-subquery threshold over the same
+    agg. Value is lineitem revenue (no partsupp availqty×supplycost).
+    Per-part values are rounded to cents BEFORE the threshold compare so
+    both engines threshold identical inputs; the agg computes once and
+    its total broadcasts back (the Q15 scalar pattern)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_6", "NATION_11")
+    )
+    sn = broadcast_join(
+        s, n.select("n_nationkey"), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    v = (
+        broadcast_join(l, sn, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "part_value"
+            )
+        )
+    )
+    total = v.agg((F.sum("part_value") * 0.001).alias("threshold"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+    )
+
+
+@query(
+    "q12_shipmode_priority",
+    """
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional two-way counts by category for late
+    lines. No l_shipmode/l_receiptdate columns: category is l_returnflag
+    and late = shipped >60 days after order date. One orderkey shuffle,
+    3-group agg with map-side combine."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    j = l.join(o, F.col("o_orderkey") == F.col("l_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+    )
+
+
+@query(
+    "q16_supplier_cnt",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#3' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size) with a
+    NOT-IN supplier exclusion. The reference's complaint-comment filter
+    becomes s_acctbal < 0 (no comment column). Exclusion is a broadcast
+    anti-join; part is a broadcast dim; the distinct-agg shuffles once on
+    the group keys."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#3")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    kept = anti_join(l, F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"))
+    j = broadcast_join(kept, p, F.col("p_partkey") == F.col("l_partkey"))
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    """
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'small%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_suppkey
+        HAVING SUM(l.l_quantity) > 100)
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in given nations who moved a material
+    volume of one part family — IN over a HAVING-filtered agg subquery.
+    No partsupp availqty, so the threshold is total shipped quantity
+    (integer-valued, so the > compare is exact). The subquery agg
+    shuffles on suppkey (100 groups), then semi-joins broadcast."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    movers = (
+        broadcast_join(l, p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_8", "NATION_13")
+    )
+    sn = broadcast_join(
+        s, n.select("n_nationkey"), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return semi_join(
+        sn, F.broadcast(movers), F.col("s_suppkey") == F.col("l_suppkey")
+    ).select("s_name", "s_acctbal")
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    """
+    WITH ol AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS is_late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'),
+    stats AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS nsupp,
+             COUNT(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS nlate
+      FROM ol GROUP BY l_orderkey)
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM ol
+      JOIN stats st ON st.l_orderkey = ol.l_orderkey
+      JOIN supplier s ON s.s_suppkey = ol.l_suppkey
+    WHERE ol.is_late = 1 AND st.nsupp > 1 AND st.nlate = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper in a
+    multi-supplier finished order. The spec's EXISTS / NOT-EXISTS pair
+    de-correlates into per-order distinct counts (suppliers, late
+    suppliers) joined back to the lines — both engines run this same
+    formulation; lateness is shipped >60 days after order date (no
+    receipt/commit dates). Lines and the per-order stats shuffle on the
+    same orderkey, so the join back is exchange-reusing; supplier is a
+    broadcast dim; top-k is TakeOrderedAndProject."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    ol = l.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+        )
+        .otherwise(0)
+        .alias("is_late"),
+    )
+    stats = ol.groupBy(F.col("l_orderkey").alias("st_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("nlate"),
+    )
+    j = ol.join(stats, F.col("l_orderkey") == F.col("st_orderkey")).filter(
+        (F.col("is_late") == 1) & (F.col("nsupp") > 1) & (F.col("nlate") == 1)
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    j = broadcast_join(j, s, F.col("s_suppkey") == F.col("l_suppkey"))
+    agg = j.groupBy("s_name").agg(F.count("*").cast("bigint").alias("numwait"))
+    return top_k(agg, [F.col("numwait").desc(), F.col("s_name")], 20)
+
+
+@query(
+    "q22_global_sales_opportunity",
+    """
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      WHERE c_nationkey IN (3, 8, 13, 18, 23))
+    SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM pool c
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM pool WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers in target countries who
+    never ordered. Country code is c_nationkey (no phone column). The
+    scalar AVG broadcasts back as a filter; "lapsed" means no order in
+    the dataset's final two years (every pooled customer HAS ordered at
+    some point in this testdata, so the spec's never-ordered predicate
+    would be vacuous) — an anti-join on custkey; final agg is per-nation. The AVG
+    threshold compare is unrounded: account balances are cent-quantized
+    while the two engines' AVGs agree to ~1e-10, so no balance can sit
+    inside the disagreement window."""
+    pool = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(3, 8, 13, 18, 23)
+    ).select("c_custkey", "c_nationkey", "c_acctbal")
+    thresh = pool.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    rich = pool.join(F.broadcast(thresh)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    never = anti_join(rich, o, F.col("o_custkey") == F.col("c_custkey"))
+    return never.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
