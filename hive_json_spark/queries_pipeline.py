@@ -545,3 +545,151 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_json_spark.operators.dedup import dedup_clusters
 
     return dedup_clusters(pairs.select("id_a", "id_b"))
+
+
+# --- benchmark decontamination (n-gram overlap) ------------------------------
+
+@query(
+    "q_decontaminate",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct([array_to_string(tk[i+1:i+5], ' ')
+               for i in range(greatest(len(tk) - 4, 0))])) AS gram
+      FROM tok)
+    SELECT tr.doc_id AS train_doc,
+           CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS shared_5grams
+    FROM g tr JOIN g te ON tr.gram = te.gram
+    WHERE tr.doc_id % 10 < 8 AND te.doc_id % 10 >= 8
+    GROUP BY tr.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag train-split documents sharing any
+    verbatim 5-gram with the held-out (benchmark) split — the standard
+    n-gram-overlap decontam pass from published LLM data pipelines
+    (5-grams here because the synthetic corpus is short; production uses
+    8-13).
+
+    Scale shape: both sides explode to distinct (doc, gram) pairs — a
+    narrow map — then join on gram. The benchmark side is tiny in real
+    pipelines (and 20% here) → broadcast it; the train side never
+    shuffles. Gram explosion is JVM transform+slice, distinct-per-doc via
+    array_distinct before the explode keeps the pair count minimal."""
+    docs = load_table(spark, sf_dir, "documents")
+    from hive_json_spark.functions.text import tokens
+
+    toks = tokens("text")
+    idx = F.sequence(F.lit(0), F.size(toks) - 5)
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)))
+    )
+    g = (
+        docs.filter(F.size(toks) >= 5)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    train = g.filter(F.col("doc_id") % 10 < 8)
+    test = g.filter(F.col("doc_id") % 10 >= 8).select(F.col("gram").alias("t_gram")).distinct()
+    hits = train.join(F.broadcast(test), F.col("gram") == F.col("t_gram"))
+    return hits.groupBy(F.col("doc_id").alias("train_doc")).agg(
+        F.countDistinct("gram").cast("bigint").alias("shared_5grams")
+    )
+
+
+# --- deterministic stratified sampling ---------------------------------------
+
+@query(
+    "q_stratified_sample",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
+    FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 <
+          CASE WHEN lang = 'en' THEN 2147483648 ELSE 858993459 END
+    GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling at different rates (50% of 'en', 20% of the
+    rest) with a DETERMINISTIC multiplicative hash of the stable id —
+    never rand(): retries, re-runs, and engine swaps must pick the same
+    examples. (doc_id * 2654435761) % 2^32 is Knuth's multiplicative
+    hash; the threshold is rate × 2^32. Pure int64 arithmetic, identical
+    on any engine, no shuffle before the per-stratum agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    thresh = F.when(F.col("lang") == "en", F.lit(2147483648)).otherwise(F.lit(858993459))
+    return (
+        docs.filter(bucket < thresh)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("chars_sampled"),
+        )
+    )
+
+
+# --- TF-IDF scoring / retrieval ----------------------------------------------
+
+@query(
+    "q_tfidf_topk",
+    """
+    WITH terms AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS f
+           FROM terms GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS len FROM terms GROUP BY doc_id),
+    df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dfreq
+           FROM terms GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM documents)
+    SELECT tf.doc_id, ROUND(SUM((tf.f / dl.len) * ln(n.total / df.dfreq)), 6) AS score
+    FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+            JOIN df ON tf.term = df.term
+            CROSS JOIN n
+    WHERE tf.term IN ('vector', 'filter', 'merge')
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id
+    LIMIT 20
+    """,
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF retrieval: score every document against a bag-of-words
+    query (tf = term frequency / doc length, idf = ln(N / df)) and return
+    the top 20. The classic sparse-retrieval baseline next to the dense
+    (embedding) similarity queries.
+
+    Scale shape: one explode of the corpus feeds tf, dl and df; df for
+    the query's terms is tiny → broadcast back; N is a scalar broadcast.
+    Filtering tf to the query terms BEFORE the joins keeps the scored
+    frame proportional to matching postings, not the corpus. Top-k is
+    TakeOrderedAndProject. Score rounded to 6 so ln()-ulp and sum-order
+    differences between engines can't flip the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    from hive_json_spark.functions.text import tokens
+
+    query_terms = ["vector", "filter", "merge"]
+    terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("f"))
+    dl = terms.groupBy("doc_id").agg(F.count("*").cast("double").alias("len"))
+    df = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("dfreq")
+    )
+    n = docs.agg(F.count("*").cast("double").alias("total"))
+    scored = (
+        tf.filter(F.col("term").isin(query_terms))
+        .join(dl, "doc_id")
+        .join(F.broadcast(df.filter(F.col("term").isin(query_terms)).withColumnRenamed("term", "df_term")),
+              F.col("term") == F.col("df_term"))
+        .join(F.broadcast(n))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.round(
+            F.sum((F.col("f") / F.col("len")) * F.log(F.col("total") / F.col("dfreq"))), 6
+        ).alias("score")
+    )
+    from hive_json_spark.operators.relational import top_k
+
+    return top_k(agg, [F.col("score").desc(), F.col("doc_id")], 20)
