@@ -661,22 +661,28 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top 20. The classic sparse-retrieval baseline next to the dense
     (embedding) similarity queries.
 
-    Scale shape: one explode of the corpus feeds tf, dl and df; df for
-    the query's terms is tiny → broadcast back; N is a scalar broadcast.
-    Filtering tf to the query terms BEFORE the joins keeps the scored
-    frame proportional to matching postings, not the corpus. Top-k is
-    TakeOrderedAndProject. Score rounded to 6 so ln()-ulp and sum-order
-    differences between engines can't flip the hash."""
+    Scale shape: the corpus explodes ONCE into the (doc, term, freq)
+    postings frame — dl re-aggregates it by doc (sum of freqs) and df by
+    term (postings are already distinct per doc-term, so a plain count) —
+    then the frame is pinned so the three consumers don't re-run the
+    explode. df for the query's terms is tiny → broadcast back; N is a
+    scalar broadcast. Filtering tf to the query terms BEFORE the joins
+    keeps the scored frame proportional to matching postings, not the
+    corpus. Top-k is TakeOrderedAndProject. Score rounded to 6 so
+    ln()-ulp and sum-order differences between engines can't flip the
+    hash."""
     docs = load_table(spark, sf_dir, "documents")
     from hive_json_spark.functions.text import tokens
 
     query_terms = ["vector", "filter", "merge"]
     terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("f"))
-    dl = terms.groupBy("doc_id").agg(F.count("*").cast("double").alias("len"))
-    df = terms.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("double").alias("dfreq")
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("f"))
+        .persist()
     )
+    dl = tf.groupBy("doc_id").agg(F.sum("f").alias("len"))
+    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("dfreq"))
     n = docs.agg(F.count("*").cast("double").alias("total"))
     scored = (
         tf.filter(F.col("term").isin(query_terms))
