@@ -1512,3 +1512,94 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+# --- time-hierarchy rollup (continuous-aggregate shape) ----------------------
+
+@query(
+    "q_time_rollup",
+    """
+    WITH e AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)  AS day_start,
+                      CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+                      value
+               FROM events)
+    SELECT day_start, hour_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM e GROUP BY GROUPING SETS ((day_start), (day_start, hour_start))
+    """,
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup (the hypertable continuous-aggregate
+    shape): hourly and daily aggregates of the event stream in ONE pass —
+    GROUPING SETS expands after the map-side partial agg, so the fact
+    scan and the partial aggregation are shared across granularities
+    instead of one scan per rollup level. Day-level rows carry NULL
+    hour_start (the usual continuous-aggregate layout)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH e AS (SELECT date_trunc('day', ts)  AS day_start,
+                          date_trunc('hour', ts) AS hour_start,
+                          value
+                   FROM events)
+        SELECT day_start, hour_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 4) AS total_value
+        FROM e GROUP BY GROUPING SETS ((day_start), (day_start, hour_start))
+        """
+    )
+
+
+# --- histogram / binning -----------------------------------------------------
+
+@query(
+    "q_histogram_prices",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS bucket_total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (fixed bin width so the
+    binning is a pure narrow projection — no min/max pre-pass, no second
+    scan; FLOOR of the same IEEE division is engine-identical). The
+    profiling/data-quality counterpart to q_percentiles."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("bucket_total"),
+    )
+
+
+# --- correlation / covariance aggregates -------------------------------------
+
+@query(
+    "q_corr_quantity_price",
+    """
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope_price_per_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: correlation, sample covariance and
+    the regression slope between quantity and price — single-pass
+    co-moment aggregates (map-side combinable sketches, one shuffle of
+    3 groups × constant-size state). Rounded so the engines' co-moment
+    accumulation orders can't flip the hash."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(
+            F.expr("regr_slope(l_extendedprice, l_quantity)"), 4
+        ).alias("slope_price_per_qty"),
+    )
