@@ -100,6 +100,39 @@ def repetition_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def distinct_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Explode each document into its DISTINCT word n-grams: one
+    (id, gram) row per distinct n-gram — the input frame for verbatim-
+    overlap decontamination and shingle-based dedup.
+
+    Arrow-batched kernel for the same reason as ``repetition_ratio``: the
+    JVM ``transform``+``slice`` formulation is CodegenFallback and
+    O(tokens × n) interpreted work per row, plus a multi-second Janino
+    compile. The kernel is a narrow map — output rows ∝ distinct grams,
+    nothing shuffles here. ``re.ASCII`` keeps ``\\s`` identical to Java's
+    default character class. Documents shorter than n tokens emit
+    nothing (full windows only, the decontam convention)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _grams(texts: pd.Series) -> pd.Series:
+        ws = re.compile(r"\s+", re.ASCII)
+
+        def one(t):
+            if t is None:
+                return []
+            tk = [x for x in ws.split(t) if x]
+            if len(tk) < n:
+                return []
+            return list({" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)})
+
+        return texts.map(one)
+
+    return df.select(
+        F.col(id_col), F.explode(_grams(F.col(text_col))).alias("gram")
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set. Deterministic across engines (SQL-expressible) — the cheap

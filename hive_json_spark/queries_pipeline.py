@@ -574,22 +574,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-13).
 
     Scale shape: both sides explode to distinct (doc, gram) pairs — a
-    narrow map — then join on gram. The benchmark side is tiny in real
-    pipelines (and 20% here) → broadcast it; the train side never
-    shuffles. Gram explosion is JVM transform+slice, distinct-per-doc via
-    array_distinct before the explode keeps the pair count minimal."""
-    docs = load_table(spark, sf_dir, "documents")
-    from hive_json_spark.functions.text import tokens
+    narrow Arrow-batched map (operators.textstats.distinct_ngrams; the
+    JVM transform+slice formulation is interpreted and ~10× slower) —
+    then join on gram. The benchmark side is tiny in real pipelines (and
+    20% here) → broadcast it; the train side never shuffles."""
+    from hive_json_spark.operators.textstats import distinct_ngrams
 
-    toks = tokens("text")
-    idx = F.sequence(F.lit(0), F.size(toks) - 5)
-    grams = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)))
-    )
-    g = (
-        docs.filter(F.size(toks) >= 5)
-        .select("doc_id", F.explode(grams).alias("gram"))
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    g = distinct_ngrams(docs, "doc_id", "text", 5)
     train = g.filter(F.col("doc_id") % 10 < 8)
     test = g.filter(F.col("doc_id") % 10 >= 8).select(F.col("gram").alias("t_gram")).distinct()
     hits = train.join(F.broadcast(test), F.col("gram") == F.col("t_gram"))
