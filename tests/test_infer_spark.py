@@ -204,3 +204,30 @@ def test_native_fast_path_documented_gaps(spark, corpus):
     assert by_name["payload"] == T.StringType()               # gap: union decays
     r = infer_schema(spark, str(corpus / "a.json"))
     assert "uniontype<" in str(r.htype)                       # lattice keeps it
+
+
+def test_write_table_formats_round_trip(spark, tmp_path):
+    """Sink/source coverage beyond parquet: orc (columnar alternative),
+    csv and json (interchange) all round-trip through write_table with
+    values intact. Parquet is the default and covered everywhere else."""
+    from hive_json_spark.sources.tables import write_table
+
+    df = spark.range(50).selectExpr(
+        "id", "concat('name_', id) AS name", "CAST(id AS DOUBLE) / 4 AS score"
+    )
+    expected = [(r["id"], r["name"], r["score"]) for r in df.orderBy("id").collect()]
+
+    p_orc = str(tmp_path / "t_orc")
+    write_table(df, p_orc, format="orc")
+    back = spark.read.orc(p_orc)
+    assert [(r["id"], r["name"], r["score"]) for r in back.orderBy("id").collect()] == expected
+
+    p_csv = str(tmp_path / "t_csv")
+    write_table(df.selectExpr("*"), p_csv, format="csv", compression=None)
+    back = spark.read.schema("id bigint, name string, score double").csv(p_csv)
+    assert [(r["id"], r["name"], r["score"]) for r in back.orderBy("id").collect()] == expected
+
+    p_json = str(tmp_path / "t_json")
+    write_table(df, p_json, format="json", compression=None)
+    back = spark.read.schema("id bigint, name string, score double").json(p_json)
+    assert [(r["id"], r["name"], r["score"]) for r in back.orderBy("id").collect()] == expected
