@@ -223,3 +223,42 @@ def test_random_asof_join_matches_duckdb(spark, seed):
         ).fetchall()
     )
     assert got == expected, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", range(400, 415))
+def test_random_rollup_cube_matches_duckdb(spark, duck, seed):
+    """Multi-level aggregation fuzz: random ROLLUP / CUBE / GROUPING SETS
+    over random group keys and aggregates — the same SQL text runs on
+    Spark and DuckDB (both speak the ANSI syntax), so every grouping-set
+    expansion NULL pattern is compared exactly."""
+    rnd = random.Random(seed)
+    group = rnd.sample(GROUP_COLS, 2)
+    mode = rnd.choice(["ROLLUP", "CUBE", "SETS"])
+    if mode == "SETS":
+        candidates = [f"({group[0]}, {group[1]})", f"({group[0]})", f"({group[1]})", "()"]
+        sets = rnd.sample(candidates, rnd.randint(2, 4))
+        group_by = f"GROUPING SETS ({', '.join(sets)})"
+    else:
+        group_by = f"{mode}({group[0]}, {group[1]})"
+    aggs = [(rnd.choice(AGGS), rnd.choice(NUM_COLS), i) for i in range(rnd.randint(1, 2))]
+    agg_sqls = [
+        f"ROUND({sql_fn}({col}), 4) AS a{i}_{name}_{col}"
+        for (name, _fn, sql_fn), col, i in aggs
+    ]
+    agg_sqls.append("CAST(COUNT(*) AS BIGINT) AS n")
+    filters = rnd.sample(FILTERS, rnd.randint(0, 2))
+    where = f"WHERE {' AND '.join(sql for _b, sql in filters)}" if filters else ""
+    sql = (
+        f"SELECT {', '.join(group)}, {', '.join(agg_sqls)} "
+        f"FROM lineitem {where} GROUP BY {group_by}"
+    )
+
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    sdf = spark.sql(sql)
+    cols = sorted(sdf.columns)
+    spark_rows = sorted(tuple(_norm(row[c]) for c in cols) for row in sdf.collect())
+    res = duck.execute(sql)
+    names = [d[0] for d in res.description]
+    idx = [names.index(c) for c in cols]
+    duck_rows = sorted(tuple(_norm(r[i]) for i in idx) for r in res.fetchall())
+    assert spark_rows == duck_rows, f"seed={seed} sql={sql}"
