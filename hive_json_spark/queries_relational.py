@@ -1442,12 +1442,16 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the SOLE late shipper in a
     multi-supplier finished order. The spec's EXISTS / NOT-EXISTS pair
-    de-correlates into per-order distinct counts (suppliers, late
-    suppliers) joined back to the lines — both engines run this same
-    formulation; lateness is shipped >60 days after order date (no
-    receipt/commit dates). Lines and the per-order stats shuffle on the
-    same orderkey, so the join back is exchange-reusing; supplier is a
-    broadcast dim; top-k is TakeOrderedAndProject."""
+    de-correlates into per-order distinct supplier counts; lateness is
+    shipped >60 days after order date (no receipt/commit dates).
+
+    Spark computes the per-order counts as window ``collect_set`` sizes
+    over the orderkey partition — the joined lines are ALREADY
+    partitioned by orderkey, so the window adds a sort but NO exchange
+    and there is no agg + join-back (the oracle spells the same logic as
+    the CTE formulation). Set sizes are bounded by suppliers-per-order,
+    so window state stays small at any scale. Supplier is a broadcast
+    dim; top-k is TakeOrderedAndProject."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
@@ -1461,13 +1465,15 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_late"),
     )
-    stats = ol.groupBy(F.col("l_orderkey").alias("st_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("nsupp"),
-        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("nlate"),
-    )
-    j = ol.join(stats, F.col("l_orderkey") == F.col("st_orderkey")).filter(
-        (F.col("is_late") == 1) & (F.col("nsupp") > 1) & (F.col("nlate") == 1)
-    )
+    w = Window.partitionBy("l_orderkey")
+    j = ol.select(
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("nsupp"),
+        F.size(
+            F.collect_set(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).over(w)
+        ).alias("nlate"),
+    ).filter((F.col("is_late") == 1) & (F.col("nsupp") > 1) & (F.col("nlate") == 1))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     j = broadcast_join(j, s, F.col("s_suppkey") == F.col("l_suppkey"))
     agg = j.groupBy("s_name").agg(F.count("*").cast("bigint").alias("numwait"))

@@ -54,3 +54,29 @@ def test_scalar_pack_stays_in_codegen(spark):
     assert "Exchange" not in plan
     # "*(n)" marks operators fused into a WholeStageCodegen stage
     assert plan.lstrip().startswith("*(1)")
+
+
+def test_q21_window_stats_add_no_exchange(spark):
+    # per-order supplier counts come from window collect_set over the
+    # join's existing orderkey partitioning: no agg + join-back, so the
+    # whole query needs at most the two join-input exchanges
+    plan = plan_of(spark, "q21_suppliers_kept_waiting")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_decontaminate_split_filters_push_below_kernel(spark):
+    # the train/test split predicates must reach the parquet scan, NOT
+    # sit above the Arrow gram kernel (each side explodes only its split)
+    plan = plan_of(spark, "q_decontaminate")
+    assert plan.count("ArrowEvalPython") == 2
+    assert plan.count("(doc_id") >= 2 and "% 10)" in plan  # DataFilters at the scans
+    assert "BroadcastHashJoin" in plan  # benchmark grams broadcast
+
+
+def test_tfidf_postings_cached_once(spark):
+    # tf/dl/df all read the pinned postings frame instead of re-exploding
+    # the corpus (InMemoryTableScan per consumer, single cached explode)
+    plan = plan_of(spark, "q_tfidf_topk")
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "TakeOrderedAndProject" in plan
