@@ -691,3 +691,39 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_json_spark.operators.relational import top_k
 
     return top_k(agg, [F.col("score").desc(), F.col("doc_id")], 20)
+
+
+# --- incremental ingest dedup ------------------------------------------------
+
+@query(
+    "q_incremental_dedup",
+    """
+    WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+    batch AS (SELECT doc_id, md5(text) AS h, n_chars FROM documents WHERE doc_id % 2 = 1)
+    SELECT b.doc_id, b.h AS content_md5, CAST(b.n_chars AS BIGINT) AS n_chars
+    FROM batch b LEFT JOIN seen s ON b.h = s.h
+    WHERE s.h IS NULL
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: drop new-batch documents whose content
+    hash already exists in the ingested corpus (even-ids stand in for
+    "already ingested", odd-ids for the incoming batch). The daily-ingest
+    companion to the batch dedup ops: an anti-join on content hash, so
+    only (hash) ever moves for the seen side — at 100 TB the seen-hash
+    table is a fraction of corpus bytes and the anti-join shuffles
+    hash+id, never text. (A Bloom filter pre-pass is the declared
+    at-scale refinement: build on seen hashes, filter the batch before
+    the exact anti-join.)"""
+    from hive_json_spark.operators.relational import anti_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("seen_h"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.md5("text").alias("content_md5"), F.col("n_chars").cast("bigint")
+    )
+    return anti_join(batch, seen, F.col("content_md5") == F.col("seen_h"))

@@ -269,3 +269,37 @@ def test_dedup_clusters_multihop_chain(spark):
     assert {got[i] for i in (1, 2, 3, 4, 5)} == {1}
     assert {got[i] for i in (10, 11)} == {10}
     assert {got[i] for i in (20, 21, 22)} == {20}
+
+
+def test_distinct_ngrams_kernel_matches_jvm_formulation(spark):
+    """The Arrow n-gram kernel must agree exactly with the declarative
+    JVM formulation (filter + sequence + transform + slice) it replaced
+    for speed — including whitespace runs, short docs, and empty text."""
+    from hive_json_spark.operators.textstats import distinct_ngrams
+
+    texts = [
+        (0, "a b c d e f g"),
+        (1, "a a a a a a"),          # repeats collapse to one distinct gram
+        (2, "one two"),              # shorter than n -> no grams
+        (3, ""),                     # empty -> no grams
+        (4, "x\t y\n z w v u t s"),  # mixed whitespace runs
+        (5, "a b c a b c a b c d"),  # overlapping repeated windows
+    ]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    n = 3
+    got = {
+        (r.doc_id, r.gram) for r in distinct_ngrams(df, "doc_id", "text", n).collect()
+    }
+
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+    want = {
+        (r.doc_id, r.gram)
+        for r in df.filter(F.size(toks) >= n)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .collect()
+    }
+    assert got == want
