@@ -5,7 +5,11 @@ JSON line: {"metric": ..., "value": ..., "unit": "sec", "queries": {...}, "sf": 
 
 Each query is forced end-to-end with a noop sink (full execution, no
 collect/serialization overhead on the driver). A warmup query amortizes
-JVM/codegen startup out of the numbers.
+JVM/codegen startup out of the numbers. Each query runs
+$SPARK_GRAFT_BENCH_RUNS times (default 2) and reports the per-query MIN:
+single-pass numbers on a shared box vary up to 2x with background load
+(measured), and min-of-2 reports the engine's cost rather than the
+scheduler's mood.
 """
 
 from __future__ import annotations
@@ -62,12 +66,17 @@ def main() -> int:
         "noop"
     ).mode("overwrite").save()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in HEADLINE + sorted(set(QUERIES) - set(HEADLINE)):
         fn = QUERIES[name]
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        best = None
+        for _ in range(runs):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - start
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
