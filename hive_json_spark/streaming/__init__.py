@@ -1,5 +1,6 @@
 from hive_json_spark.streaming.infer_stream import (  # noqa: F401
     infer_schema_streaming,
+    session_window_counts,
     windowed_event_counts,
     stateful_user_totals,
     stream_stream_join,

@@ -81,6 +81,38 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    events_stream: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows on the stream: per-key activity sessions that close
+    after ``gap`` of silence — the streaming counterpart of the batch
+    ``operators.relational.sessionize`` (lag + running-sum). Native
+    ``F.session_window`` keeps session state in the state store and the
+    watermark bounds it: a session finalizes (and its state evicts) once
+    the watermark passes its close. Batch-equivalent on a drained stream,
+    which is what the test pins."""
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sess"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def stateful_user_totals(events_stream: DataFrame) -> DataFrame:
     """Arbitrary stateful op: per-user running event count + value total,
     emitted once per micro-batch per active user."""

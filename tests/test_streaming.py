@@ -187,3 +187,43 @@ def test_streaming_dedup_drops_repeats(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.table("sdd").collect()
     assert sorted(r.k for r in rows) == ["a", "b", "c"]  # duplicate 'a' dropped
+
+
+def test_session_window_counts_match_batch(spark, sf_dir, tmp_path):
+    from hive_json_spark.sources import load_table
+    from hive_json_spark.streaming import session_window_counts
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_sess")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = session_window_counts(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("select * from sess_counts").collect()
+    }
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"]): (r["n_events"], r["total_value"])
+        for r in events.groupBy(
+            F.session_window("ts", "30 minutes").alias("sess"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .collect()
+    }
+    assert got == expected and len(got) > 0
