@@ -66,15 +66,66 @@ def shred_json(argv: list[str]) -> int:
     return 0
 
 
+def run_query(argv: list[str]) -> int:
+    """``run-query [--sf-dir DIR] [--limit N] [--list] NAME``: run any
+    registered engine query against a testdata directory and print the
+    result (CSV to stdout). Extends the reference's CLI surface to the
+    full query engine — a user can drive every declared operator without
+    writing Python."""
+    sf_dir = "/root/testdata/sf0.001"
+    limit = 50
+    names: list[str] = []
+    list_only = False
+    it = iter(argv)
+    for arg in it:
+        if arg == "--sf-dir":
+            sf_dir = next(it)
+        elif arg == "--limit":
+            limit = int(next(it))
+        elif arg == "--list":
+            list_only = True
+        else:
+            names.append(arg)
+    from hive_json_spark.registry import QUERIES
+
+    if list_only:
+        for name in sorted(QUERIES):
+            print(name)
+        return 0
+    if not names or any(n not in QUERIES for n in names):
+        bad = [n for n in names if n not in QUERIES]
+        print(
+            f"unknown query: {', '.join(bad)}" if bad else "no query named",
+            file=sys.stderr,
+        )
+        print("use --list to see the registered queries", file=sys.stderr)
+        return 2
+    from hive_json_spark.session import get_spark
+
+    spark = get_spark()
+    for name in names:
+        df = QUERIES[name](spark, sf_dir).limit(limit)
+        rows = df.collect()
+        print(",".join(df.columns))
+        for r in rows:
+            print(",".join("" if v is None else str(v) for v in r))
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) < 2:
-        print("usage: hive_json_spark.cli {find-json-schema|shred-json} ...", file=sys.stderr)
+        print(
+            "usage: hive_json_spark.cli {find-json-schema|shred-json|run-query} ...",
+            file=sys.stderr,
+        )
         return 2
     cmd, rest = sys.argv[1], sys.argv[2:]
     if cmd == "find-json-schema":
         return find_json_schema(rest)
     if cmd == "shred-json":
         return shred_json(rest)
+    if cmd == "run-query":
+        return run_query(rest)
     print(f"unknown command: {cmd}", file=sys.stderr)
     return 2
 

@@ -55,3 +55,18 @@ def test_shred_column_distributed(spark, sf_dir):
     # values are the lexical ints
     sample = shredded.limit(5).collect()
     assert all(r["value"].lstrip("-").isdigit() for r in sample)
+
+
+def test_cli_run_query(capsys):
+    from hive_json_spark import cli
+
+    assert cli.run_query(["--list"]) == 0
+    listed = capsys.readouterr().out.splitlines()
+    assert "q1_pricing_summary" in listed and len(listed) >= 70
+
+    rc = cli.run_query(["--sf-dir", "/root/testdata/sf0.001", "--limit", "3", "q_topk_orders"])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0].split(",")[0] and len(out) == 4  # header + 3 rows
+
+    assert cli.run_query(["definitely_not_a_query"]) == 2
