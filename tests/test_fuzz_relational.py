@@ -262,3 +262,36 @@ def test_random_rollup_cube_matches_duckdb(spark, duck, seed):
     idx = [names.index(c) for c in cols]
     duck_rows = sorted(tuple(_norm(r[i]) for i in idx) for r in res.fetchall())
     assert spark_rows == duck_rows, f"seed={seed} sql={sql}"
+
+
+SETOP_PROJECTIONS = [
+    "l_returnflag",
+    "l_linestatus",
+    "l_linenumber",
+    "CAST(l_quantity AS BIGINT) AS qty",
+]
+
+
+@pytest.mark.parametrize("seed", range(500, 510))
+def test_random_set_ops_match_duckdb(spark, duck, seed):
+    """Set-operation fuzz: UNION / INTERSECT / EXCEPT (+ ALL variants)
+    between two randomly filtered projections of lineitem — identical SQL
+    text on both engines, bag/set semantics compared exactly."""
+    rnd = random.Random(seed)
+    proj = ", ".join(rnd.sample(SETOP_PROJECTIONS, 2))
+    op = rnd.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    f1, f2 = rnd.sample(FILTERS, 2)
+    sql = (
+        f"SELECT {proj} FROM lineitem WHERE {f1[1]} "
+        f"{op} "
+        f"SELECT {proj} FROM lineitem WHERE {f2[1]}"
+    )
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    sdf = spark.sql(sql)
+    cols = sorted(sdf.columns)
+    spark_rows = sorted(tuple(_norm(row[c]) for c in cols) for row in sdf.collect())
+    res = duck.execute(sql)
+    names = [d[0] for d in res.description]
+    idx = [names.index(c) for c in cols]
+    duck_rows = sorted(tuple(_norm(r[i]) for i in idx) for r in res.fetchall())
+    assert spark_rows == duck_rows, f"seed={seed} sql={sql}"

@@ -303,3 +303,21 @@ def test_distinct_ngrams_kernel_matches_jvm_formulation(spark):
         .collect()
     }
     assert got == want
+
+
+def test_approx_sketches_track_exact_within_tolerance(spark, sf_dir):
+    """SCALE.md declares approx_count_distinct / approx_percentile as the
+    100 TB paths next to the exact oracle-checked aggregates. Pin that the
+    sketches actually track the exact answers on real data (HLL++ default
+    rsd is 5%; percentile accuracy set for 1%)."""
+    from hive_json_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact_d"),
+        F.approx_count_distinct("l_partkey").alias("approx_d"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("exact_p90"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("approx_p90"),
+    ).collect()[0]
+    assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.05
+    assert abs(row.approx_p90 - row.exact_p90) / row.exact_p90 < 0.01
