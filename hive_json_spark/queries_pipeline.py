@@ -727,3 +727,38 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5("text").alias("content_md5"), F.col("n_chars").cast("bigint")
     )
     return anti_join(batch, seen, F.col("content_md5") == F.col("seen_h"))
+
+
+# --- cross-modal join (documents x embeddings) --------------------------------
+
+@query(
+    "q_text_embedding_join",
+    """
+    SELECT d.lang, e.label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                                  x -> x*x)))), 6) AS avg_norm,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    GROUP BY d.lang, e.label
+    """,
+)
+def q_text_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal integration: join the text table to its embedding table
+    on the shared stable id and aggregate per (lang, label) — the shape of
+    every 'enrich documents with model outputs' pipeline step. The join
+    key is the stable doc id on both sides, so at scale both tables
+    bucket/partition on it and the join co-locates; the norm is the JVM
+    aggregate expression (no Python)."""
+    from hive_json_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", l2_norm("embedding").alias("norm")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    j = emb.join(docs, emb.vec_id == docs.doc_id)
+    return j.groupBy("lang", "label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("norm"), 6).alias("avg_norm"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
