@@ -196,3 +196,80 @@ def range_join(
         how,
     )
     return out.drop("_bucket")
+
+
+def bloom_semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+    exact: bool = True,
+) -> DataFrame:
+    """Bloom-filter-accelerated semi join (scale path for selective semi joins).
+
+    At 100 TB, `left SEMI JOIN right` shuffles the full left side on the
+    key even when only a sliver of it survives. This helper builds a Bloom
+    filter over the right keys as a *tiny DataFrame of bitmap words*
+    (``num_bits/64`` rows ≤ 16K for the default 1 Mi bits), broadcasts it,
+    and pre-filters the left side with ``num_hashes`` broadcast hash-join
+    probes — all JVM-side expressions (xxhash64 / shiftleft / bitwise-AND),
+    no Python, no driver collect, no shuffle of the left side. The exact
+    semi join then runs over the pruned remainder (Bloom false positives
+    removed), so the result is *identical* to the plain semi join.
+
+    This mirrors what Spark's InjectRuntimeFilter does for shuffle joins
+    (bloom_filter_agg / might_contain are not exposed to the public SQL
+    registry in 4.x), but as an explicit, tunable operator: ~1% false
+    positives at the default 1 Mi bits / 3 hashes for up to ~100K distinct
+    build keys; size num_bits ≈ 10 × |distinct right keys| for that rate.
+
+    With ``exact=False`` it returns just the Bloom-pruned left side
+    (superset with false positives) — useful when a downstream exact join
+    re-checks the key anyway.
+    """
+    probes = range(num_hashes)
+    pos = lambda col, i: F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits))  # noqa: E731
+    words = None
+    build = right.select(F.col(right_key).alias("_k")).distinct()
+    for i in probes:
+        w = build.select(pos(F.col("_k"), i).alias("_p")).select(
+            (F.col("_p") / 64).cast("bigint").alias("_w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(_p % 64 as int))").alias("_m"),
+        )
+        words = w if words is None else words.unionAll(w)
+    bloom = words.groupBy("_w").agg(F.bit_or("_m").alias("_bits"))
+
+    pruned = left
+    for i in probes:
+        probe = bloom.select(
+            F.col("_w").alias(f"_w{i}"), F.col("_bits").alias(f"_bits{i}")
+        )
+        pruned = (
+            pruned.withColumn(f"_p{i}", pos(F.col(left_key), i))
+            .join(
+                F.broadcast(probe),
+                (F.col(f"_p{i}") / 64).cast("bigint") == F.col(f"_w{i}"),
+                "left",
+            )
+            .filter(
+                F.col(f"_bits{i}").isNotNull()
+                & (
+                    F.col(f"_bits{i}").bitwiseAND(
+                        F.expr(
+                            f"shiftleft(cast(1 as bigint), cast(_p{i} % 64 as int))"
+                        )
+                    )
+                    != 0
+                )
+            )
+            .drop(f"_p{i}", f"_w{i}", f"_bits{i}")
+        )
+    if not exact:
+        return pruned
+    return pruned.join(
+        build.withColumnRenamed("_k", right_key),
+        pruned[left_key] == F.col(right_key),
+        "left_semi",
+    )

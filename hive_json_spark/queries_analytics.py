@@ -1,0 +1,369 @@
+"""Behavioral / time-series analytics queries over the events corpus, plus
+function-surface breadth packs (window suite, scalar pack 2) and the
+Bloom-semi-join scale path. Everything here is DuckDB-oracled except the
+sketch-based q_approx_quantiles (rows-only; accuracy pinned in
+tests/test_pipeline_ops.py).
+
+These extend the reference surface the same way the relational layer does
+(SURVEY §2 "explicitly absent" table): the reference computes schemas, a
+real engine on those schemas needs funnels / cohorts / transitions /
+anomaly scans — the standard product-analytics shapes — expressed
+Catalyst-first (windows + conditional aggregation, no Python in the path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from hive_json_spark.operators.relational import bloom_semi_join
+from hive_json_spark.sources import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- behavioral analytics on events -----------------------------------------
+
+@query(
+    "q_funnel_conversion",
+    """
+    WITH s AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+         c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e
+               JOIN s ON e.user_id = s.user_id
+               WHERE e.event_type = 'click' AND e.ts > s.s_ts
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e
+               JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+               GROUP BY e.user_id)
+    SELECT '1_signup' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM s
+    UNION ALL
+    SELECT '2_click' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM c
+    UNION ALL
+    SELECT '3_purchase' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM p
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup→click→purchase funnel: per stage, users whose first
+    qualifying event strictly follows their previous stage's first event.
+
+    Plan shape: each stage is a filtered pre-aggregation (tiny: ≤ one row
+    per user) broadcast back onto the filtered fact scan — the events table
+    is scanned once per stage with the event_type predicate pushed down,
+    and never shuffled on user_id more than the groupBy requires. At 100 TB
+    the stage frames stay proportional to |users|, not |events|.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count("*").alias("users")).select(
+            F.lit(label).alias("stage"), "users"
+        )
+
+    return (
+        stage(s, "1_signup")
+        .unionAll(stage(c, "2_click"))
+        .unionAll(stage(p, "3_purchase"))
+    )
+
+
+@query(
+    "q_cohort_retention",
+    """
+    WITH f AS (SELECT user_id,
+                      CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+               FROM events GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+               FROM events)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users active N weeks after their
+    first-seen week. First-seen frame is one row per user → broadcast onto
+    the distinct (user, week) activity set; one shuffle for the distinct,
+    one for the final small groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    return (
+        act.join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("users"))
+    )
+
+
+@query(
+    "q_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive events per
+    user (the "what do users do next" matrix). One shuffle on user_id for
+    the lead window (event_id tiebreak = total order), then a 25-row agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    return seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_anomaly_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, day)
+    SELECT event_type, day, n,
+           ROUND((n - avg(n) OVER (PARTITION BY event_type))
+                 / stddev_samp(n) OVER (PARTITION BY event_type), 4) AS z
+    FROM daily
+    """,
+)
+def q_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily volume z-scores (the rate-anomaly scan behind alerting
+    and data-quality monitors). The windowed mean/stddev run over the
+    *aggregated* daily frame (|types|×|days| rows), so the scale cost is the
+    first groupBy — a partial-agg-friendly count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type")
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(
+            (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w), 4
+        ).alias("z"),
+    )
+
+
+# --- sampling / scale-path operators ----------------------------------------
+
+@query(
+    "q_group_sample",
+    """
+    SELECT source, doc_id, rn FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 3
+    """,
+)
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k per-group sample: order each group by a
+    content-independent hash (md5 of the id — same bytes on any engine) and
+    keep the first k. Unlike TABLESAMPLE / rand(), re-runs and other
+    engines produce the identical sample — the reproducibility property a
+    training-data pipeline needs for eval splits and spot-check audits.
+    One window shuffle on the group key; rank filter prunes early.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return docs.select(
+        "source", "doc_id", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+
+
+@query(
+    "q_bloom_semi_join",
+    """
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_orderkey IN
+      (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+    """,
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders having any high-quantity lineitem, via the Bloom-pruned semi
+    join (operators.relational.bloom_semi_join). The Bloom pre-filter is
+    exact-composed (false positives removed by the trailing semi join), so
+    the result hash-matches the plain IN-subquery oracle while the left
+    scan is pruned before any shuffle — the 100 TB shape for selective
+    semi joins.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    out = bloom_semi_join(orders, li, "o_orderkey", "l_orderkey", num_bits=1 << 17)
+    return out.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+@query("q_approx_quantiles")  # sketch-based → rows-only (accuracy pinned in tests)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped approximate quantiles via percentile_approx (Greenwald-Khanna
+    style mergeable sketch): the scale path for percentile dashboards where
+    q_percentiles' exact interpolation would need a full sort per group.
+    Accuracy vs the exact grouped percentiles is pinned in
+    tests/test_pipeline_ops.py (≤0.5% relative at accuracy=10000).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.5, 0.9, 0.99], 10000
+        ).alias("price_quantiles")
+    )
+
+
+# --- function-surface breadth -----------------------------------------------
+
+@query(
+    "q_window_suite",
+    """
+    SELECT o_custkey, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cdist,
+           ROUND(first_value(o_totalprice) OVER w, 2) AS first_price,
+           ROUND(last_value(o_totalprice) OVER wfull, 2) AS last_price,
+           ROUND(nth_value(o_totalprice, 2) OVER wfull, 2) AS second_price,
+           ROUND(lag(o_totalprice, 1, -1.0) OVER w, 2) AS prev_price,
+           dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)
+             AS prio_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+           wfull AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth in one pass: ranking (ntile / percent_rank /
+    cume_dist / dense_rank), frame navigation (first/last/nth_value with an
+    explicit full frame), and offset (lag with default). All windows share
+    the o_custkey partitioning → Catalyst plans ONE shuffle + sort and
+    chains the Window operators over it (pinned in test_plan_quality).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(wfull), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(wfull), 2).alias("second_price"),
+        F.round(F.lag("o_totalprice", 1, -1.0).over(w), 2).alias("prev_price"),
+        F.dense_rank()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderpriority"))
+        .alias("prio_rank"),
+    )
+
+
+@query(
+    "q_scalar_pack2",
+    """
+    SELECT p_partkey,
+           translate(p_name, 'ae', '43') AS leet,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+           reverse(p_brand) AS rev_brand,
+           ascii(p_type) AS type_ascii,
+           CAST(strpos(p_name, 'a') AS BIGINT) AS a_pos,
+           repeat('x', p_size % 3 + 1) AS xs,
+           greatest(p_size, 25) AS g, least(p_size, 25) AS l,
+           CAST(sign(p_retailprice - 1200.0) AS DOUBLE) AS price_sign,
+           ROUND(pow(p_size, 1.5), 4) AS size_pow,
+           ROUND(ln(p_retailprice), 6) AS log_price,
+           ROUND(atan2(p_size, 10.0), 6) AS angle,
+           p_partkey << 2 AS shl, p_partkey >> 1 AS shr,
+           xor(p_partkey, 255) AS xored,
+           p_partkey & 15 AS anded, p_partkey | 16 AS ored
+    FROM part
+    """,
+)
+def q_scalar_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second scalar-function breadth pack (string manipulation, numeric
+    edge functions, bit twiddling) — all whole-stage-codegen expressions on
+    a single scan, zero shuffles. Complements q_scalar_pack's date/string
+    pack; cross-checked against DuckDB's dialect (strpos↔instr, xor fn↔`^`).
+    """
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.translate("p_name", "ae", "43").alias("leet"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
+        F.reverse("p_brand").alias("rev_brand"),
+        F.ascii("p_type").alias("type_ascii"),
+        F.instr("p_name", "a").cast("bigint").alias("a_pos"),
+        F.repeat(F.lit("x"), (F.col("p_size") % 3 + 1).cast("int")).alias("xs"),
+        F.greatest("p_size", F.lit(25)).alias("g"),
+        F.least("p_size", F.lit(25)).alias("l"),
+        F.signum(F.col("p_retailprice") - 1200.0).alias("price_sign"),
+        F.round(F.pow("p_size", F.lit(1.5)), 4).alias("size_pow"),
+        F.round(F.log(F.col("p_retailprice")), 6).alias("log_price"),
+        F.round(F.atan2(F.col("p_size").cast("double"), F.lit(10.0)), 6).alias(
+            "angle"
+        ),
+        F.shiftleft("p_partkey", 2).alias("shl"),
+        F.shiftright("p_partkey", 1).alias("shr"),
+        F.col("p_partkey").bitwiseXOR(F.lit(255)).alias("xored"),
+        F.col("p_partkey").bitwiseAND(F.lit(15)).alias("anded"),
+        F.col("p_partkey").bitwiseOR(F.lit(16)).alias("ored"),
+    )

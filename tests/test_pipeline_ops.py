@@ -321,3 +321,78 @@ def test_approx_sketches_track_exact_within_tolerance(spark, sf_dir):
     ).collect()[0]
     assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.05
     assert abs(row.approx_p90 - row.exact_p90) / row.exact_p90 < 0.01
+
+
+def test_bloom_semi_join_matches_plain_semi_join(spark, sf_dir):
+    """bloom_semi_join's trailing exact join removes Bloom false positives,
+    so the composed result must equal the plain left-semi join exactly —
+    and the bloom-only pre-filter (exact=False) must be a superset that
+    retains every true match."""
+    from hive_json_spark.operators.relational import bloom_semi_join
+    from hive_json_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+
+    plain = {
+        r.o_orderkey
+        for r in orders.join(
+            li.select(F.col("l_orderkey").alias("o_orderkey")).distinct(),
+            "o_orderkey",
+            "left_semi",
+        ).collect()
+    }
+    exact = {
+        r.o_orderkey
+        for r in bloom_semi_join(
+            orders, li, "o_orderkey", "l_orderkey", num_bits=1 << 17
+        ).collect()
+    }
+    assert exact == plain
+
+    superset = {
+        r.o_orderkey
+        for r in bloom_semi_join(
+            orders, li, "o_orderkey", "l_orderkey", num_bits=1 << 17, exact=False
+        ).collect()
+    }
+    assert plain <= superset
+
+
+def test_bloom_prefilter_actually_prunes(spark):
+    """With a tiny build side, the Bloom pre-filter must prune most of a
+    disjoint probe side before the exact join (the whole point at scale):
+    ≤5% false-positive leakage at 10 bits/key."""
+    from hive_json_spark.operators.relational import bloom_semi_join
+
+    left = spark.range(0, 20000).select(F.col("id").alias("k"))
+    right = spark.range(0, 100).select((F.col("id") + 50000).alias("rk"))
+    kept = bloom_semi_join(left, right, "k", "rk", num_bits=1 << 10, exact=False)
+    n = kept.count()
+    assert n < 1000, f"bloom kept {n} of 20000 disjoint keys"
+    assert bloom_semi_join(left, right, "k", "rk", num_bits=1 << 10).count() == 0
+
+
+def test_grouped_approx_quantiles_track_exact(spark, sf_dir):
+    """q_approx_quantiles (rows-only for the driver) is pinned here: each
+    grouped sketch quantile within 0.5% relative of the exact grouped
+    percentile at accuracy=10000."""
+    from hive_json_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = [0.25, 0.5, 0.9, 0.99]
+    approx = {
+        r.l_returnflag: r.aq
+        for r in li.groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_extendedprice", qs, 10000).alias("aq"))
+        .collect()
+    }
+    exact = {
+        r.l_returnflag: r.eq
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr(f"percentile(l_extendedprice, array({','.join(map(str, qs))}))").alias("eq"))
+        .collect()
+    }
+    for flag, evals in exact.items():
+        for a, e in zip(approx[flag], evals):
+            assert abs(a - e) / e < 0.005, (flag, a, e)
