@@ -231,15 +231,22 @@ def bloom_semi_join(
     """
     probes = range(num_hashes)
     pos = lambda col, i: F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits))  # noqa: E731
-    words = None
     build = right.select(F.col(right_key).alias("_k")).distinct()
-    for i in probes:
-        w = build.select(pos(F.col("_k"), i).alias("_p")).select(
+    # One pass over the build side: explode all k positions, then fold the
+    # bit masks into words. Persisted because each of the k probe joins
+    # broadcasts it independently (the frame is ≤ num_bits/64 rows — tiny).
+    bloom = (
+        build.select(
+            F.explode(F.array(*[pos(F.col("_k"), i) for i in probes])).alias("_p")
+        )
+        .select(
             (F.col("_p") / 64).cast("bigint").alias("_w"),
             F.expr("shiftleft(cast(1 as bigint), cast(_p % 64 as int))").alias("_m"),
         )
-        words = w if words is None else words.unionAll(w)
-    bloom = words.groupBy("_w").agg(F.bit_or("_m").alias("_bits"))
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_bits"))
+        .persist()
+    )
 
     pruned = left
     for i in probes:

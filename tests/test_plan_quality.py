@@ -80,3 +80,25 @@ def test_tfidf_postings_cached_once(spark):
     plan = plan_of(spark, "q_tfidf_topk")
     assert plan.count("InMemoryTableScan") >= 3
     assert "TakeOrderedAndProject" in plan
+
+
+def test_window_suite_shares_one_exchange(spark):
+    # eight window functions over two frames + a second order key, all on
+    # the same o_custkey partitioning: exactly one shuffle
+    plan = plan_of(spark, "q_window_suite")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bloom_probes_are_broadcast_joins(spark):
+    # the three Bloom probe joins + nothing else touching the left side:
+    # every probe is a broadcast hash join (left scan never shuffles until
+    # after pruning), and the bloom build is a single-digit exchange count
+    plan = plan_of(spark, "q_bloom_semi_join")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("Exchange hashpartitioning") <= 7
+
+
+def test_scalar_pack2_stays_in_codegen(spark):
+    plan = plan_of(spark, "q_scalar_pack2")
+    assert "Exchange" not in plan
+    assert plan.lstrip().startswith("*(1)")
