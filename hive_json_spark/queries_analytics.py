@@ -367,3 +367,158 @@ def q_scalar_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").bitwiseAND(F.lit(15)).alias("anded"),
         F.col("p_partkey").bitwiseOR(F.lit(16)).alias("ored"),
     )
+
+
+# --- pipeline integrity / incremental-processing shapes ----------------------
+
+@query(
+    "q_table_checksum",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST('0x' || substr(md5(
+                 CAST(l_orderkey AS VARCHAR) || '|' ||
+                 CAST(l_linenumber AS VARCHAR) || '|' ||
+                 l_returnflag || '|' || l_linestatus), 1, 8) AS BIGINT))
+                AS BIGINT) AS checksum
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-group content checksum (SUM of a row-hash
+    prefix): the cross-engine data-integrity primitive for verifying a
+    migration / replication / repartition didn't drop or mutate rows.
+    SUM is commutative, so the checksum is stable under any row order or
+    partitioning — exactly what makes it usable as a distributed
+    invariant; md5 makes it engine-portable (unlike xxhash64 / hash()).
+    Partial aggregation means one scan, one tiny shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+    )
+    rowhash = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.sum(rowhash).alias("checksum")
+    )
+
+
+@query(
+    "q_snapshot_diff",
+    """
+    WITH old AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 != 0),
+         new AS (SELECT doc_id,
+                        md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END) AS h
+                 FROM documents WHERE doc_id % 7 != 3)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h != n.h
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the CDC shape): compare two corpus snapshots by row
+    hash and emit added / removed / changed rows. Here both snapshots are
+    deterministic derivations of `documents` so the oracle sees identical
+    inputs; in production the inputs are two table versions. One full
+    outer join on the id — hash comparison means the (wide) text column
+    never crosses the shuffle, only 32-byte digests do, which is the trick
+    that keeps this viable on 100 TB snapshots.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("o_id"), F.md5("text").alias("o_h")
+    )
+    new = docs.filter(F.col("doc_id") % 7 != 3).select(
+        F.col("doc_id").alias("n_id"),
+        F.md5(
+            F.when(F.col("doc_id") % 5 == 0, F.upper("text")).otherwise(
+                F.col("text")
+            )
+        ).alias("n_h"),
+    )
+    joined = old.join(new, old["o_id"] == new["n_id"], "full_outer")
+    return joined.filter(
+        F.col("o_id").isNull()
+        | F.col("n_id").isNull()
+        | (F.col("o_h") != F.col("n_h"))
+    ).select(
+        F.coalesce("o_id", "n_id").alias("doc_id"),
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .otherwise("changed")
+        .alias("status"),
+    )
+
+
+@query(
+    "q_hopping_windows",
+    """
+    WITH starts AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL '5 minutes', ts) AS win_start FROM events
+      UNION ALL
+      SELECT event_type, value,
+             time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+      FROM events)
+    SELECT event_type, win_start, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM starts GROUP BY event_type, win_start
+    """,
+)
+def q_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 10-minute windows every 5
+    minutes via Spark's native F.window, which expands each row into its
+    overlapping windows before the partial aggregate. The oracle derives
+    the same two memberships per event from 5-minute truncation (window
+    origins coincide because DuckDB's time_bucket epoch and Spark's are a
+    multiple of the slide apart). The streaming twin of this exact plan
+    runs in streaming/infer_stream.windowed_event_counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.window("ts", "10 minutes", "5 minutes").alias("w")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("event_type", F.col("w.start").alias("win_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "q_weighted_sample",
+    """
+    SELECT doc_id, n_chars,
+           ROUND(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) + 1) / 4294967296.0) / n_chars, 6) AS wkey
+    FROM documents
+    ORDER BY wkey DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis–Spirakis A-ES): each row
+    draws u ∈ (0,1] from a content hash of its id and ranks by ln(u)/w
+    (monotone with u^(1/w)); the top-k by that key is a weighted sample
+    without replacement, here weighted by document length. Hash-derived u
+    makes the sample reproducible across engines and re-runs — no rand().
+    Plans as TakeOrderedAndProject: O(k) per partition, no global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1
+    ) / F.lit(4294967296.0)
+    wkey = F.round(F.log(u) / F.col("n_chars"), 6)
+    return (
+        docs.select("doc_id", "n_chars", wkey.alias("wkey"))
+        .orderBy(F.col("wkey").desc(), "doc_id")
+        .limit(20)
+    )
