@@ -295,3 +295,82 @@ def test_random_set_ops_match_duckdb(spark, duck, seed):
     idx = [names.index(c) for c in cols]
     duck_rows = sorted(tuple(_norm(r[i]) for i in idx) for r in res.fetchall())
     assert spark_rows == duck_rows, f"seed={seed} sql={sql}"
+
+
+def _gen_scalar_expr(rnd, depth):
+    """Random numeric expression as (spark Column, sql text), dialect-safe:
+    division guarded, unary functions domain-restricted, identical operator
+    semantics on Spark and DuckDB."""
+    leaves = [
+        (lambda: F.col("l_quantity"), "l_quantity"),
+        (lambda: F.col("l_extendedprice"), "l_extendedprice"),
+        (lambda: F.col("l_discount"), "l_discount"),
+        (lambda: F.col("l_tax"), "l_tax"),
+        (lambda: F.lit(2.5), "2.5"),
+        (lambda: F.lit(7.0), "7.0"),
+    ]
+    if depth == 0:
+        c, s = rnd.choice(leaves)
+        return c(), s
+    kind = rnd.choice(["add", "sub", "mul", "div", "least", "greatest", "unary", "case"])
+    a_c, a_s = _gen_scalar_expr(rnd, depth - 1)
+    if kind == "unary":
+        fn = rnd.choice(["abs", "floor", "ceil", "sqrt_abs", "ln1p_abs"])
+        if fn == "abs":
+            return F.abs(a_c), f"abs({a_s})"
+        if fn == "floor":
+            return F.floor(a_c).cast("double"), f"CAST(floor({a_s}) AS DOUBLE)"
+        if fn == "ceil":
+            return F.ceil(a_c).cast("double"), f"CAST(ceil({a_s}) AS DOUBLE)"
+        if fn == "sqrt_abs":
+            return F.sqrt(F.abs(a_c)), f"sqrt(abs({a_s}))"
+        return F.log(F.abs(a_c) + 1.0), f"ln(abs({a_s}) + 1.0)"
+    b_c, b_s = _gen_scalar_expr(rnd, depth - 1)
+    if kind == "add":
+        return a_c + b_c, f"({a_s} + {b_s})"
+    if kind == "sub":
+        return a_c - b_c, f"({a_s} - {b_s})"
+    if kind == "mul":
+        return a_c * b_c, f"({a_s} * {b_s})"
+    if kind == "div":
+        return a_c / (F.abs(b_c) + 1.0), f"({a_s} / (abs({b_s}) + 1.0))"
+    if kind == "least":
+        return F.least(a_c, b_c), f"least({a_s}, {b_s})"
+    if kind == "greatest":
+        return F.greatest(a_c, b_c), f"greatest({a_s}, {b_s})"
+    cond_c, cond_s = F.col("l_quantity") > 25, "l_quantity > 25"
+    return (
+        F.when(cond_c, a_c).otherwise(b_c),
+        f"CASE WHEN {cond_s} THEN {a_s} ELSE {b_s} END",
+    )
+
+
+@pytest.mark.parametrize("seed", range(600, 615))
+def test_random_scalar_exprs_match_duckdb(spark, duck, seed):
+    """Scalar-expression fuzz: random arithmetic / conditional / guarded
+    math expression trees (depth ≤ 3) projected per-row, built once as a
+    DataFrame Column tree and once as SQL for DuckDB. Exercises IEEE
+    double semantics, CASE, least/greatest null-safety, and cast behavior
+    across dialects."""
+    rnd = random.Random(seed)
+    exprs = [_gen_scalar_expr(rnd, rnd.randint(1, 3)) for _ in range(3)]
+    flt = rnd.choice(FILTERS)
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(flt[0]())
+    sdf = df.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[F.round(c, 4).alias(f"e{i}") for i, (c, _) in enumerate(exprs)],
+    )
+    sel = ", ".join(f"ROUND({s}, 4) AS e{i}" for i, (_, s) in enumerate(exprs))
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {sel} "
+        f"FROM lineitem WHERE {flt[1]}"
+    )
+    cols = sorted(sdf.columns)
+    spark_rows = sorted(tuple(_norm(row[c]) for c in cols) for row in sdf.collect())
+    res = duck.execute(sql)
+    names = [d[0] for d in res.description]
+    idx = [names.index(c) for c in cols]
+    duck_rows = sorted(tuple(_norm(r[i]) for i in idx) for r in res.fetchall())
+    assert spark_rows == duck_rows, f"seed={seed} sql={sql}"
