@@ -522,3 +522,179 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("wkey").desc(), "doc_id")
         .limit(20)
     )
+
+
+# --- record linkage / function-surface packs 3 -------------------------------
+
+@query(
+    "q_fuzzy_name_match",
+    """
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS lev
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance record linkage: near-identical names within a blocking
+    key (nation). Same blocked self-join shape as the n-gram dedup family —
+    blocking bounds the pair count (Σ block² ≪ n²), levenshtein runs
+    JVM-side per candidate pair. The 100 TB variant swaps the block join
+    for the LSH candidate generator; the verify predicate is unchanged.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        "c_nationkey",
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        "c_nationkey",
+    )
+    return (
+        a.join(b, "c_nationkey")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").alias("lev"),
+        )
+        .filter(F.col("lev") <= 2)
+    )
+
+
+@query(
+    "q_json_path_pack",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           MIN(json_keys(props)[1]) AS first_key
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_path_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path scalar surface on the raw props strings: get_json_object
+    extraction (no schema needed — complements q_from_json_agg's
+    schema-applied path), conditional aggregation over the extracted value,
+    and json_object_keys introspection. All JVM JSON parsing; the scan
+    reads only (event_type, props).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.sum(F.when(k > 50, 1).otherwise(0)).alias("n_big"),
+        F.min(F.element_at(F.json_object_keys("props"), 1)).alias("first_key"),
+    )
+
+
+@query(
+    "q_array_pack",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_v,
+           ROUND(CAST(embedding[-1] AS DOUBLE), 4) AS last_v,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS max_v,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 4) AS min_v,
+           ROUND(CAST(list_sum(list_slice(embedding, 1, 3)) AS DOUBLE), 4)
+             AS head3_sum
+    FROM embeddings
+    """,
+)
+def q_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the embedding vectors: size / indexing /
+    slicing / extrema / sliced sum, each mapped to its DuckDB list-function
+    twin. Pure projection — stays in whole-stage codegen, no shuffle.
+    (Bulk vector math lives in functions/vectors.py; this pins the
+    general array SQL surface.)
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.round(F.element_at(e, 1).cast("double"), 4).alias("first_v"),
+        F.round(F.element_at(e, -1).cast("double"), 4).alias("last_v"),
+        F.round(F.array_max(e).cast("double"), 4).alias("max_v"),
+        F.round(F.array_min(e).cast("double"), 4).alias("min_v"),
+        F.round(
+            F.aggregate(
+                F.slice(e, 1, 3), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("head3_sum"),
+    )
+
+
+@query(
+    "q_rolling_time_window",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           ROUND(SUM(value) OVER w, 2) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling one-hour per-user aggregates via a RANGE frame over event
+    time in microseconds — the time-decayed-metrics shape (rate limiting,
+    trailing spend). RANGE bounds make the frame *value*-based, so
+    irregular event spacing is handled exactly — no resampling to a grid.
+    One shuffle on user_id; both aggregates share the frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+
+
+@query(
+    "q_equidepth_bins",
+    """
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(l_extendedprice), 2) AS lo,
+           ROUND(MAX(l_extendedprice), 2) AS hi
+    FROM (SELECT l_extendedprice,
+                 ntile(10) OVER (ORDER BY l_extendedprice) AS bin
+          FROM lineitem) t
+    GROUP BY bin
+    """,
+)
+def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning: decile boundaries + per-bin counts,
+    the feature-bucketization / histogram-equalization primitive. Output is
+    deterministic under price ties because only price-derived stats leave
+    the query. NOTE the exact version needs a total order (single-partition
+    window) — fine to sf0.1; the 100 TB path computes boundaries with
+    approx_percentile (see q_approx_quantiles) and bins by range join,
+    trading exactness for full parallelism (SCALE.md).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    binned = li.select(
+        "l_extendedprice",
+        F.ntile(10).over(Window.orderBy("l_extendedprice")).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    )
