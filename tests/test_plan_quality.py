@@ -92,7 +92,10 @@ def test_window_suite_shares_one_exchange(spark):
 def test_bloom_probes_are_broadcast_joins(spark):
     # the three Bloom probe joins + nothing else touching the left side:
     # every probe is a broadcast hash join (left scan never shuffles until
-    # after pruning), and the bloom build is a single-digit exchange count
+    # after pruning), and the bloom build is a single-digit exchange count.
+    # clearCache first: a bloom persisted by an earlier test inflates the
+    # printed plan with the cached build's subtree under every probe
+    spark.catalog.clearCache()
     plan = plan_of(spark, "q_bloom_semi_join")
     assert plan.count("BroadcastHashJoin") >= 3
     assert plan.count("Exchange hashpartitioning") <= 7
