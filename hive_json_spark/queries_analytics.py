@@ -701,3 +701,38 @@ def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 2).alias("lo"),
         F.round(F.max("l_extendedprice"), 2).alias("hi"),
     )
+
+
+# --- recursive SQL / time-series densification -------------------------------
+
+_CALENDAR_FILL_SQL = """
+    WITH RECURSIVE cal(day) AS (
+      SELECT TIMESTAMP '2024-01-01 00:00:00' AS day
+      UNION ALL
+      SELECT day + INTERVAL 1 DAY FROM cal
+      WHERE day < TIMESTAMP '2024-01-30 00:00:00'
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 2) AS total
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT cal.day, COALESCE(daily.n, 0) AS n,
+           ROUND(COALESCE(daily.total, 0.0), 2) AS total
+    FROM cal LEFT JOIN daily ON cal.day = daily.day
+"""
+
+
+@query("q_calendar_fill", _CALENDAR_FILL_SQL)
+def q_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling via a RECURSIVE CTE calendar (Spark 4.x
+    native WITH RECURSIVE — the IDENTICAL SQL text runs on both engines):
+    generate the full day spine, left-join the sparse daily aggregate,
+    zero-fill the gaps. The densification shape every downstream
+    forecasting / charting consumer needs; the recursion is driver-cheap
+    (one row per day) while the aggregate side stays a distributed
+    partial+final count.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_CALENDAR_FILL_SQL)
