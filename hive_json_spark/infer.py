@@ -436,3 +436,87 @@ def infer_schema_native(spark, paths: Sequence[str] | str, *, prefer_decimal: bo
     """
     reader = spark.read.option("prefersDecimal", str(prefer_decimal).lower())
     return reader.json(list(_expand(paths))).schema
+
+
+def infer_schema_by_group(
+    df,
+    group_col: str,
+    column: str,
+    *,
+    canonical: bool = True,
+    on_error: str = "raise",
+):
+    """Per-group schema inference: the lattice fold as a *grouped aggregate*.
+
+    Returns a DataFrame ``(group_col, hive_type, records, corrupt)`` — one
+    inferred schema per group value, fully distributed (nothing collects to
+    the driver). The reference folds one global schema per corpus
+    (`JsonSchemaFinder.java:227-247`); grouping is what a multi-tenant /
+    multi-event-type feed needs to detect per-stream drift.
+
+    Two-level plan, same shape as the global fold's partial+final:
+
+    1. ``mapInPandas`` folds each partition's rows into one partial type
+       accumulator *per group seen in that partition* (distinct values
+       scaled by frequency, like `infer_schema_of_column`);
+    2. one shuffle of those pickled partials on the group key, then
+       ``applyInPandas`` merges partials per group.
+
+    Shuffle volume is #partitions × #groups × O(schema bytes) — independent
+    of row count — and per-task memory holds accumulators, never a group's
+    rows, so a 100 TB group costs the same state as a 100-row one. (A naive
+    one-level ``groupBy().applyInPandas`` would materialize entire groups
+    in pandas.)
+    """
+    import pandas as pd
+
+    gtype = dict(df.dtypes)[group_col]
+
+    def fold_partials(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        accs: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby(group_col, dropna=False):
+                t, n, bad = accs.get(g, (None, 0, 0))
+                for text, freq in sub[column].value_counts().items():
+                    pt, pn, pbad = _fold_texts([text], on_error)
+                    t = merge_types(t, pt)
+                    n += pn * int(freq)
+                    bad += pbad * int(freq)
+                accs[g] = (t, n, bad)
+        yield pd.DataFrame(
+            {
+                group_col: list(accs.keys()),
+                "partial": [pickle.dumps(v) for v in accs.values()],
+            }
+        )
+
+    from hive_json_spark.operators.util import ensure_parallelism
+
+    partials = ensure_parallelism(df.select(group_col, column)).mapInPandas(
+        fold_partials, schema=f"{group_col} {gtype}, partial binary"
+    )
+
+    def merge_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        t = None
+        n = 0
+        bad = 0
+        for blob in pdf["partial"]:
+            pt, pn, pbad = pickle.loads(blob)
+            t = merge_types(t, pt)
+            n += pn
+            bad += pbad
+        if canonical and t is not None:
+            t = canonicalize(t)
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "hive_type": [str(t) if t is not None else "void"],
+                "records": [n],
+                "corrupt": [bad],
+            }
+        )
+
+    return partials.groupBy(group_col).applyInPandas(
+        merge_group,
+        schema=f"{group_col} {gtype}, hive_type string, records bigint, corrupt bigint",
+    )

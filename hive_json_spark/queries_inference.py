@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from hive_json_spark.infer import infer_schema_of_column
+from hive_json_spark.infer import infer_schema_by_group, infer_schema_of_column
 from hive_json_spark.shred import shred_column
 from hive_json_spark.sources import load_table
 from hive_json_spark.types import to_spark_type
@@ -104,3 +104,32 @@ def q_shred_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+@query(
+    "q_infer_schema_by_group",
+    """
+    SELECT event_type,
+           'struct<k:' || CASE
+             WHEN min_k >= -128 AND max_k < 128 THEN 'tinyint'
+             WHEN min_k >= -32768 AND max_k < 32768 THEN 'smallint'
+             WHEN min_k >= -2147483648 AND max_k < 2147483648 THEN 'int'
+             ELSE 'bigint' END || '>' AS hive_type,
+           CAST(n AS BIGINT) AS records
+    FROM (SELECT event_type,
+                 MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                 MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                 COUNT(*) AS n
+          FROM events WHERE props IS NOT NULL
+          GROUP BY event_type)
+    """,
+)
+def q_infer_schema_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type schema inference — the lattice fold as a grouped
+    aggregate (`infer.infer_schema_by_group`, two-level partial+final; see
+    its docstring for the scale shape). The oracle re-derives the numeric
+    sizing rules per group from the raw JSON, so the lattice's value-range
+    typing (`JsonSchemaFinder.java:67-85`) is checked group-by-group."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    out = infer_schema_by_group(events, "event_type", "props")
+    return out.select("event_type", "hive_type", "records")

@@ -231,3 +231,42 @@ def test_write_table_formats_round_trip(spark, tmp_path):
     write_table(df, p_json, format="json", compression=None)
     back = spark.read.schema("id bigint, name string, score double").json(p_json)
     assert [(r["id"], r["name"], r["score"]) for r in back.orderBy("id").collect()] == expected
+
+
+def test_infer_schema_by_group_matches_per_group_local(spark, sf_dir):
+    """The grouped two-level fold must agree exactly with running the
+    single-column fold on each group's rows separately (same lattice, same
+    canonicalization), including the corrupt counter."""
+    from hive_json_spark.infer import infer_schema_by_group, infer_schema_of_column
+    from hive_json_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    got = {
+        r.event_type: (r.hive_type, r.records, r.corrupt)
+        for r in infer_schema_by_group(ev, "event_type", "props").collect()
+    }
+    types = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    assert sorted(got) == sorted(types)
+    for et in types:
+        sub = ev.filter(F.col("event_type") == et)
+        want = infer_schema_of_column(sub, "props")
+        assert got[et] == (str(want.htype), want.records, want.corrupt), et
+
+
+def test_infer_schema_by_group_tolerates_corrupt(spark):
+    """on_error='skip' counts undecodable docs per group instead of failing."""
+    from hive_json_spark.infer import infer_schema_by_group
+
+    df = spark.createDataFrame(
+        [("a", '{"x": 1}'), ("a", "{nope"), ("b", '{"x": "y"}')],
+        "grp string, payload string",
+    )
+    rows = {
+        r.grp: (r.hive_type, r.records, r.corrupt)
+        for r in infer_schema_by_group(
+            df, "grp", "payload", on_error="skip"
+        ).collect()
+    }
+    assert rows["a"] == ("struct<x:tinyint>", 1, 1)
+    assert rows["b"] == ("struct<x:string>", 1, 0)
