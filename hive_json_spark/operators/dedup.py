@@ -407,6 +407,10 @@ def embedding_near_dup_pairs(
         )
 
     rows = df.select(id_col, vec_col).collect()
+    if not rows:  # empty corpus: np.linalg.norm(axis=1) rejects a 0-d stack
+        return df.sparkSession.createDataFrame(
+            [], "id_a bigint, id_b bigint, cos_sim double"
+        )
     ids_all = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
     M = np.array([r[1] for r in rows], dtype=np.float64)
     M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)

@@ -148,6 +148,9 @@ def ivf_index(
     sample_rows = (
         corpus.select(vec_col).orderBy(id_col).limit(sample).collect()
     )
+    if not sample_rows:  # empty corpus: no centroids to train, no rows to tag
+        assigned = corpus.withColumn("centroid", F.lit(0).cast("int"))
+        return assigned, np.zeros((0, 0), dtype=np.float64)
     X = np.array([r[0] for r in sample_rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
@@ -201,6 +204,8 @@ def ivf_topk(
     assigned, cents = ivf_index(corpus, id_col, vec_col, n_centroids, seed=seed)
 
     def probes_for(vec: np.ndarray) -> list[int]:
+        if cents.size == 0:  # empty corpus: no inverted lists to probe
+            return []
         v = vec / max(np.linalg.norm(vec), 1e-12)
         return list(np.argsort(-(cents @ v))[:nprobe].astype(int))
 

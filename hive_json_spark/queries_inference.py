@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from hive_json_spark.infer import infer_schema_by_group, infer_schema_of_column
 from hive_json_spark.shred import shred_column
 from hive_json_spark.sources import load_table
-from hive_json_spark.types import to_spark_type
+from hive_json_spark.types import NullT, to_spark_type
 
 QUERIES = {}
 ORACLES = {}
@@ -70,7 +70,20 @@ def q_from_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema with our lattice, load it with from_json, aggregate on the
     extracted field — inference → load → query in one plan."""
     events = load_table(spark, sf_dir, "events")
-    schema = to_spark_type(infer_schema_of_column(events, "props").htype)
+    htype = infer_schema_of_column(events, "props").htype
+    if htype is None or isinstance(htype, NullT):
+        # void schema (zero documents, or only JSON nulls): from_json
+        # rejects VOID, and there is no field k — aggregate with a null
+        # sum_k so the all-nulls corpus still reports its group counts
+        return (
+            events.filter(F.col("props").isNotNull())
+            .groupBy("event_type")
+            .agg(
+                F.lit(None).cast("bigint").alias("sum_k"),
+                F.count("*").alias("n"),
+            )
+        )
+    schema = to_spark_type(htype)
     return (
         events.filter(F.col("props").isNotNull())
         .withColumn("parsed", F.from_json("props", schema))
