@@ -736,3 +736,52 @@ def q_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_CALENDAR_FILL_SQL)
+
+
+@query(
+    "q_string_pack3",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           CASE WHEN regexp_matches(p_type, '^(PROMO|ECONOMY)') THEN 1 ELSE 0 END
+             AS is_cheap,
+           split_part(p_brand, '#', 2) AS brand_tail,
+           trim(concat('  ', p_type, '  ')) AS trimmed,
+           left(p_name, 5) AS name_head, right(p_name, 4) AS name_tail,
+           replace(p_type, 'O', '0') AS zeroed,
+           CASE WHEN starts_with(p_name, 'a') THEN 1 ELSE 0 END AS starts_a,
+           CASE WHEN ends_with(p_name, 's') THEN 1 ELSE 0 END AS ends_s,
+           substr(p_name, -6) AS name_last6
+    FROM part
+    """,
+)
+def q_string_pack3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex + string-manipulation surface: extraction/replace groups,
+    anchored matching, split_part, trim/left/right/negative-substr —
+    cross-checked against DuckDB's dialect (regexp_matches↔rlike, the 'g'
+    replace flag is Spark's default). Pure codegen projection, no shuffle.
+    Patterns stay in the RE2∩Java-regex common subset so both engines
+    compile them identically.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.when(F.col("p_type").rlike("^(PROMO|ECONOMY)"), 1)
+        .otherwise(0)
+        .alias("is_cheap"),
+        F.split_part(F.col("p_brand"), F.lit("#"), F.lit(2)).alias("brand_tail"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit("  "))).alias("trimmed"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.substring("p_name", -4, 4).alias("name_tail"),
+        F.replace(F.col("p_type"), F.lit("O"), F.lit("0")).alias("zeroed"),
+        F.when(F.startswith(F.col("p_name"), F.lit("a")), 1)
+        .otherwise(0)
+        .alias("starts_a"),
+        F.when(F.endswith(F.col("p_name"), F.lit("s")), 1)
+        .otherwise(0)
+        .alias("ends_s"),
+        F.substr(F.col("p_name"), F.lit(-6)).alias("name_last6"),
+    )
