@@ -785,3 +785,75 @@ def q_string_pack3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ends_s"),
         F.substr(F.col("p_name"), F.lit(-6)).alias("name_last6"),
     )
+
+
+@query(
+    "q_variant_agg",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM events WHERE props IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native VARIANT path: parse_json → binary variant encoding →
+    typed variant_get extraction, no schema inference pass at all. The
+    modern complement to the lattice (q_from_json_agg infers then applies
+    a static schema; VARIANT shreds per row and defers typing to the
+    access site — the right trade when schemas drift faster than jobs
+    redeploy). try_variant_get probes an absent path as SQL NULL instead
+    of erroring.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    v = F.parse_json("props")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.variant_get(v, "$.k", "bigint")).alias("sum_k"),
+        F.sum(
+            F.when(F.try_variant_get(v, "$.missing", "bigint").isNull(), 1).otherwise(0)
+        ).alias("n_missing"),
+    )
+
+
+@query(
+    "q_skew_profile",
+    """
+    WITH freq AS (
+      SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           ROUND(AVG(cnt), 4) AS avg_cnt,
+           ROUND(MAX(cnt) / AVG(cnt), 4) AS skew_ratio,
+           CAST(quantile_disc(cnt, 0.5) AS BIGINT) AS p50,
+           CAST(quantile_disc(cnt, 0.99) AS BIGINT) AS p99
+    FROM freq
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — run this before picking a join strategy
+    (AQE default vs salted_join vs broadcast): key cardinality, hottest-key
+    share, and the frequency distribution's p50/p99. One groupBy on the
+    key (the same shuffle the join itself would do), then a 1-row rollup
+    over the much smaller frequency frame. percentile_disc = DuckDB's
+    quantile_disc (type-preserving, no interpolation).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    return freq.agg(
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.avg("cnt"), 4).alias("avg_cnt"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)")
+        .cast("bigint")
+        .alias("p50"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt)")
+        .cast("bigint")
+        .alias("p99"),
+    )
