@@ -857,3 +857,46 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p99"),
     )
+
+
+@query(
+    "q_unpivot_measures",
+    """
+    SELECT l_returnflag, measure,
+           ROUND(AVG(val), 4) AS avg_val, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', l_discount FROM lineitem)
+    GROUP BY l_returnflag, measure
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational melt: DataFrame.unpivot (wide measures → long
+    (measure, value) rows) feeding a grouped aggregate — the inverse of
+    q_pivot_status_qty. Spark's unpivot is a single Expand over one scan
+    (3 output rows per input row, no re-reads); the oracle spells the same
+    thing as a 3-branch UNION ALL.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    ).withColumn(
+        "measure",
+        F.element_at(
+            F.create_map(
+                F.lit("l_quantity"), F.lit("quantity"),
+                F.lit("l_extendedprice"), F.lit("price"),
+                F.lit("l_discount"), F.lit("discount"),
+            ),
+            F.col("measure"),
+        ),
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.round(F.avg("val"), 4).alias("avg_val"), F.count("*").alias("n")
+    )
