@@ -184,3 +184,42 @@ def streaming_dedup(
     backfill with the batch form and tail with this one.
     """
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def streaming_funnel_stages(events_stream: DataFrame) -> DataFrame:
+    """Per-user funnel state machine as arbitrary streaming state: track the
+    furthest signup→click→purchase stage reached *in event-time order of
+    arrival*, advancing only on the next expected event type (the same
+    strict-ordering semantics as the batch q_funnel_conversion). Emits each
+    user's current stage once per micro-batch in which the user appears.
+
+    State per user is two numbers (stage, last transition ts) — bounded by
+    |users|, independent of event volume; watermark-driven timeout eviction
+    is the production knob for abandoned funnels (kept NoTimeout here so
+    batch equivalence is exact).
+    """
+    import pandas as pd
+
+    out_schema = "user_id bigint, stage int"
+    state_schema = "stage int, stage_ts double"
+    next_expected = {0: "signup", 1: "click", 2: "purchase"}
+
+    def update(key, pdfs, state: GroupState):
+        stage, stage_ts = (state.get if state.exists else (0, float("-inf")))
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for ts, et in zip(rows["ts"], rows["event_type"]):
+            t = ts.timestamp()
+            if stage < 3 and et == next_expected[stage] and t > stage_ts:
+                stage += 1
+                stage_ts = t
+        state.update((stage, stage_ts))
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    return (
+        events_stream.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -227,3 +227,60 @@ def test_session_window_counts_match_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """The per-user funnel state machine must land every user on the same
+    final stage as the batch funnel derivation (first signup, first click
+    after it, first purchase after that)."""
+    from hive_json_spark.sources import load_table
+    from hive_json_spark.streaming.infer_stream import streaming_funnel_stages
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_parquet")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = streaming_funnel_stages(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stages")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # keep the latest emission per user (one batch here, but be robust)
+    got = {
+        r.user_id: r.stage
+        for r in spark.sql("select * from funnel_stages").collect()
+    }
+
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    s_users = {r.user_id for r in s.collect()}
+    c_users = {r.user_id for r in c.collect()}
+    p_users = {r.user_id for r in p.collect()}
+    all_users = {r.user_id for r in events.select("user_id").distinct().collect()}
+    expected = {
+        u: (3 if u in p_users else 2 if u in c_users else 1 if u in s_users else 0)
+        for u in all_users
+    }
+    assert got == expected and len(got) > 0
