@@ -1,0 +1,557 @@
+"""Training-data assembly operators: the step after cleaning/dedup where a
+corpus becomes model input — sequence packing, domain-mixture resampling,
+curriculum staging — plus the iterative/sketch operators a 100 TB pipeline
+leans on (k-means step, PageRank, mergeable HLL sketches) and the remaining
+collection-function surface (map / higher-order / URL packs).
+
+The reference (`/root/reference` hortonworks/hive-json) has no analog for any
+of these — its surface ends at schema inference + shredding
+(`JsonSchemaFinder.java:227-254`, `JsonShredder.java:92-109`); these rows
+extend the engine the way SURVEY §2's "absent from reference" table and the
+LLM-pipeline mandate describe.
+
+Scale notes per query live in the docstrings; the common rules:
+every sampling decision is a DETERMINISTIC hash of a stable id (never
+``rand()``), every argmin/top-k has a total-order tiebreak, and everything
+except the declared HOF packs stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from hive_json_spark.functions.text import quality_score, tokens
+from hive_json_spark.sources import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- sequence packing --------------------------------------------------------
+
+PACK_BUDGET = 128  # tokens per training sequence
+
+@query(
+    "q_sequence_pack",
+    f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_tok
+      FROM documents),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+                         - n_tok) / {PACK_BUDGET}.0) AS BIGINT) AS seq_id
+      FROM toks)
+    SELECT source, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+           ROUND(SUM(n_tok) / {PACK_BUDGET}.0, 4) AS fill_ratio
+    FROM packed GROUP BY source, seq_id
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assemble documents into fixed-token-budget training
+    sequences (contiguous fill in stable doc_id order, documents may straddle
+    a boundary — the "concat then chop" packing used for LLM pretraining).
+
+    The bin id is pure window math — a prefix sum of token counts per source,
+    floor-divided by the budget — so packing is ONE shuffle on the grouping
+    key and never materializes concatenated text. At 100 TB the prefix sum
+    partitions by source (or source×shard for monster domains); token counts
+    ride inside codegen (split+filter+size), and the output is sequence
+    *manifests* (doc spans per sequence), which downstream loaders join back
+    to content — the engine never shuffles document bytes to pack them.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text")).cast("bigint")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    packed = docs.select(
+        "source",
+        "doc_id",
+        n_tok.alias("n_tok"),
+    ).withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(float(PACK_BUDGET))).cast("bigint"),
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("seq_tokens"),
+        F.round(F.sum("n_tok") / F.lit(float(PACK_BUDGET)), 4).alias("fill_ratio"),
+    )
+
+
+# --- domain-mixture resampling -----------------------------------------------
+
+@query(
+    "q_mixture_resample",
+    """
+    WITH counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total,
+                   CAST(COUNT(*) AS DOUBLE) AS n_langs FROM counts),
+    rates AS (SELECT lang, c,
+                     LEAST(1.0, (total / n_langs) / c) AS rate
+              FROM counts, tot)
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(ANY_VALUE(r.rate), 6) AS rate,
+           CAST(ANY_VALUE(r.c) AS BIGINT) AS n_before
+    FROM documents d JOIN rates r USING (lang)
+    WHERE (d.doc_id * 2654435761) % 4294967296
+          < CAST(r.rate * 4294967296 AS BIGINT)
+    GROUP BY d.lang
+    """,
+)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: downsample over-represented languages to a
+    uniform target mixture (rate_l = min(1, (N/|langs|)/N_l)), keeping rows by
+    a deterministic Knuth multiplicative hash of doc_id — re-runs and engine
+    swaps select the SAME documents, which a lineage-audited training corpus
+    requires.
+
+    Scale shape: the rate table is |langs| rows (an agg over the corpus with
+    map-side partial counts), broadcast back — the big table is filtered
+    map-side with zero extra shuffles before the final per-lang agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("c"))
+    tot = counts.agg(
+        F.sum("c").cast("double").alias("total"),
+        F.count("*").cast("double").alias("n_langs"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "c",
+        F.least(F.lit(1.0), (F.col("total") / F.col("n_langs")) / F.col("c")).alias("rate"),
+    )
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    kept = docs.join(F.broadcast(rates), "lang").filter(
+        bucket < (F.col("rate") * F.lit(4294967296.0)).cast("bigint")
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.any_value("rate"), 6).alias("rate"),
+        F.any_value("c").cast("bigint").alias("n_before"),
+    )
+
+
+# --- curriculum staging ------------------------------------------------------
+
+@query(
+    "q_curriculum_stages",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n_tok,
+             CAST(len(list_distinct(toks)) AS DOUBLE)
+               / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS diversity,
+             CAST(len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS DOUBLE)
+               / greatest(len(toks), 1) AS stop_ratio
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS toks
+            FROM documents)),
+    scored AS (
+      SELECT doc_id,
+             ROUND(greatest(least(
+                 0.5 * diversity
+                 + 0.5 * (CASE WHEN n_tok BETWEEN 20 AND 1000 THEN 1.0 ELSE 0.5 END)
+                 - 0.25 * stop_ratio, 1.0), 0.0), 6) AS score
+      FROM t),
+    staged AS (
+      SELECT doc_id, score,
+             ntile(4) OVER (ORDER BY score, doc_id) AS stage
+      FROM scored)
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(score), 6) AS avg_score,
+           ROUND(MIN(score), 6) AS min_score,
+           ROUND(MAX(score), 6) AS max_score
+    FROM staged GROUP BY stage
+    """,
+)
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: rank the corpus by quality score and cut it into
+    4 ordered stages (ntile) — the easy→hard schedule curriculum training
+    consumes. Tiebreak on doc_id makes stage assignment a total order.
+
+    Scale note: a global ntile is a single-partition sort — fine for ranking
+    *summaries*, wrong for assigning stages to 100 TB of rows. At scale the
+    same semantics come from approx quantile cut points (computed with the
+    mergeable t-digest/GK sketch, broadcast back) — the per-row stage is then
+    a map-side comparison. This query keeps the exact-ntile form because the
+    output is the 4-row stage summary, not a per-row label.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", F.round(quality_score("text"), 6).alias("score")
+    )
+    staged = scored.withColumn(
+        "stage", F.ntile(4).over(Window.orderBy("score", "doc_id"))
+    )
+    return staged.groupBy("stage").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.round(F.min("score"), 6).alias("min_score"),
+        F.round(F.max("score"), 6).alias("max_score"),
+    )
+
+
+# --- k-means: one full Lloyd iteration over the embedding table --------------
+
+@query(
+    "q_embedding_centroids",
+    """
+    WITH e AS (SELECT label, unnest(embedding) AS x,
+                      generate_subscripts(embedding, 1) AS ord
+               FROM embeddings),
+    c AS (SELECT label, ord, AVG(CAST(x AS DOUBLE)) AS m
+          FROM e GROUP BY label, ord),
+    n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+          FROM embeddings GROUP BY label)
+    SELECT c.label, n.n_vecs,
+           list(ROUND(m, 6) ORDER BY ord) AS centroid,
+           ROUND(SQRT(SUM(m * m)), 6) AS norm
+    FROM c JOIN n ON c.label = n.label
+    GROUP BY c.label, n.n_vecs
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding table (the k-means M-step /
+    class-prototype computation).
+
+    Spark-first shape: posexplode to (label, dim, x), groupBy(label, dim)
+    AVG — the explode is pipelined (never shuffled raw) because the partial
+    aggregate collapses each map task to |labels|×|dims| cells before the
+    exchange; the final state is k×d doubles regardless of input size. That
+    property is exactly what makes this the scale path at 100 TB — the
+    alternative (collect vectors per label) is unbounded.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("ord", "x"))
+    c = ex.groupBy("label", "ord").agg(F.avg(F.col("x").cast("double")).alias("m"))
+    n = emb.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    cent = c.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ord", "m"))), lambda s: F.round(s.m, 6)
+        ).alias("centroid"),
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("norm"),
+    )
+    return cent.join(F.broadcast(n), "label").select(
+        "label", "n_vecs", "centroid", "norm"
+    )
+
+
+@query(
+    "q_kmeans_assign",
+    """
+    WITH e AS (SELECT label, unnest(embedding) AS x,
+                      generate_subscripts(embedding, 1) AS ord
+               FROM embeddings),
+    cent AS (SELECT label AS c_label, ord, AVG(CAST(x AS DOUBLE)) AS m
+             FROM e GROUP BY label, ord),
+    v AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS ord
+          FROM embeddings),
+    d AS (SELECT v.vec_id, v.label, cent.c_label,
+                 SUM((v.x - cent.m) * (v.x - cent.m)) AS d2
+          FROM v JOIN cent ON v.ord = cent.ord
+          GROUP BY v.vec_id, v.label, cent.c_label),
+    best AS (SELECT vec_id, label, c_label, d2,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, c_label) AS rn
+             FROM d)
+    SELECT vec_id, label, c_label AS assigned, ROUND(d2, 5) AS d2
+    FROM best WHERE rn = 1
+    """,
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means E-step: assign every vector to its nearest per-label centroid
+    (squared L2, argmin tiebroken by centroid label → deterministic).
+    Together with ``q_embedding_centroids`` this is one full Lloyd iteration
+    expressed as DataFrame ops.
+
+    Scale shape: centroids are k×d doubles → broadcast; the distance is a
+    per-row map-side computation (no shuffle of the vector table), and the
+    argmin is a broadcast-side loop, not a window — the window here runs over
+    k rows per vector only because the HOF keeps the plan readable at test
+    scale. The true 100 TB hot path is the numpy GEMM kernel in
+    ``operators/similarity.py`` (‖v−c‖² = ‖v‖² − 2v·c + ‖c‖² batched per
+    Arrow chunk); this query pins the exact semantics that kernel must match.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("ord", "x"))
+    cent = (
+        ex.groupBy("label", "ord")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "m"))), lambda s: s.m
+            ).alias("c")
+        )
+        .select(F.col("label").alias("c_label"), "c")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = vecs.join(F.broadcast(cent)).select(
+        "vec_id", "label", "c_label", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("assigned"), F.round("d2", 5).alias("d2"))
+    )
+
+
+# --- PageRank over the event-transition graph --------------------------------
+
+PR_ITERS = 3
+PR_DAMP = 0.85
+
+def _pagerank_oracle(iters: int) -> str:
+    head = """
+    WITH seq AS (
+      SELECT event_type AS u,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v
+      FROM events),
+    edges AS (SELECT u, v, CAST(COUNT(*) AS DOUBLE) AS w
+              FROM seq WHERE v IS NOT NULL GROUP BY u, v),
+    nodes AS (SELECT DISTINCT u AS node FROM edges
+              UNION SELECT DISTINCT v FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    p AS (SELECT u, v, w / SUM(w) OVER (PARTITION BY u) AS p FROM edges),
+    r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    r{k} AS (SELECT n2.node, 0.15 / nn.n + 0.85 * COALESCE(SUM(r{k-1}.pr * p.p), 0) AS pr
+            FROM nodes n2 CROSS JOIN nn
+            LEFT JOIN p ON p.v = n2.node
+            LEFT JOIN r{k-1} ON r{k-1}.node = p.u
+            GROUP BY n2.node, nn.n)""")
+    return head + "," + ",".join(steps) + f"""
+    SELECT node, ROUND(pr, 6) AS pr FROM r{iters}
+    """
+
+@query("q_pagerank_events", _pagerank_oracle(PR_ITERS))
+def q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 synchronous iterations, uniform init) over
+    the event-type transition graph — the "which state dominates user flows"
+    ranking. The oracle unrolls the same 3 iterations as chained CTEs, so
+    this pins an *iterative* DataFrame algorithm to an exact SQL fixpoint.
+
+    Scale shape: edge weights come from one windowed pass + agg (the same
+    shuffle q_event_transitions pays); the iteration loop joins the rank
+    vector to the transition matrix — rank is |nodes| rows, broadcast; each
+    step is one shuffle on the destination key. For graphs too big to
+    broadcast the same loop co-partitions p and ranks on u (documented in
+    SCALE.md); per perf-lesson the loop would localCheckpoint per round —
+    at 3 iterations over a pre-aggregated graph the plan stays linear, so
+    this loop keeps pure lineage.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("u"), F.lead("event_type").over(w).alias("v")
+    ).filter(F.col("v").isNotNull())
+    edges = seq.groupBy("u", "v").agg(F.count("*").cast("double").alias("w"))
+    nodes = edges.select(F.col("u").alias("node")).union(
+        edges.select("v")
+    ).distinct()
+    p = edges.select(
+        "u", "v", (F.col("w") / F.sum("w").over(Window.partitionBy("u"))).alias("p")
+    )
+    # tiny frames referenced each iteration: persist once
+    nodes = nodes.persist()
+    p = p.persist()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return spark.range(0).select(
+            F.lit("").alias("node"), F.lit(0.0).alias("pr")
+        )
+    n = float(n_nodes)
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("pr"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            p.join(ranks, p.u == ranks.node)
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("c"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(0.15) / F.lit(n) + F.lit(PR_DAMP) * F.coalesce("c", F.lit(0.0))).alias("pr"),
+        )
+    return ranks.select("node", F.round("pr", 6).alias("pr"))
+
+
+# --- mergeable HLL sketches (datasketches) -----------------------------------
+
+@query("q_hll_sketch")  # rows-only: sketch estimates are impl-specific
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed-mergeable distinct counting with Apache DataSketches HLL:
+    build one sketch per source partition (hll_sketch_agg), then merge the
+    sketches (hll_union_agg) and estimate — the pattern that lets a 100 TB
+    pipeline maintain per-shard distinct counts and roll them up WITHOUT
+    re-scanning data (sketches are tiny, unions are associative). The
+    estimate is implementation-defined, so the driver checks rows-only;
+    tests/test_pipeline_ops.py pins the estimate within 5% of exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.hll_sketch_agg(F.col("text"), F.lit(12)).alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    return per_src.agg(
+        F.count("*").cast("bigint").alias("n_sources"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"), F.lit(False)))
+        .cast("bigint")
+        .alias("est_distinct_texts"),
+    )
+
+
+# --- collection-function surface: maps, HOFs, URLs ---------------------------
+
+@query(
+    "q_map_pack",
+    """
+    WITH lc AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM documents GROUP BY source, lang)
+    SELECT source,
+           array_to_string(list_sort(list(lang)), ',') AS langs,
+           CAST(SUM(cnt) AS BIGINT) AS total_docs,
+           CAST(len(list_filter(list(cnt), c -> c >= 5)) AS BIGINT) AS n_major_langs,
+           CAST(COALESCE(MAX(CASE WHEN lang = 'en' THEN cnt END), 0) AS BIGINT) AS en_docs,
+           CAST(MAX(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BOOLEAN) AS has_en
+    FROM lc GROUP BY source
+    """,
+)
+def q_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: build a lang→count map per source
+    (map_from_entries), then interrogate it with map_keys / map_values /
+    map_filter / element_at / map_contains_key. The oracle computes the same
+    facts relationally — the check pins map SEMANTICS (the engine's map ops
+    must agree with the flat answer), not map encoding.
+
+    All map HOFs run post-aggregation on |sources|×|langs| rows — at scale
+    the only heavy step is the first partial-agg count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lc = docs.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
+    m = lc.groupBy("source").agg(
+        F.map_from_entries(F.array_sort(F.collect_list(F.struct("lang", "cnt")))).alias("m")
+    )
+    return m.select(
+        "source",
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("langs"),
+        F.aggregate(F.map_values("m"), F.lit(0).cast("bigint"), lambda a, x: a + x).alias("total_docs"),
+        F.size(F.map_filter("m", lambda k, v: v >= 5)).cast("bigint").alias("n_major_langs"),
+        F.coalesce(F.element_at("m", F.lit("en")), F.lit(0)).cast("bigint").alias("en_docs"),
+        F.map_contains_key("m", F.lit("en")).alias("has_en"),
+    )
+
+
+@query(
+    "q_hof_pack",
+    """
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tok,
+           CAST(len(list_filter(toks, x -> length(x) >= 6)) AS BIGINT) AS n_long,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars,
+           len(list_filter(toks, x -> x = 'spark')) > 0 AS has_spark,
+           list_aggregate(toks, 'min') AS first_alpha,
+           CASE WHEN len(toks) > 0
+                THEN toks[1] || '|' || list_reverse(toks)[1] ELSE NULL END AS ends
+    FROM t
+    """,
+)
+def q_hof_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function surface over token arrays: transform / filter /
+    exists / aggregate / array_min / zip_with — the lambda-expression layer a
+    JSON-heavy corpus leans on for in-place array work (no explode, no
+    shuffle: every column here is per-row).
+
+    Scale note: Spark HOFs are interpreted (CodegenFallback) — fine for
+    per-row array math, but hot loops belong in Arrow kernels
+    (see SCALE.md "expression strategy"); this query pins semantics.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    t = docs.select("doc_id", toks.alias("toks"))
+    zipped = F.zip_with(
+        "toks",
+        F.reverse(F.col("toks")),
+        lambda a, b: F.concat(a, F.lit("|"), b),
+    )
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        F.size(F.filter("toks", lambda x: F.length(x) >= 6)).cast("bigint").alias("n_long"),
+        F.aggregate("toks", F.lit(0).cast("bigint"), lambda a, x: a + F.length(x).cast("bigint")).alias("total_chars"),
+        F.exists("toks", lambda x: x == F.lit("spark")).alias("has_spark"),
+        F.array_min("toks").alias("first_alpha"),
+        F.when(F.size("toks") > 0, F.element_at(zipped, 1)).alias("ends"),
+    )
+
+
+@query(
+    "q_url_pack",
+    """
+    WITH u AS (
+      SELECT doc_id, lang,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&q=1' AS url
+      FROM documents)
+    SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1))
+                AS BIGINT) AS n_paths,
+           CAST(SUM(CASE WHEN regexp_extract(url, '[?&]lang=([^&#]*)', 1) = 'en'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           MIN(regexp_extract(url, '^([a-z]+)://', 1)) AS protocol
+    FROM u GROUP BY host
+    """,
+)
+def q_url_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface (parse_url HOST/PATH/QUERY-param/PROTOCOL) over
+    synthesized per-doc URLs — the host-level rollup a web-corpus pipeline
+    runs for domain filtering and robots/quality lists. The oracle parses the
+    same URLs with regexes, pinning parse_url's component semantics.
+
+    parse_url is a JVM intrinsic — the whole query is one codegen stage plus
+    the per-host agg; at 100 TB hosts are the natural partition key (skewed
+    hosts → AQE skew split or salting).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"), F.lit("&q=1"),
+    )
+    u = docs.select("doc_id", "lang", url.alias("url"))
+    return u.groupBy(F.parse_url("url", F.lit("HOST")).alias("host")).agg(
+        F.count("*").alias("n_urls"),
+        F.count_distinct(F.parse_url("url", F.lit("PATH"))).alias("n_paths"),
+        F.sum(
+            F.when(F.parse_url("url", F.lit("QUERY"), F.lit("lang")) == "en", 1).otherwise(0)
+        ).cast("bigint").alias("n_en"),
+        F.min(F.parse_url("url", F.lit("PROTOCOL"))).alias("protocol"),
+    )

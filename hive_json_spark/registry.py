@@ -7,9 +7,14 @@ checks rows-only).
 
 from __future__ import annotations
 
-from hive_json_spark import queries_analytics, queries_inference, queries_relational
+from hive_json_spark import (
+    queries_analytics,
+    queries_inference,
+    queries_relational,
+    queries_training,
+)
 
-_MODULES = [queries_relational, queries_inference, queries_analytics]
+_MODULES = [queries_relational, queries_inference, queries_analytics, queries_training]
 
 try:  # pipeline queries land in a later milestone; registry tolerates absence
     from hive_json_spark import queries_pipeline

@@ -396,3 +396,78 @@ def test_grouped_approx_quantiles_track_exact(spark, sf_dir):
     for flag, evals in exact.items():
         for a, e in zip(approx[flag], evals):
             assert abs(a - e) / e < 0.005, (flag, a, e)
+
+
+def test_hll_sketch_union_tracks_exact(spark, sf_dir):
+    """q_hll_sketch merges per-source DataSketches HLL sketches; the union
+    estimate must track the exact distinct-text count within HLL(lgK=12)
+    error (<5% at these cardinalities), and merging per-source sketches
+    must land within 2% of one global sketch (the union gadget promotes
+    HLL_4 state, so estimates are close but not bit-identical)."""
+    from hive_json_spark.queries_training import q_hll_sketch
+    from hive_json_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = docs.select("text").distinct().count()
+    row = q_hll_sketch(spark, sf_dir).collect()[0]
+    assert abs(row.est_distinct_texts - exact) / max(exact, 1) < 0.05
+    one_shot = docs.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col("text"), F.lit(12)))
+        .cast("bigint")
+        .alias("est")
+    ).collect()[0].est
+    assert abs(row.est_distinct_texts - one_shot) / max(one_shot, 1) < 0.02
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    """q_pagerank_events (DataFrame loop) must equal the dense power
+    iteration it distributes: build the same row-normalized transition
+    matrix in numpy, run the same 3 damped iterations, compare per node."""
+    import numpy as np
+
+    from hive_json_spark.queries_training import PR_DAMP, PR_ITERS, q_pagerank_events
+    from hive_json_spark.sources import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.select(F.col("event_type").alias("u"), F.lead("event_type").over(w).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("u", "v")
+        .count()
+        .collect()
+    )
+    nodes = sorted({r.u for r in seq} | {r.v for r in seq})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for r in seq:
+        W[idx[r.u], idx[r.v]] = r["count"]
+    P = W / W.sum(axis=1, keepdims=True)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(PR_ITERS):
+        pr = (1 - PR_DAMP) / n + PR_DAMP * (P.T @ pr)
+    got = {r.node: r.pr for r in q_pagerank_events(spark, sf_dir).collect()}
+    assert set(got) == set(nodes)
+    for node in nodes:
+        assert abs(got[node] - pr[idx[node]]) < 1e-5, (node, got[node], pr[idx[node]])
+
+
+def test_kmeans_assign_is_true_argmin(spark, sf_dir):
+    """The E-step assignment must be the literal numpy argmin of squared L2
+    distance to the per-label mean for every vector (tiebreak: lowest label)."""
+    import numpy as np
+
+    from hive_json_spark.queries_training import q_kmeans_assign
+    from hive_json_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    X = np.array([r.embedding for r in emb], dtype=np.float64)
+    labels = np.array([r.label for r in emb])
+    uniq = np.sort(np.unique(labels))
+    C = np.stack([X[labels == l].mean(axis=0) for l in uniq])
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    want = {r.vec_id: uniq[int(i)] for r, i in zip(emb, d2.argmin(axis=1))}
+    got = {r.vec_id: r.assigned for r in q_kmeans_assign(spark, sf_dir).collect()}
+    assert got == want
