@@ -10,11 +10,18 @@ from __future__ import annotations
 from hive_json_spark import (
     queries_analytics,
     queries_inference,
+    queries_quality,
     queries_relational,
     queries_training,
 )
 
-_MODULES = [queries_relational, queries_inference, queries_analytics, queries_training]
+_MODULES = [
+    queries_relational,
+    queries_inference,
+    queries_analytics,
+    queries_training,
+    queries_quality,
+]
 
 try:  # pipeline queries land in a later milestone; registry tolerates absence
     from hive_json_spark import queries_pipeline

@@ -1,10 +1,12 @@
 """Table catalog for the benchmark corpus (TESTDATA.md).
 
-One quirk: ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS),
-which Spark's vectorized reader rejects outright. With
-``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) it reads
-as nanosecond longs; the loader converts to a microsecond timestamp —
-the same truncation DuckDB applies — so both engines see identical values.
+One quirk: ``events.parquet`` has shipped with two physical types for
+``ts`` across testdata generations — TIMESTAMP(NANOS) (which Spark's
+vectorized reader rejects; ``spark.sql.legacy.parquet.nanosAsLong=true``
+in session.py reads it as nanosecond longs) and plain ``timestamp[us]``
+without UTC adjustment (which Spark reads as TIMESTAMP_NTZ). The loader
+normalizes both to a session-UTC TIMESTAMP so every query sees one type
+and values match DuckDB's naive-TIMESTAMP view of the same file.
 """
 
 from __future__ import annotations
@@ -27,8 +29,14 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":  # parquet timestamp[us], not UTC-adjusted
+            # session tz is pinned to UTC, so this cast is wall-clock-exact and
+            # matches DuckDB's naive-TIMESTAMP view of the same file
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
