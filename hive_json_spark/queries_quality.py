@@ -150,6 +150,8 @@ _FK_EDGES = (
     ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
 )
 
+_SMALL_PARENTS = {"region", "nation", "customer"}  # always broadcastable dims
+
 @query(
     "q_fk_integrity",
     """
@@ -171,23 +173,26 @@ _FK_EDGES = (
 def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: orphan-row counts for every foreign-key
     edge in the star schema (the "can I trust my joins" pre-flight every
-    warehouse load runs). Each edge is a LEFT ANTI join counted — at scale
-    the small parents (region/nation/customer keys) broadcast, so the
-    audit costs one scan per child table and zero shuffles on the big
-    edges; a dedicated distinct-keys pre-agg is unnecessary because anti
-    join already stops at the first parent match.
+    warehouse load runs). Each edge is ONE scan of the child: a left outer
+    join against the parent's key column with total and null-parent counts
+    taken in the same global aggregate (never a count job + an anti-join
+    job re-reading the child). Dimension parents are force-broadcast; fact
+    parents (orders at 100 TB) are left to AQE, which picks broadcast when
+    the pruned key column fits and a shuffle join when it doesn't — the
+    parent is projected to its key before the join either way.
     """
     parts = []
     for name, child, ckey, parent, pkey in _FK_EDGES:
-        c = load_table(spark, sf_dir, child)
-        p = load_table(spark, sf_dir, parent)
-        orphans = c.join(
-            F.broadcast(p), c[ckey] == p[pkey], "left_anti"
-        ).select(F.count("*").alias("n_orphans"))
-        total = c.select(F.count("*").alias("n_child"))
+        c = load_table(spark, sf_dir, child).select(ckey)
+        p = load_table(spark, sf_dir, parent).select(pkey)
+        if parent in _SMALL_PARENTS:
+            p = F.broadcast(p)
+        joined = c.join(p, c[ckey] == p[pkey], "left_outer")
         parts.append(
-            total.crossJoin(orphans).select(
-                F.lit(name).alias("fk"), "n_child", "n_orphans"
+            joined.agg(
+                F.lit(name).alias("fk"),
+                F.count("*").alias("n_child"),
+                F.count(F.when(p[pkey].isNull(), 1)).alias("n_orphans"),
             )
         )
     out = parts[0]
@@ -241,6 +246,96 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias("m"),
     )
     return scored.groupBy("r", "f", "m").agg(F.count("*").alias("n_customers"))
+
+
+# --- sweep-line interval concurrency -----------------------------------------
+
+@query(
+    "q_max_concurrency",
+    """
+    WITH pts AS (
+      SELECT event_type, ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 15 MINUTE, -1 FROM events),
+    run AS (
+      SELECT event_type,
+             SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta) AS cur
+      FROM pts)
+    SELECT event_type, CAST(MAX(cur) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY event_type
+    """,
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line max concurrency: treat each event as a 15-minute interval
+    and find the peak number of simultaneously-open intervals per event
+    type — the capacity-planning / concurrent-sessions primitive that a
+    naive interval self-join computes in O(n²) and this plan in one sort.
+    Each interval becomes a +1/−1 delta point; a running sum ordered by
+    (t, delta) — ends before starts on ties, giving half-open [t, t+15)
+    semantics — is the live count, and MAX finishes it. One shuffle on
+    event_type; peak cardinality is 2× events, all inside codegen.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionByName(ends)
+    w = Window.partitionBy("event_type").orderBy("t", "delta")
+    run = pts.select("event_type", F.sum("delta").over(w).alias("cur"))
+    return run.groupBy("event_type").agg(F.max("cur").alias("max_concurrent"))
+
+
+# --- triangle counting on the transition graph -------------------------------
+
+@query(
+    "q_triangle_count",
+    """
+    WITH seq AS (
+      SELECT event_type AS u,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS v
+      FROM events),
+    ed AS (SELECT DISTINCT LEAST(u,v) AS a, GREATEST(u,v) AS b
+           FROM seq WHERE v IS NOT NULL AND u != v)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM ed e1
+    JOIN ed e2 ON e1.b = e2.a
+    JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the undirected event-type transition graph —
+    the graph-cohesion metric (clustering coefficient numerator). Edges
+    are canonicalized LEAST/GREATEST so each undirected edge exists once
+    with a < b; counting ordered wedges a<b<c via two joins then counts
+    each triangle exactly once — no ×6 overcount, no post-dedup.
+
+    Scale shape: the wedge join is the quadratic step; on big graphs the
+    standard mitigation is degree-ordering (orient edges low-degree →
+    high-degree before the wedge join) which this canonical a<b ordering
+    approximates; the node-type graph here is small, the *pattern* — a
+    distributed multi-way self-join with canonical orientation — is what
+    the engine pins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("u"), F.lead("event_type").over(w).alias("v")
+    ).filter(F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+    ed = seq.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    e1 = ed.alias("e1")
+    e2 = ed.alias("e2")
+    e3 = ed.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+    )
+    return tri.agg(F.count("*").alias("n_triangles"))
 
 
 # --- adjacent-pair counts (one BPE merge step) -------------------------------

@@ -105,3 +105,42 @@ def test_scalar_pack2_stays_in_codegen(spark):
     plan = plan_of(spark, "q_scalar_pack2")
     assert "Exchange" not in plan
     assert plan.lstrip().startswith("*(1)")
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    # LAG (change detection) and LEAD (interval close) partition the same
+    # way: one sort+shuffle on o_custkey serves both window passes
+    plan = plan_of(spark, "q_scd2_status")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_fk_integrity_is_broadcast_only(spark):
+    # every edge audits in one child scan: all five parent joins broadcast
+    # (dimensions forced, facts via AQE) and nothing hash-shuffles
+    plan = plan_of(spark, "q_fk_integrity")
+    assert plan.count("BroadcastHashJoin") == 5
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_streaks_two_exchanges_end_to_end(spark):
+    # distinct user-days (1) then window + both aggs on user_id (2):
+    # the island trick adds NO extra shuffle over the distinct itself
+    plan = plan_of(spark, "q_activity_streaks")
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_sweep_line_single_exchange(spark):
+    # union of ±1 points, running sum, and the max agg all partition on
+    # event_type: one shuffle, no self-join anywhere in the plan
+    plan = plan_of(spark, "q_max_concurrency")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_bpe_pairs_aggregate_before_shuffle(spark):
+    # the pair explode pipelines into a partial agg (shuffle carries
+    # vocabulary-sized partial counts) and top-k is TakeOrderedAndProject
+    plan = plan_of(spark, "q_bpe_pair_step")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
