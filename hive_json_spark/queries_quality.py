@@ -379,3 +379,258 @@ def q_bpe_pair_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = pairs.groupBy("a", "b").agg(F.count("*").alias("freq"))
     return top_k(counts, [F.col("freq").desc(), F.col("a"), F.col("b")], 20)
+
+
+# --- CDC MERGE (upsert/delete apply) -----------------------------------------
+
+@query(
+    "q_merge_upsert",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 <> 0),
+    chg AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 4 = 0 THEN 'I'
+                  WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+             CAST(ROUND(o_totalprice * 1.05 * 100) AS BIGINT) AS new_cents
+      FROM orders WHERE o_orderkey % 2 = 0),
+    merged AS (
+      SELECT CASE
+               WHEN c.o_orderkey IS NULL THEN 'kept'
+               WHEN b.o_orderkey IS NULL AND c.op = 'I' THEN 'inserted'
+               WHEN b.o_orderkey IS NULL THEN 'ignored'
+               WHEN c.op = 'U' THEN 'updated'
+               WHEN c.op = 'D' THEN 'deleted'
+               ELSE 'kept'
+             END AS action,
+             CASE
+               WHEN c.o_orderkey IS NULL
+                 THEN CAST(ROUND(b.o_totalprice * 100) AS BIGINT)
+               WHEN b.o_orderkey IS NULL THEN c.new_cents
+               WHEN c.op = 'U' THEN c.new_cents
+               ELSE CAST(ROUND(b.o_totalprice * 100) AS BIGINT)
+             END AS cents
+      FROM base b FULL OUTER JOIN chg c ON b.o_orderkey = c.o_orderkey)
+    SELECT action, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(cents) / 100.0, 2) AS sum_price
+    FROM merged GROUP BY action
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE apply: fold a changelog of inserts/updates/deletes into a
+    base snapshot with standard MERGE semantics (matched+U -> update,
+    matched+D -> remove, not-matched+I -> insert, everything else a
+    no-op) — the upsert primitive Spark itself only gets via a table
+    format, expressed here as ONE full-outer join on the key. The audit
+    output (per-action row counts + price checksums) pins every row's
+    routing without materializing the snapshot; checksums sum integer
+    cents, not doubles, so they are exact and summation-order-free.
+
+    Scale shape: one shuffle of each side on o_orderkey; with a bucketed
+    base table (sources.tables.write_table bucketing) the base side's
+    exchange disappears and a 100 TB snapshot merges with only the (much
+    smaller) changelog moving. AQE splits any hot key. The inverse
+    operation (snapshot pair -> changelog) is q_snapshot_diff.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    chg = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("c_orderkey"),
+        F.when(F.col("o_orderkey") % 4 == 0, "I")
+        .when(F.col("o_orderkey") % 3 == 0, "D")
+        .otherwise("U")
+        .alias("op"),
+        F.round(F.col("o_totalprice") * 1.05 * 100).cast("long").alias("new_cents"),
+    )
+    m = base.join(chg, base.o_orderkey == chg.c_orderkey, "full_outer")
+    action = (
+        F.when(F.col("c_orderkey").isNull(), "kept")
+        .when(F.col("o_orderkey").isNull() & (F.col("op") == "I"), "inserted")
+        .when(F.col("o_orderkey").isNull(), "ignored")
+        .when(F.col("op") == "U", "updated")
+        .when(F.col("op") == "D", "deleted")
+        .otherwise("kept")
+    )
+    base_cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cents = (
+        F.when(F.col("c_orderkey").isNull(), base_cents)
+        .when(F.col("o_orderkey").isNull(), F.col("new_cents"))
+        .when(F.col("op") == "U", F.col("new_cents"))
+        .otherwise(base_cents)
+    )
+    return (
+        m.select(action.alias("action"), cents.alias("cents"))
+        .groupBy("action")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("cents") / 100.0, 2).alias("sum_price"),
+        )
+    )
+
+
+# --- first/last-touch conversion attribution ---------------------------------
+
+@query(
+    "q_attribution",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, value,
+             first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_touch,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch
+      FROM events)
+    SELECT COALESCE(first_touch, 'direct') AS first_touch,
+           COALESCE(last_touch, 'direct') AS last_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(SUM(value), 2) AS attributed_value
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: credit each purchase to the FIRST and LAST
+    non-purchase touchpoint that preceded it in the user's event stream
+    (purchases with no prior touch are 'direct'). The carry is two
+    IGNORE-NULLS window reads over the same (user_id; ts, event_id)
+    sort — the first/last_value-with-gaps idiom that lag() cannot express
+    when the lookback distance is unbounded and conditional.
+
+    Scale shape: both windows and the grouping share one exchange on
+    user_id; the frame is running (UNBOUNDED PRECEDING .. 1 PRECEDING) so
+    Spark evaluates it in a single forward pass per partition — no
+    re-scan per row. Output is the touch-grid (channels x channels), tiny
+    by construction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    conv = seq.filter(F.col("event_type") == "purchase")
+    return conv.groupBy(
+        F.coalesce("first_touch", F.lit("direct")).alias("first_touch"),
+        F.coalesce("last_touch", F.lit("direct")).alias("last_touch"),
+    ).agg(
+        F.count("*").alias("n_conversions"),
+        F.round(F.sum("value"), 2).alias("attributed_value"),
+    )
+
+
+# --- time-series gap interpolation -------------------------------------------
+
+@query(
+    "q_interpolate_gaps",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CASE WHEN dayofmonth(CAST(ts AS DATE)) % 3 = 0 THEN NULL
+                  ELSE ROUND(AVG(value), 6) END AS v
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    nb AS (
+      SELECT event_type, day, v,
+             last_value(v IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+             first_value(v IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+      FROM daily)
+    SELECT event_type, day,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * CAST(date_diff('day', pd, day) AS DOUBLE)
+                                 / CAST(date_diff('day', pd, nd) AS DOUBLE)
+           END, 6) AS value,
+           v IS NULL AS interpolated
+    FROM nb
+    """,
+)
+def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap repair: linearly interpolate missing points in a
+    per-type daily series from the nearest observed neighbors on each
+    side (leading/trailing gaps take the single available neighbor). The
+    gap mask here is deterministic (every day-of-month divisible by 3)
+    so both engines repair identical holes; in production the nulls come
+    from the data.
+
+    Spark-first shape: prev/next carries are four IGNORE-NULLS window
+    reads over ONE (event_type; day) sort — two running frames forward,
+    two mirrored frames backward over the same exchange — then the
+    interpolation is pure codegen arithmetic on day offsets. Series
+    cardinality after the daily pre-agg is #types x #days, so window
+    state is tiny no matter how large the raw event stream is.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    daily = ev.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.round(F.avg("value"), 6).alias("raw_v")
+    )
+    masked = daily.select(
+        "event_type",
+        "day",
+        F.when(F.dayofmonth("day") % 3 == 0, F.lit(None)).otherwise(
+            F.col("raw_v")
+        ).alias("v"),
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    nb = masked.select(
+        "event_type",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(back).alias("pd"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * F.datediff("day", "pd").cast("double")
+            / F.datediff("nd", "pd").cast("double")
+        )
+    )
+    return nb.select(
+        "event_type",
+        "day",
+        F.round(filled, 6).alias("value"),
+        F.col("v").isNull().alias("interpolated"),
+    )

@@ -144,3 +144,21 @@ def test_bpe_pairs_aggregate_before_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_attribution_single_window_pass(spark):
+    # first-touch and last-touch carries fuse into ONE Window operator
+    # over one (user_id; ts, event_id) sort; the only other exchange is
+    # the tiny final grid aggregation
+    plan = plan_of(spark, "q_attribution")
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_interpolate_gaps_single_window_pass(spark):
+    # all four neighbor carries (prev/next value and day) evaluate in ONE
+    # Window operator — the forward and mirrored frames share the
+    # (event_type; day) sort; exchanges: daily pre-agg + window partition
+    plan = plan_of(spark, "q_interpolate_gaps")
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
