@@ -900,3 +900,60 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.groupBy("l_returnflag", "measure").agg(
         F.round(F.avg("val"), 4).alias("avg_val"), F.count("*").alias("n")
     )
+
+
+# --- top navigation paths (ordered aggregation) ------------------------------
+
+@query(
+    "q_top_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS step
+      FROM events),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY step) AS path
+      FROM seq WHERE step <= 5 GROUP BY user_id)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 25
+    """,
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top navigation paths: each user's first five events joined into an
+    ordered 'view>click>purchase' path string, then the most common paths
+    — the product-analytics "how do users actually move" query. This pins
+    the ORDERED-AGGREGATION capability: Spark's collect_list has no ORDER
+    BY and is assembly-order-nondeterministic, so the engine sorts
+    explicitly — collect structs of (step, type), array_sort on the
+    step (total order), then project and join. The oracle is DuckDB's
+    native `string_agg(... ORDER BY)`; both engines must emit identical
+    strings, which only happens if the ordering is genuinely total.
+
+    Scale shape: row_number + the grouped collect share one exchange on
+    user_id (pinned in test_plan_quality); the early `step <= 5` filter
+    caps every user's grouped state at 5 tiny structs, and the top-25 is
+    TakeOrderedAndProject over the path counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("step"),
+    ).filter(F.col("step") <= 5)
+    paths = seq.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("step", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count("*").alias("n_users"))
+    from hive_json_spark.operators.relational import top_k
+
+    return top_k(counts, [F.col("n_users").desc(), F.col("path")], 25)

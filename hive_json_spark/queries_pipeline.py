@@ -762,3 +762,82 @@ def q_text_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("norm"), 6).alias("avg_norm"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# --- golden-record survivorship after near-dup clustering --------------------
+
+@query(
+    "q_survivorship",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM (SELECT doc_id, lang, source,
+                   list_distinct(string_split(text, ' ')) AS tok FROM documents) a
+      JOIN (SELECT doc_id, lang, source,
+                   list_distinct(string_split(text, ' ')) AS tok FROM documents) b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.tok, b.tok))) >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src),
+    comp AS (SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+             FROM reach GROUP BY node),
+    everyone AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+    ranked AS (
+      SELECT cluster_id, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+      FROM everyone)
+    SELECT cluster_id, doc_id AS survivor_id, n_chars AS survivor_chars,
+           n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship: after near-dup clustering, elect ONE
+    surviving document per cluster by a deterministic rule (most content
+    = highest n_chars, ties to the smallest doc_id) — the master-data-
+    management step that turns "these rows are the same thing" into "keep
+    this one". Singletons (docs in no near-dup pair) survive as their own
+    cluster via the left join + coalesce, so the output is a complete
+    keep-list for the corpus.
+
+    Scale shape: clustering is the iterative min-label propagation of
+    q_dedup_clusters (localCheckpoint per round); the election is one
+    row_number window and the member count rides the same cluster_id
+    partitioning. The oracle closes the identical graph with a recursive
+    CTE and runs the identical window — both engines elect the same rows.
+    """
+    from hive_json_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", ["lang", "source"], 0.5)
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"))
+    everyone = (
+        docs.select("doc_id", "n_chars")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    wp = Window.partitionBy("cluster_id")
+    ranked = everyone.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(wp.orderBy(F.desc("n_chars"), "doc_id"))
+        .alias("rn"),
+        F.count("*").over(wp).alias("n_members"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("survivor_id"),
+        F.col("n_chars").alias("survivor_chars"),
+        "n_members",
+    )

@@ -162,3 +162,14 @@ def test_interpolate_gaps_single_window_pass(spark):
     plan = plan_of(spark, "q_interpolate_gaps")
     assert plan.count("Window") == 1
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_top_paths_group_limit_before_shuffle(spark):
+    # the step<=5 filter compiles to a partial (map-side) WindowGroupLimit
+    # so each user's events are pruned to 5 BEFORE crossing the exchange,
+    # and the ordered collect rides the window's user_id partitioning —
+    # exchanges: window + path-count agg only; top-25 short-circuits
+    plan = plan_of(spark, "q_top_paths")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "TakeOrderedAndProject" in plan
