@@ -957,3 +957,89 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_json_spark.operators.relational import top_k
 
     return top_k(counts, [F.col("n_users").desc(), F.col("path")], 25)
+
+
+# --- A/B experiment readout (Welch's t) --------------------------------------
+
+@query(
+    "q_ab_test",
+    """
+    WITH assigned AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             user_id, event_type, value
+      FROM events),
+    per_user AS (
+      SELECT variant, user_id,
+             SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+               AS revenue,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM assigned GROUP BY variant, user_id),
+    stats AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             AVG(revenue) AS mean_rev,
+             var_samp(revenue) AS var_rev,
+             AVG(CAST(converted AS DOUBLE)) AS conv_rate
+      FROM per_user GROUP BY variant)
+    SELECT a.n_users AS n_a, b.n_users AS n_b,
+           ROUND(a.mean_rev, 6) AS mean_rev_a,
+           ROUND(b.mean_rev, 6) AS mean_rev_b,
+           ROUND(a.conv_rate, 6) AS conv_a,
+           ROUND(b.conv_rate, 6) AS conv_b,
+           ROUND((a.mean_rev - b.mean_rev)
+                 / SQRT(a.var_rev / a.n_users + b.var_rev / b.n_users), 6)
+             AS welch_t
+    FROM stats a JOIN stats b ON a.variant = 'A' AND b.variant = 'B'
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic variant assignment (stable
+    user-id hash, never rand() — re-runs and engine swaps must bucket
+    identically), per-user revenue/conversion rollup, then per-variant
+    means, sample variances, conversion rates, and Welch's t statistic
+    for the revenue difference — the experimentation-platform summary
+    query.
+
+    Scale shape: two cascaded aggregations (events->users->variants);
+    the first shuffles on (variant, user_id) with map-side partials, the
+    second reduces to 2 rows. The final self-join is on a 2-row frame —
+    broadcast by AQE trivially. Welch over pre-aggregated moments means
+    no second pass over the data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    per_user = assigned.groupBy("variant", "user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("revenue"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    stats = per_user.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.avg("revenue").alias("mean_rev"),
+        F.var_samp("revenue").alias("var_rev"),
+        F.avg(F.col("converted").cast("double")).alias("conv_rate"),
+    )
+    a = stats.filter(F.col("variant") == "A").alias("a")
+    b = stats.filter(F.col("variant") == "B").alias("b")
+    t = (F.col("a.mean_rev") - F.col("b.mean_rev")) / F.sqrt(
+        F.col("a.var_rev") / F.col("a.n_users")
+        + F.col("b.var_rev") / F.col("b.n_users")
+    )
+    return a.crossJoin(b).select(
+        F.col("a.n_users").alias("n_a"),
+        F.col("b.n_users").alias("n_b"),
+        F.round("a.mean_rev", 6).alias("mean_rev_a"),
+        F.round("b.mean_rev", 6).alias("mean_rev_b"),
+        F.round("a.conv_rate", 6).alias("conv_a"),
+        F.round("b.conv_rate", 6).alias("conv_b"),
+        F.round(t, 6).alias("welch_t"),
+    )

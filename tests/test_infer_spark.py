@@ -270,3 +270,36 @@ def test_infer_schema_by_group_tolerates_corrupt(spark):
     }
     assert rows["a"] == ("struct<x:tinyint>", 1, 1)
     assert rows["b"] == ("struct<x:string>", 1, 0)
+
+
+def test_write_table_format_matrix_roundtrip(spark, tmp_path):
+    """Source/sink matrix: the same frame round-trips through every
+    locally-available columnar/row format (parquet+zstd, orc+zlib,
+    json+gzip, csv+gzip) with values intact. CSV/JSON lose type
+    fidelity by design (schema-on-read), so those re-reads supply the
+    writer's schema — the engine's documented contract for text formats."""
+    from hive_json_spark.sources.tables import write_table
+    from tests.conftest import SF_DIR
+
+    df = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(200)
+    )
+    expect = sorted(map(tuple, df.collect()))
+    cases = [
+        ("parquet", "zstd", False),
+        ("orc", "zlib", False),
+        ("json", "gzip", True),
+        ("csv", "gzip", True),
+    ]
+    for fmt, codec, needs_schema in cases:
+        p = str(tmp_path / fmt)
+        write_table(df, p, format=fmt, compression=codec)
+        reader = spark.read.format(fmt)
+        if needs_schema:
+            reader = reader.schema(df.schema)
+        if fmt == "csv":
+            reader = reader.option("header", "false")
+        got = sorted(map(tuple, reader.load(p).collect()))
+        assert got == expect, f"{fmt} roundtrip mismatch"
