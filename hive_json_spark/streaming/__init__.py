@@ -7,3 +7,4 @@ from hive_json_spark.streaming.infer_stream import (  # noqa: F401
     streaming_dedup,
 )
 from hive_json_spark.streaming.rollup import continuous_rollup  # noqa: F401
+from hive_json_spark.streaming.merge import streaming_merge_upsert  # noqa: F401

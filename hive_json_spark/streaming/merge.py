@@ -1,0 +1,106 @@
+"""Streaming CDC apply: maintain a keyed snapshot table from a changelog
+stream with upsert/delete semantics — the incremental materialization of
+`q_merge_upsert` (queries_quality.py), run per micro-batch instead of as
+one full-corpus fold.
+
+Scale design (mirrors continuous_rollup's partition-pruned merge):
+
+- The snapshot is hash-bucketed on the key into ``n_buckets`` hive
+  partitions (``bucket = pmod(hash(key), n)``). A micro-batch only reads
+  and rewrites the buckets its keys touch (dynamic partition overwrite);
+  a 100 TB snapshot with a 1 GB batch rewrites ~batch-sized data, not
+  the table. Bucket count is chosen per deployment: buckets ~ snapshot
+  bytes / healthy-file-size.
+- Within a batch, the LAST change per key wins (ranked by a monotonic
+  sequence column — CDC streams carry one; ties would be a producer
+  bug). Replayed batches are idempotent: applying the same net change
+  twice yields the same snapshot, so checkpoint restarts are safe.
+- State never lives in the streaming engine — the table IS the state,
+  exactly like the reference's schema accumulator is the only state of
+  its streaming scan (`JsonSchemaFinder.java:240-245`): bounded by the
+  result, not the stream.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.utils import AnalysisException
+
+
+def streaming_merge_upsert(
+    stream: DataFrame,
+    key_col: str,
+    op_col: str,
+    seq_col: str,
+    payload_cols: Sequence[str],
+    out_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+):
+    """Start an availableNow stream folding a changelog into ``out_dir``.
+
+    ``op_col`` values: 'U' (upsert — insert or overwrite) and 'D'
+    (delete). Returns the StreamingQuery; callers ``awaitTermination()``.
+    """
+    payload_cols = list(payload_cols)
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(key_col).orderBy(F.col(seq_col).desc())
+        net = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(key_col, op_col, *payload_cols)
+            .withColumn("bucket", F.pmod(F.hash(key_col), F.lit(n_buckets)))
+        )
+        buckets = [r["bucket"] for r in net.select("bucket").distinct().collect()]
+        if not buckets:
+            return
+        snap_cols = [key_col, *payload_cols, "bucket"]
+        try:
+            existing = spark.read.parquet(out_dir).filter(
+                F.col("bucket").isin(buckets)
+            )
+        except AnalysisException:  # first batch: snapshot does not exist yet
+            existing = spark.createDataFrame(
+                [], net.select(snap_cols).schema
+            )
+        chg = net.select(
+            F.col(key_col).alias("_k"),
+            F.col(op_col).alias("_op"),
+            *[F.col(c).alias(f"_new_{c}") for c in payload_cols],
+            F.col("bucket").alias("_bucket"),
+        )
+        joined = existing.join(
+            chg, existing[key_col] == chg["_k"], "full_outer"
+        )
+        merged = (
+            joined.filter(
+                F.col("_op").isNull() | (F.col("_op") == "U")
+            )  # drop matched deletes; D on absent key is a no-op
+            .select(
+                F.coalesce(F.col(key_col), F.col("_k")).alias(key_col),
+                *[
+                    F.when(F.col("_op") == "U", F.col(f"_new_{c}"))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    for c in payload_cols
+                ],
+                F.coalesce(F.col("bucket"), F.col("_bucket")).alias("bucket"),
+            )
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -5,7 +5,7 @@ import json
 
 import pytest
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 
 def test_streaming_inference_matches_batch(spark, tmp_path):
@@ -284,3 +284,55 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
         for u in all_users
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_merge_upsert_matches_batch_fold(spark, sf_dir, tmp_path):
+    """Incremental CDC apply == one-shot fold: stream a changelog in two
+    micro-batches through streaming_merge_upsert, then replay the same
+    changelog as a single batch fold (last-op-per-key wins) and compare
+    snapshots. Also pins delete semantics and within-batch seq ordering."""
+    from hive_json_spark.sources import load_table
+    from hive_json_spark.streaming import streaming_merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").limit(500)
+    # synthesize a deterministic changelog: two "days" of changes; some
+    # keys upserted twice (seq decides), some deleted after insert
+    chg = orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 97).alias("seq"),
+        F.when(F.col("o_orderkey") % 7 == 0, "D").otherwise("U").alias("op"),
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+    )
+    # second wave revisits a third of the keys with a higher sequence:
+    # some overwritten with a new price, some deleted after insert — the
+    # cross-batch and within-batch last-op-wins paths both get exercised
+    wave2 = chg.filter(F.col("k") % 3 == 0).select(
+        "k",
+        (F.col("seq") + 1000).alias("seq"),
+        F.when(F.col("k") % 5 == 0, "D").otherwise("U").alias("op"),
+        F.round(F.col("price") * 2, 2).alias("price"),
+    )
+    chg = chg.unionByName(wave2)
+    src = str(tmp_path / "chg")
+    chg.filter(F.col("seq") < 1000).coalesce(1).write.parquet(src)
+    wave2.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "snap")
+    stream = (
+        spark.readStream.schema(chg.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = streaming_merge_upsert(
+        stream, "k", "op", "seq", ["price"], out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    expected = (
+        chg.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select("k", "price")
+    )
+    got = spark.read.parquet(out).select("k", "price")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
