@@ -634,3 +634,312 @@ def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(filled, 6).alias("value"),
         F.col("v").isNull().alias("interpolated"),
     )
+
+
+# --- declarative data-quality constraint audit -------------------------------
+
+@query(
+    "q_dq_constraints",
+    """
+    WITH dup AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)),
+    nn AS (
+      SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n FROM orders),
+    av AS (
+      SELECT CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1
+                           ELSE 0 END) AS BIGINT) AS n FROM orders),
+    rng AS (
+      SELECT CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n FROM orders),
+    fk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey))
+    SELECT 'unique:o_orderkey' AS constraint, n AS n_violations FROM dup
+    UNION ALL SELECT 'not_null:o_custkey', n FROM nn
+    UNION ALL SELECT 'accepted_values:o_orderstatus', n FROM av
+    UNION ALL SELECT 'range:o_totalprice>0', n FROM rng
+    UNION ALL SELECT 'fk:o_custkey->customer', n FROM fk
+    """,
+)
+def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint audit (the dbt-test / Deequ
+    surface): uniqueness, not-null, accepted-values, numeric-range, and
+    referential constraints evaluated in one pass each, emitting a
+    (constraint, n_violations) scoreboard a pipeline gate can assert on.
+
+    Scale shape: the three row-local checks (not-null / accepted-values /
+    range) fuse into ONE aggregate over ONE scan of the fact table;
+    uniqueness is a groupBy on the key (map-side combined — the duplicate
+    frame is empty in the healthy case); the FK check is a left anti join
+    against the parent's pruned key column (broadcast for dimension-sized
+    parents, AQE otherwise). Nothing ever materializes violating rows —
+    counts only — so the audit output is O(#constraints).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    rowlocal = orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nn"),
+        F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("av"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("rng"),
+    )
+    dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").alias("n"))
+    )
+    fk = (
+        orders.select("o_custkey")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n"))
+    )
+
+    def labeled(df, label, col):
+        return df.select(
+            F.lit(label).alias("constraint"), F.col(col).alias("n_violations")
+        )
+
+    return (
+        labeled(dup, "unique:o_orderkey", "n")
+        .unionByName(labeled(rowlocal, "not_null:o_custkey", "nn"))
+        .unionByName(labeled(rowlocal, "accepted_values:o_orderstatus", "av"))
+        .unionByName(labeled(rowlocal, "range:o_totalprice>0", "rng"))
+        .unionByName(labeled(fk, "fk:o_custkey->customer", "n"))
+    )
+
+
+# --- distribution drift (population stability index) -------------------------
+
+@query(
+    "q_distribution_drift",
+    """
+    WITH halves AS (
+      SELECT event_type,
+             CASE WHEN dayofmonth(CAST(ts AS DATE)) <= 15 THEN 'ref'
+                  ELSE 'cur' END AS half
+      FROM events),
+    counts AS (
+      SELECT event_type, half, CAST(COUNT(*) AS BIGINT) AS n
+      FROM halves GROUP BY event_type, half),
+    dist AS (
+      SELECT event_type, half,
+             n / SUM(n) OVER (PARTITION BY half) AS p
+      FROM counts)
+    SELECT r.event_type,
+           ROUND(r.p, 6) AS p_ref,
+           ROUND(c.p, 6) AS p_cur,
+           ROUND((c.p - r.p) * LN(c.p / r.p), 6) AS psi_term
+    FROM dist r JOIN dist c
+      ON r.event_type = c.event_type AND r.half = 'ref' AND c.half = 'cur'
+    """,
+)
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift monitoring: the population stability index
+    between a reference window (days 1-15) and a current window (rest of
+    month) of the event-type distribution — the standard "did my input
+    distribution shift" gate on ML ingest pipelines (PSI > 0.2 = act).
+    Per-category terms are returned so the alert can name the shifted
+    category; the total PSI is their sum.
+
+    Scale shape: the raw stream collapses to |categories| x 2 counts in
+    one map-side-combined aggregate; the share computation and the
+    ref-vs-cur self-join all happen on that tiny frame, so drift
+    monitoring costs one scan regardless of corpus size. The same plan
+    runs windowed under Structured Streaming for continuous monitoring.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    halves = ev.select(
+        "event_type",
+        F.when(F.dayofmonth(F.to_date("ts")) <= 15, "ref")
+        .otherwise("cur")
+        .alias("half"),
+    )
+    counts = halves.groupBy("event_type", "half").agg(F.count("*").alias("n"))
+    dist = counts.select(
+        "event_type",
+        "half",
+        (F.col("n") / F.sum("n").over(Window.partitionBy("half"))).alias("p"),
+    )
+    r = dist.filter(F.col("half") == "ref").select(
+        "event_type", F.col("p").alias("p_ref")
+    )
+    c = dist.filter(F.col("half") == "cur").select(
+        F.col("event_type").alias("c_event_type"), F.col("p").alias("p_cur")
+    )
+    j = r.join(c, r.event_type == c.c_event_type)
+    return j.select(
+        "event_type",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round(
+            (F.col("p_cur") - F.col("p_ref"))
+            * F.log(F.col("p_cur") / F.col("p_ref")),
+            6,
+        ).alias("psi_term"),
+    )
+
+
+# --- winsorization (outlier clipping at group percentiles) -------------------
+
+@query(
+    "q_winsorize",
+    """
+    WITH cuts AS (
+      SELECT event_type,
+             percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(e.value), 6) AS mean_raw,
+           ROUND(AVG(LEAST(GREATEST(e.value, c.lo), c.hi)), 6)
+             AS mean_winsorized,
+           CAST(SUM(CASE WHEN e.value < c.lo OR e.value > c.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN cuts c ON e.event_type = c.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each group's values at its own exact [p05, p95]
+    before averaging — the outlier-robust feature-engineering step every
+    metrics/training pipeline applies to heavy-tailed columns. Output
+    compares raw vs winsorized means and counts clipped rows per group.
+
+    Scale shape: the cut points are ONE grouped exact-percentile
+    aggregate (k rows), broadcast back onto the fact scan, so clipping is
+    a map-side LEAST/GREATEST — the corpus is scanned twice but shuffled
+    at most once (the percentile agg). The declared 100 TB variant swaps
+    percentile for approx_percentile (mergeable sketch, single pass) with
+    the clip logic unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    j = ev.join(F.broadcast(cuts), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_raw"),
+        F.round(F.avg(clipped), 6).alias("mean_winsorized"),
+        F.sum(
+            F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_clipped"),
+    )
+
+
+# --- k-anonymity privacy audit -----------------------------------------------
+
+@query(
+    "q_k_anonymity",
+    """
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM customer GROUP BY 1, 2, 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(class_size) AS BIGINT) AS k_anonymity,
+           CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below_5,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS rows_at_risk
+    FROM cls
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: bucket every record into its quasi-identifier
+    equivalence class (nation x market segment x coarse balance band) and
+    report the dataset's k (the smallest class), plus how many classes
+    and rows fall below a k=5 re-identification floor — the privacy
+    pre-flight before releasing or training on user-derived tables.
+
+    Scale shape: one hash aggregate on the quasi-identifier tuple (map-
+    side combined), then a scalar rollup of the class-size frame; nothing
+    downstream sees row-level data. Generalization (the usual fix —
+    coarser bands) is just a different bucketing expression in the same
+    plan.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    cls = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(F.count("*").alias("class_size"))
+    return cls.agg(
+        F.count("*").alias("n_classes"),
+        F.min("class_size").alias("k_anonymity"),
+        F.sum(F.when(F.col("class_size") < 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_below_5"),
+        F.sum(F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+    )
+
+
+# --- Benford first-digit audit -----------------------------------------------
+
+@query(
+    "q_benford",
+    """
+    WITH cents AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice >= 1),
+    digits AS (
+      SELECT CAST(SUBSTR(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM cents),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit)
+    SELECT digit, n,
+           ROUND(n / SUM(n) OVER (), 6) AS observed_p,
+           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_p,
+           ROUND(n / SUM(n) OVER () - LOG10(1.0 + 1.0 / digit), 6)
+             AS deviation
+    FROM obs
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals: compare the
+    observed leading-digit distribution against log10(1 + 1/d) — the
+    classic fraud / fabricated-data screen for financial columns.
+
+    Determinism across engines: the leading digit is extracted in the
+    INTEGER domain (exact cents -> decimal string -> first char), never
+    via log10/pow on doubles, whose last-ulp differences between engines
+    could flip a digit at power-of-ten boundaries. The scan collapses to
+    at most 9 digit counts in one map-side-combined aggregate; the share
+    window runs over those 9 rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return obs.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / total, 6).alias("observed_p"),
+        F.round(benford, 6).alias("benford_p"),
+        F.round(F.col("n") / total - benford, 6).alias("deviation"),
+    )

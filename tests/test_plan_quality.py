@@ -173,3 +173,20 @@ def test_top_paths_group_limit_before_shuffle(spark):
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange hashpartitioning") == 2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_winsorize_broadcasts_cut_points(spark):
+    # the per-group percentile cuts (k rows) broadcast back onto the fact
+    # scan — clipping is map-side; only the percentile agg itself shuffles
+    plan = plan_of(spark, "q_winsorize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dq_constraints_audit_is_count_only(spark):
+    # the audit never materializes violating rows: every branch ends in a
+    # count-style aggregate, the FK check broadcasts the parent key column,
+    # and no global sort appears anywhere
+    plan = plan_of(spark, "q_dq_constraints")
+    assert "BroadcastHashJoin" in plan
+    assert "Sort [" not in plan
