@@ -1,7 +1,11 @@
 """Data-quality auditing and sequence/lifecycle analytics: the queries a
 warehouse team runs to trust and segment a corpus — activity streaks
-(gaps-and-islands), slowly-changing-dimension builds, referential-integrity
-audits, RFM segmentation, and adjacent-pair (one-step-BPE) statistics.
+(gaps-and-islands), slowly-changing-dimension builds, CDC merge-apply,
+referential-integrity and declarative-constraint audits, RFM segmentation,
+sweep-line concurrency, triangle counting, marketing attribution,
+time-series gap interpolation, distribution-drift (PSI) monitoring,
+winsorization, k-anonymity and Benford privacy/fraud audits, and
+adjacent-pair (one-step-BPE) statistics.
 
 The reference (`/root/reference` hortonworks/hive-json) has no analog —
 its surface ends at schema inference + shredding (`JsonSchemaFinder.java:227-254`,
