@@ -374,3 +374,128 @@ def test_random_scalar_exprs_match_duckdb(spark, duck, seed):
     idx = [names.index(c) for c in cols]
     duck_rows = sorted(tuple(_norm(r[i]) for i in idx) for r in res.fetchall())
     assert spark_rows == duck_rows, f"seed={seed} sql={sql}"
+
+
+@pytest.mark.parametrize("seed", range(700, 710))
+def test_random_ignore_nulls_carry_matches_duckdb(spark, duck, seed):
+    """IGNORE-NULLS first/last carries over randomized null masks, value
+    columns, and frame directions — the attribution/interpolation idiom
+    (queries_quality.py) under fuzz."""
+    rnd = random.Random(seed)
+    m = rnd.randint(2, 5)
+    val = rnd.choice(["l_quantity", "l_extendedprice"])
+    func, sqlfunc = rnd.choice(
+        [(F.first, "first_value"), (F.last, "last_value")]
+    )
+    back = rnd.random() < 0.5
+    order = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    w = Window.partitionBy("l_returnflag").orderBy(*order)
+    w = (
+        w.rowsBetween(Window.unboundedPreceding, -1)
+        if back
+        else w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    frame_sql = (
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+        if back
+        else "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING"
+    )
+    masked = F.when(F.col("l_linenumber") % m != 0, F.col(val))
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+        F.col("l_orderkey") % 7 == 0
+    )
+    sdf = df.select(
+        *order, func(masked, ignorenulls=True).over(w).alias("carry")
+    )
+    sql = (
+        f"SELECT {', '.join(order)}, "
+        f"{sqlfunc}(CASE WHEN l_linenumber % {m} <> 0 THEN {val} END IGNORE NULLS) "
+        f"OVER (PARTITION BY l_returnflag ORDER BY {', '.join(order)} {frame_sql}) AS carry "
+        f"FROM lineitem WHERE l_orderkey % 7 = 0"
+    )
+    cols = sorted(sdf.columns)
+    spark_rows = sorted(tuple(_norm(row[c]) for c in cols) for row in sdf.collect())
+    res = duck.execute(sql)
+    names = [d[0] for d in res.description]
+    idx = [names.index(c) for c in cols]
+    duck_rows = sorted(tuple(_norm(r[i]) for i in idx) for r in res.fetchall())
+    assert spark_rows == duck_rows, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", range(800, 810))
+def test_random_full_outer_join_matches_duckdb(spark, duck, seed):
+    """Full-outer joins of two randomly-filtered aggregates — the CDC
+    merge shape (q_merge_upsert) under fuzz: unmatched-left,
+    unmatched-right, and matched rows all appear with correct nulls."""
+    rnd = random.Random(seed)
+    a_mod, a_r = rnd.randint(2, 5), 0
+    b_mod, b_r = rnd.randint(2, 5), 1
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    left = (
+        orders.filter(F.col("o_orderkey") % a_mod == a_r)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_a"))
+    )
+    right = (
+        orders.filter(F.col("o_orderkey") % b_mod == b_r)
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.count("*").alias("n_b"))
+    )
+    sdf = left.join(right, left.o_custkey == right.ck, "full_outer").select(
+        F.coalesce("o_custkey", "ck").alias("custkey"), "n_a", "n_b"
+    )
+    sql = f"""
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey, a.n_a, b.n_b
+    FROM (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_a FROM orders
+          WHERE o_orderkey % {a_mod} = {a_r} GROUP BY o_custkey) a
+    FULL OUTER JOIN
+         (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_b FROM orders
+          WHERE o_orderkey % {b_mod} = {b_r} GROUP BY o_custkey) b
+      ON a.o_custkey = b.o_custkey
+    """
+    cols = sorted(sdf.columns)
+    spark_rows = sorted(tuple(_norm(row[c]) for c in cols) for row in sdf.collect())
+    res = duck.execute(sql)
+    names = [d[0] for d in res.description]
+    idx = [names.index(c) for c in cols]
+    duck_rows = sorted(tuple(_norm(r[i]) for i in idx) for r in res.fetchall())
+    assert spark_rows == duck_rows, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", range(900, 910))
+def test_random_ordered_agg_matches_duckdb(spark, duck, seed):
+    """Ordered string aggregation under randomized order keys, payload
+    columns, and delimiters — q_top_paths' total-order collect idiom:
+    Spark's array_sort(collect_list(struct)) must equal DuckDB's native
+    string_agg(... ORDER BY) exactly."""
+    rnd = random.Random(seed)
+    okeys = rnd.choice(
+        [("o_orderdate", "o_orderkey"), ("o_totalprice", "o_orderkey")]
+    )
+    val = rnd.choice(["o_orderstatus", "o_orderpriority"])
+    delim = rnd.choice(["|", ">", ","])
+    mod = rnd.randint(7, 13)
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        F.col("o_custkey") % mod == 0
+    )
+    sdf = orders.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(*okeys, val))),
+                lambda s: s[val],
+            ),
+            delim,
+        ).alias("agg_str")
+    )
+    sql = (
+        f"SELECT o_custkey, string_agg({val}, '{delim}' "
+        f"ORDER BY {', '.join(okeys)}) AS agg_str "
+        f"FROM orders WHERE o_custkey % {mod} = 0 GROUP BY o_custkey"
+    )
+    cols = sorted(sdf.columns)
+    spark_rows = sorted(tuple(_norm(row[c]) for c in cols) for row in sdf.collect())
+    res = duck.execute(sql)
+    names = [d[0] for d in res.description]
+    idx = [names.index(c) for c in cols]
+    duck_rows = sorted(tuple(_norm(r[i]) for i in idx) for r in res.fetchall())
+    assert spark_rows == duck_rows, f"seed={seed}"
