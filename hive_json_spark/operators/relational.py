@@ -280,3 +280,59 @@ def bloom_semi_join(
         pruned[left_key] == F.col(right_key),
         "left_semi",
     )
+
+
+def merge_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    *,
+    op_col: str = "op",
+    seq_col: str | None = None,
+    upsert_ops: Sequence[str] = ("U", "I"),
+    delete_op: str = "D",
+) -> DataFrame:
+    """Fold a CDC changelog into a base snapshot (MERGE semantics) in one
+    full-outer join: matched upserts overwrite, matched deletes drop,
+    unmatched upserts insert, deletes of absent keys are no-ops. Payload
+    columns are taken positionally from the non-key/op/seq columns shared
+    by both frames.
+
+    If ``seq_col`` is given, the LAST change per key (highest seq) wins
+    first — changelogs with multiple entries per key need the monotonic
+    sequence every CDC stream carries; without it the changelog must be
+    one-row-per-key (enforced cheaply downstream by the join exploding on
+    duplicates).
+
+    Scale: one shuffle of each side on the key (the base side's exchange
+    disappears against a bucketed base table); AQE handles skewed keys.
+    Streaming (micro-batch, bucket-pruned IO) variant:
+    `streaming.merge.streaming_merge_upsert`. The inverse (snapshot pair
+    -> changelog) is `q_snapshot_diff`'s row-hash full-outer diff.
+    """
+    payload = [c for c in base.columns if c != key]
+    if seq_col is not None:
+        w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+        changes = (
+            changes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    chg = changes.select(
+        F.col(key).alias("_k"),
+        F.col(op_col).alias("_op"),
+        *[F.col(c).alias(f"_new_{c}") for c in payload],
+    )
+    joined = base.join(chg, base[key] == chg["_k"], "full_outer")
+    upsert = F.col("_op").isin(*upsert_ops)
+    # keep untouched base rows and upserts (matched = overwrite, unmatched
+    # = insert); any delete op — matched or not — is excluded here, which
+    # drops matched rows and makes deletes of absent keys no-ops
+    kept = joined.filter(F.col("_op").isNull() | upsert)
+    return kept.select(
+        F.coalesce(F.col(key), F.col("_k")).alias(key),
+        *[
+            F.when(upsert, F.col(f"_new_{c}")).otherwise(F.col(c)).alias(c)
+            for c in payload
+        ],
+    )

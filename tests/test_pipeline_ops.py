@@ -471,3 +471,44 @@ def test_kmeans_assign_is_true_argmin(spark, sf_dir):
     want = {r.vec_id: uniq[int(i)] for r, i in zip(emb, d2.argmin(axis=1))}
     got = {r.vec_id: r.assigned for r in q_kmeans_assign(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_merge_changelog_semantics(spark):
+    """MERGE routing table, pinned case by case: matched-U overwrites,
+    matched-D drops, unmatched-U/I inserts, unmatched-D is a no-op,
+    untouched base rows survive; with seq_col the last change per key
+    wins within the changelog."""
+    from hive_json_spark.operators.relational import merge_changelog
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "U", "b2", 10),   # matched update
+            (3, "D", None, 10),   # matched delete
+            (5, "I", "e", 10),    # unmatched insert
+            (6, "D", None, 10),   # unmatched delete: no-op
+            (1, "U", "a-old", 10),
+            (1, "U", "a-new", 20),  # same key, higher seq wins
+        ],
+        ["k", "op", "v", "seq"],
+    )
+    got = sorted(
+        map(tuple, merge_changelog(base, changes, "k", seq_col="seq").collect())
+    )
+    assert got == [(1, "a-new"), (2, "b2"), (4, "d"), (5, "e")]
+
+
+def test_merge_changelog_is_idempotent(spark):
+    """Applying the same changelog twice yields the same snapshot —
+    the property that makes checkpoint-replayed CDC batches safe."""
+    from hive_json_spark.operators.relational import merge_changelog
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "x"])
+    chg = spark.createDataFrame(
+        [(1, "U", 11.0), (2, "D", None), (3, "U", 30.0)], ["k", "op", "x"]
+    )
+    once = merge_changelog(base, chg, "k")
+    twice = merge_changelog(once, chg, "k")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
