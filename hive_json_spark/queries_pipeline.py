@@ -841,3 +841,74 @@ def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("survivor_chars"),
         "n_members",
     )
+
+
+# --- int8 embedding quantization (reconstruction-error audit) ----------------
+
+@query(
+    "q_embedding_quantize",
+    """
+    WITH v AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (
+      SELECT label, e, list_min(e) AS lo,
+             (list_max(e) - list_min(e)) / 255.0 AS scale
+      FROM v),
+    err AS (
+      SELECT label, scale,
+             CASE WHEN scale = 0 THEN 0.0
+                  ELSE list_sum(list_transform(e,
+                         x -> abs(x - (lo + round((x - lo) / scale) * scale))))
+                       / len(e) END AS mae
+      FROM q)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(scale), 6) AS avg_scale,
+           ROUND(AVG(mae), 8) AS avg_mae,
+           ROUND(MAX(mae), 8) AS max_mae
+    FROM err GROUP BY label
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 affine quantization audit: quantize every embedding per-vector
+    (scale = range/255, zero point = min), reconstruct, and report the
+    mean/max absolute reconstruction error per label — the memory-vs-
+    recall trade every billion-vector ANN deployment measures before
+    shipping 4x-smaller indexes.
+
+    All math is JVM higher-order kernels (transform / aggregate lambdas
+    in codegen) — no Python touches the vectors; the per-vector fold is
+    a fixed left-to-right order so both engines produce bit-identical
+    doubles before the (tolerance-rounded) averages. Constant vectors
+    (scale 0) reconstruct exactly by definition.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    v = emb.select("label", e.alias("e"))
+    lo = F.array_min("e")
+    scale = (F.array_max("e") - F.array_min("e")) / F.lit(255.0)
+    q = v.select("label", "e", lo.alias("lo"), scale.alias("scale"))
+    recon_sum = F.aggregate(
+        "e",
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.abs(
+            x
+            - (
+                F.col("lo")
+                + F.round((x - F.col("lo")) / F.col("scale")) * F.col("scale")
+            )
+        ),
+    )
+    err = q.select(
+        "label",
+        "scale",
+        F.when(F.col("scale") == 0, F.lit(0.0))
+        .otherwise(recon_sum / F.size("e"))
+        .alias("mae"),
+    )
+    return err.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("scale"), 6).alias("avg_scale"),
+        F.round(F.avg("mae"), 8).alias("avg_mae"),
+        F.round(F.max("mae"), 8).alias("max_mae"),
+    )
