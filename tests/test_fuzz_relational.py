@@ -499,3 +499,77 @@ def test_random_ordered_agg_matches_duckdb(spark, duck, seed):
     idx = [names.index(c) for c in cols]
     duck_rows = sorted(tuple(_norm(r[i]) for i in idx) for r in res.fetchall())
     assert spark_rows == duck_rows, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", range(1000, 1010))
+def test_random_grouped_percentile_matches_duckdb(spark, duck, seed):
+    """Exact interpolated percentiles at random probabilities and group
+    keys — Spark percentile() vs DuckDB percentile_cont(): linear
+    interpolation between order statistics must agree to 6 significant
+    digits for arbitrary p."""
+    rnd = random.Random(seed)
+    p = round(rnd.uniform(0.05, 0.95), 3)
+    grp = rnd.choice(["l_returnflag", "l_linestatus"])
+    val = rnd.choice(["l_quantity", "l_extendedprice", "l_discount"])
+    mod = rnd.randint(3, 9)
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+        F.col("l_orderkey") % mod == 0
+    )
+    sdf = df.groupBy(grp).agg(
+        F.round(F.percentile(val, F.lit(p)), 6).alias("pct")
+    )
+    sql = (
+        f"SELECT {grp}, ROUND(percentile_cont({p}) WITHIN GROUP (ORDER BY {val}), 6)"
+        f" AS pct FROM lineitem WHERE l_orderkey % {mod} = 0 GROUP BY {grp}"
+    )
+    cols = sorted(sdf.columns)
+    spark_rows = sorted(tuple(_norm(row[c]) for c in cols) for row in sdf.collect())
+    res = duck.execute(sql)
+    names = [d[0] for d in res.description]
+    idx = [names.index(c) for c in cols]
+    duck_rows = sorted(tuple(_norm(r[i]) for i in idx) for r in res.fetchall())
+    assert spark_rows == duck_rows, f"seed={seed} p={p}"
+
+
+# date-expression pairs with identical semantics in both engines; the
+# divergent ones (dayofweek numbering) are handled by the engine's scalar
+# pack with explicit mappings, not fuzzed blind
+DATE_EXPRS = [
+    ("m_trunc", lambda c: F.date_trunc("month", c).cast("date"),
+     "CAST(date_trunc('month', {c}) AS DATE)"),
+    ("y_trunc", lambda c: F.date_trunc("year", c).cast("date"),
+     "CAST(date_trunc('year', {c}) AS DATE)"),
+    ("plus_d", lambda c: F.date_add(c.cast("date"), 17),
+     "CAST({c} AS DATE) + 17"),
+    ("lday", lambda c: F.last_day(c),
+     "last_day(CAST({c} AS DATE))"),
+    ("mth", lambda c: F.month(c).cast("bigint"), "CAST(month({c}) AS BIGINT)"),
+    ("qtr", lambda c: F.quarter(c).cast("bigint"), "CAST(quarter({c}) AS BIGINT)"),
+    ("yr", lambda c: F.year(c).cast("bigint"), "CAST(year({c}) AS BIGINT)"),
+]
+
+
+@pytest.mark.parametrize("seed", range(1100, 1110))
+def test_random_date_exprs_match_duckdb(spark, duck, seed):
+    rnd = random.Random(seed)
+    picked = rnd.sample(DATE_EXPRS, rnd.randint(2, 4))
+    mod = rnd.randint(3, 9)
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        F.col("o_orderkey") % mod == 0
+    )
+    sel = [F.col("o_orderkey")]
+    sql_cols = ["o_orderkey"]
+    for name, fn, sql_t in picked:
+        sel.append(fn(F.col("o_orderdate")).alias(name))
+        sql_cols.append(sql_t.format(c="o_orderdate") + f" AS {name}")
+    sdf = df.select(*sel)
+    sql = (
+        f"SELECT {', '.join(sql_cols)} FROM orders WHERE o_orderkey % {mod} = 0"
+    )
+    cols = sorted(sdf.columns)
+    spark_rows = sorted(tuple(_norm(row[c]) for c in cols) for row in sdf.collect())
+    res = duck.execute(sql)
+    names = [d[0] for d in res.description]
+    idx = [names.index(c) for c in cols]
+    duck_rows = sorted(tuple(_norm(r[i]) for i in idx) for r in res.fetchall())
+    assert spark_rows == duck_rows, f"seed={seed}"
