@@ -1,0 +1,82 @@
+"""Streaming distribution-drift monitor: maintain the population
+stability index of a categorical stream against a fixed reference
+distribution, updated every micro-batch — the continuous version of
+`q_distribution_drift` (queries_quality.py).
+
+State is the cumulative per-category count table (|categories| rows —
+KB-sized no matter how large the stream), kept as a parquet table the
+same way continuous_rollup keeps its aggregate: the table IS the state,
+so checkpoint restarts replay idempotently (counts are re-added per
+batch exactly once by the streaming engine's offset tracking). Each
+batch rewrites the |categories|-row counts and psi tables — O(k) IO per
+batch regardless of stream volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.utils import AnalysisException
+
+
+def streaming_psi(
+    stream: DataFrame,
+    category_col: str,
+    ref: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Start an availableNow stream maintaining ``<out_dir>/counts`` and
+    ``<out_dir>/psi`` from a categorical stream vs the reference frame's
+    distribution of the same column. Returns the StreamingQuery.
+
+    The psi table holds one row per category seen in EITHER side:
+    (category, p_ref, p_cur, psi_term) with the standard
+    (p_cur - p_ref) * ln(p_cur / p_ref) terms; categories absent from one
+    side get a null psi_term (PSI is undefined at zero support — callers
+    alert on nulls separately, the usual practice).
+    """
+    counts_dir = f"{out_dir}/counts"
+    psi_dir = f"{out_dir}/psi"
+    ref_counts = (
+        ref.groupBy(F.col(category_col).alias("category"))
+        .agg(F.count("*").alias("n_ref"))
+    )
+
+    def update(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = (
+            batch_df.groupBy(F.col(category_col).alias("category"))
+            .agg(F.count("*").alias("n"))
+        )
+        try:
+            existing = spark.read.parquet(counts_dir)
+            merged = (
+                existing.unionByName(part)
+                .groupBy("category")
+                .agg(F.sum("n").alias("n"))
+            )
+        except AnalysisException:
+            merged = part
+        merged = merged.collect()  # |categories| rows — driver-sized
+        spark.createDataFrame(merged, "category string, n bigint").coalesce(
+            1
+        ).write.mode("overwrite").parquet(counts_dir)
+
+        cur = spark.read.parquet(counts_dir)
+        joined = ref_counts.join(cur, "category", "full_outer")
+        p_ref = F.col("n_ref") / F.sum("n_ref").over(Window.partitionBy())
+        p_cur = F.col("n") / F.sum("n").over(Window.partitionBy())
+        psi = joined.select(
+            "category",
+            F.round(p_ref, 6).alias("p_ref"),
+            F.round(p_cur, 6).alias("p_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+        )
+        psi.coalesce(1).write.mode("overwrite").parquet(psi_dir)
+
+    return (
+        stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -336,3 +336,57 @@ def test_streaming_merge_upsert_matches_batch_fold(spark, sf_dir, tmp_path):
     )
     got = spark.read.parquet(out).select("k", "price")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_streaming_psi_matches_batch_psi(spark, sf_dir, tmp_path):
+    """Incremental PSI == one-shot PSI: stream the 'current' window in two
+    micro-batches against a fixed reference distribution; the final psi
+    table must equal the PSI computed in one batch pass over the same
+    data (the q_distribution_drift formula)."""
+    from hive_json_spark.sources import load_table
+    from hive_json_spark.streaming import streaming_psi
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.dayofmonth("ts") <= 15).select("event_type")
+    cur = ev.filter(F.dayofmonth("ts") > 15).select("event_type")
+
+    src = str(tmp_path / "cur")
+    cur.filter(F.crc32(F.col("event_type")) % 2 == 0).coalesce(1).write.parquet(src)
+    cur.filter(F.crc32(F.col("event_type")) % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = str(tmp_path / "drift")
+    stream = (
+        spark.readStream.schema(cur.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = streaming_psi(stream, "event_type", ref, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {
+        r["category"]: (r["p_ref"], r["p_cur"], r["psi_term"])
+        for r in spark.read.parquet(f"{out}/psi").collect()
+    }
+
+    rc = ref.groupBy("event_type").count().collect()
+    cc = cur.groupBy("event_type").count().collect()
+    rtot = sum(r["count"] for r in rc)
+    ctot = sum(r["count"] for r in cc)
+    import math
+
+    expected = {}
+    cats = {r["event_type"] for r in rc} | {r["event_type"] for r in cc}
+    rmap = {r["event_type"]: r["count"] for r in rc}
+    cmap = {r["event_type"]: r["count"] for r in cc}
+    for cat in cats:
+        pr = rmap.get(cat, 0) / rtot
+        pc = cmap.get(cat, 0) / ctot
+        term = (
+            round((pc - pr) * math.log(pc / pr), 6) if pr > 0 and pc > 0 else None
+        )
+        expected[cat] = (round(pr, 6) if cat in rmap else None,
+                         round(pc, 6) if cat in cmap else None,
+                         term)
+    assert got == expected
