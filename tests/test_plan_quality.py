@@ -190,3 +190,11 @@ def test_dq_constraints_audit_is_count_only(spark):
     plan = plan_of(spark, "q_dq_constraints")
     assert "BroadcastHashJoin" in plan
     assert "Sort [" not in plan
+
+
+def test_merge_upsert_is_one_keyed_join(spark):
+    # the changelog fold is ONE join on the key (plus the tiny action
+    # rollup): no nested-loop, no cartesian, no second pass over base
+    plan = plan_of(spark, "q_merge_upsert")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count("BroadcastHashJoin") == 1
