@@ -303,3 +303,27 @@ def test_write_table_format_matrix_roundtrip(spark, tmp_path):
             reader = reader.option("header", "false")
         got = sorted(map(tuple, reader.load(p).collect()))
         assert got == expect, f"{fmt} roundtrip mismatch"
+
+
+def test_parquet_schema_evolution_reads(spark, tmp_path):
+    """Lake-schema-evolution contract: files written before a column was
+    added coexist with newer files; mergeSchema=true reads the union
+    schema with nulls for the missing column, and filters/aggregates on
+    the new column treat legacy rows as null (never error). This is the
+    read-side counterpart of the engine's monotonically-widening inferred
+    schemas (types.merge_types): old data stays queryable as the schema
+    grows."""
+    p = str(tmp_path / "evo")
+    spark.range(0, 50).selectExpr("id", "id * 1.0 AS v").write.parquet(p)
+    spark.range(50, 100).selectExpr(
+        "id", "id * 1.0 AS v", "'new' AS tag"
+    ).write.mode("append").parquet(p)
+
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "v", "tag"}
+    assert df.count() == 100
+    # legacy rows surface as null tags; new rows keep theirs
+    got = df.groupBy("tag").count().collect()
+    assert {(r["tag"], r["count"]) for r in got} == {(None, 50), ("new", 50)}
+    # predicates on the evolved column skip legacy rows, never crash
+    assert df.filter("tag = 'new'").count() == 50
