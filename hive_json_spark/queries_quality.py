@@ -545,7 +545,8 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
              CASE WHEN dayofmonth(CAST(ts AS DATE)) % 3 = 0 THEN NULL
-                  ELSE ROUND(AVG(value), 6) END AS v
+                  ELSE (SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                        / 1000000.0) / COUNT(*) END AS v
       FROM events GROUP BY event_type, CAST(ts AS DATE)),
     nb AS (
       SELECT event_type, day, v,
@@ -588,11 +589,20 @@ def q_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation is pure codegen arithmetic on day offsets. Series
     cardinality after the daily pre-agg is #types x #days, so window
     state is tiny no matter how large the raw event stream is.
+
+    Determinism: the daily mean is computed as an exact integer-micros
+    SUM divided by COUNT — double summation order varies with
+    partitioning and can flip a rounded final digit (observed at sf0.1);
+    integer sums are order-free, and the downstream double arithmetic is
+    then bit-identical on both engines.
     """
     ev = load_table(spark, sf_dir, "events")
     day = F.to_date("ts")
     daily = ev.groupBy(F.col("event_type"), day.alias("day")).agg(
-        F.round(F.avg("value"), 6).alias("raw_v")
+        (
+            (F.sum(F.round(F.col("value") * 1000000).cast("long")) / F.lit(1000000.0))
+            / F.count("*")
+        ).alias("raw_v")
     )
     masked = daily.select(
         "event_type",
