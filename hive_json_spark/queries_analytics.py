@@ -604,11 +604,11 @@ def q_json_path_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
-           ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_v,
-           ROUND(CAST(embedding[-1] AS DOUBLE), 4) AS last_v,
-           ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS max_v,
-           ROUND(CAST(list_min(embedding) AS DOUBLE), 4) AS min_v,
-           ROUND(CAST(list_sum(list_slice(embedding, 1, 3)) AS DOUBLE), 4)
+           ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_v,
+           ROUND(CAST(embedding[-1] AS DOUBLE), 4) + 0.0 AS last_v,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 4) + 0.0 AS max_v,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 4) + 0.0 AS min_v,
+           ROUND(CAST(list_sum(list_slice(embedding, 1, 3)) AS DOUBLE), 4) + 0.0
              AS head3_sum
     FROM embeddings
     """,
@@ -618,23 +618,25 @@ def q_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     slicing / extrema / sliced sum, each mapped to its DuckDB list-function
     twin. Pure projection — stays in whole-stage codegen, no shuffle.
     (Bulk vector math lives in functions/vectors.py; this pins the
-    general array SQL surface.)
+    general array SQL surface.) Every rounded value gets `+ 0.0` on
+    both engines: IEEE negative zero (-0.0) stringifies differently
+    between engines and +0.0 canonicalizes it (observed at sf0.1).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.col("embedding")
     return emb.select(
         "vec_id",
         F.size(e).alias("dim"),
-        F.round(F.element_at(e, 1).cast("double"), 4).alias("first_v"),
-        F.round(F.element_at(e, -1).cast("double"), 4).alias("last_v"),
-        F.round(F.array_max(e).cast("double"), 4).alias("max_v"),
-        F.round(F.array_min(e).cast("double"), 4).alias("min_v"),
-        F.round(
+        (F.round(F.element_at(e, 1).cast("double"), 4) + 0.0).alias("first_v"),
+        (F.round(F.element_at(e, -1).cast("double"), 4) + 0.0).alias("last_v"),
+        (F.round(F.array_max(e).cast("double"), 4) + 0.0).alias("max_v"),
+        (F.round(F.array_min(e).cast("double"), 4) + 0.0).alias("min_v"),
+        (F.round(
             F.aggregate(
                 F.slice(e, 1, 3), F.lit(0.0), lambda acc, x: acc + x.cast("double")
             ),
             4,
-        ).alias("head3_sum"),
+        ) + 0.0).alias("head3_sum"),
     )
 
 

@@ -1214,12 +1214,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q9_product_type_profit",
     """
-    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    SELECT nation, o_year, ROUND(SUM(amount_cents) / 100.0, 2) AS sum_profit
     FROM (
       SELECT n.n_name AS nation,
              CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount)
-               - 0.5 * p.p_retailprice * l.l_quantity AS amount
+             CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)
+               - 0.5 * p.p_retailprice * l.l_quantity) * 100) AS BIGINT)
+               AS amount_cents
       FROM part p
         JOIN lineitem l ON p.p_partkey = l.l_partkey
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -1234,7 +1235,10 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     product family. No partsupp, so cost is 0.5 × p_retailprice ×
     quantity instead of ps_supplycost × quantity — identical join graph
     (part+supplier+nation broadcast, lineitem⋈orders shuffles on
-    orderkey), identical agg shape."""
+    orderkey), identical agg shape. The profit sum accumulates integer cents
+    (per-row product rounded once) so the total is exact and
+    summation-order-free — double sums flipped the rounded cent at
+    sf0.1."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select(
         "p_partkey", "p_retailprice"
     )
@@ -1249,10 +1253,11 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
         "p_retailprice"
     ) * F.col("l_quantity")
+    amount_cents = F.round(amount * 100).cast("long")
     return j.groupBy(
         F.col("n_name").alias("nation"),
         F.year("o_orderdate").cast("bigint").alias("o_year"),
-    ).agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    ).agg(F.round(F.sum(amount_cents) / 100.0, 2).alias("sum_profit"))
 
 
 @query(
