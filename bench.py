@@ -79,17 +79,39 @@ def main() -> int:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    headline_total = round(sum(timings[q] for q in HEADLINE if q in timings), 3)
+
+    # Full per-query map goes to a side file; stdout gets a COMPACT line.
+    # Round-1 lesson: a 129-entry queries map overflowed the driver's
+    # stdout capture and the round lost its official bench number
+    # ("parsed": null). Keep the printed line small (headline only) and
+    # flush it explicitly.
+    detail = {
+        "metric": "all_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": timings,
+        "sf": sf,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": headline_total,
+            "unit": "sec",
+            "queries": {q: timings[q] for q in HEADLINE if q in timings},
+            "sf": sf,
+            "all_queries_total": total,
+            "n_queries": len(timings),
+            "detail": "bench_detail.json",
+        },
+        separators=(",", ":"),
     )
+    print(line, flush=True)
     return 0
 
 

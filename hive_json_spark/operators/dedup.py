@@ -375,6 +375,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    max_exact_rows: int = 1_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity.
 
@@ -382,8 +383,11 @@ def embedding_near_dup_pairs(
     normalized once, broadcast, and each partition computes its rows × all
     columns as one float64 GEMM — O(n²) work but BLAS throughput, never
     interpreted per-element expression eval. The broadcast bounds this
-    variant to corpora that fit executor memory (~10⁷ × dim floats); past
-    that, use impl="lsh".
+    variant to corpora that fit executor memory (~10⁷ × dim floats), so it
+    refuses corpora above ``max_exact_rows`` (checked with a limit+count
+    probe — an early-out scan, not a full count) instead of silently
+    materializing an unbounded corpus on the driver; past the bound, use
+    impl="lsh".
 
     impl="lsh": random-hyperplane buckets prune candidates first — the
     100 TB path. The join becomes an equi-join on the bucket id (shuffle on
@@ -406,6 +410,15 @@ def embedding_near_dup_pairs(
             .filter(F.col("cos_sim") >= threshold)
         )
 
+    probe = df.select(id_col).limit(max_exact_rows + 1).count()
+    if probe > max_exact_rows:
+        raise ValueError(
+            f"embedding_near_dup_pairs(impl='exact'): corpus exceeds "
+            f"max_exact_rows={max_exact_rows}; the exact all-pairs baseline "
+            f"materializes the corpus matrix on the driver and does not scale "
+            f"past that — use impl='lsh' (bucketed, no driver materialization) "
+            f"or raise max_exact_rows explicitly if the driver has the memory."
+        )
     rows = df.select(id_col, vec_col).collect()
     if not rows:  # empty corpus: np.linalg.norm(axis=1) rejects a 0-d stack
         return df.sparkSession.createDataFrame(

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from hive_json_spark.functions.exact import avg_exact, int_units, sum_exact
 from hive_json_spark.operators.relational import bloom_semi_join
 from hive_json_spark.sources import load_table
 
@@ -468,7 +469,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
              time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
       FROM events)
     SELECT event_type, win_start, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(value), 2) AS sum_value
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
     FROM starts GROUP BY event_type, win_start
     """,
 )
@@ -486,7 +487,7 @@ def q_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(
             "event_type", F.window("ts", "10 minutes", "5 minutes").alias("w")
         )
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), sum_exact("value").alias("sum_value"))
         .select("event_type", F.col("w.start").alias("win_start"), "n", "sum_value")
     )
 
@@ -645,7 +646,7 @@ def q_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
-           ROUND(SUM(value) OVER w, 2) AS sum_1h
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w / 100.0, 2) AS sum_1h
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -668,7 +669,7 @@ def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count("*").over(w).alias("n_1h"),
-        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+        F.round(F.sum(int_units("value")).over(w) / 100.0, 2).alias("sum_1h"),
     )
 
 
@@ -717,7 +718,7 @@ _CALENDAR_FILL_SQL = """
     daily AS (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              CAST(COUNT(*) AS BIGINT) AS n,
-             ROUND(SUM(value), 2) AS total
+             ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2) AS total
       FROM events WHERE event_type = 'purchase' GROUP BY 1
     )
     SELECT cal.day, COALESCE(daily.n, 0) AS n,
@@ -865,7 +866,8 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_unpivot_measures",
     """
     SELECT l_returnflag, measure,
-           ROUND(AVG(val), 4) AS avg_val, CAST(COUNT(*) AS BIGINT) AS n
+           ROUND(SUM(CAST(ROUND(val * 100) AS BIGINT)) / 100.0 / COUNT(val), 4) AS avg_val,
+           CAST(COUNT(*) AS BIGINT) AS n
     FROM (
       SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
       UNION ALL
@@ -900,7 +902,7 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return long.groupBy("l_returnflag", "measure").agg(
-        F.round(F.avg("val"), 4).alias("avg_val"), F.count("*").alias("n")
+        avg_exact("val", 4).alias("avg_val"), F.count("*").alias("n")
     )
 
 

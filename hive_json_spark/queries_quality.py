@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from hive_json_spark.functions.exact import avg_exact, int_units, sum_exact
 from hive_json_spark.functions.text import tokens
 from hive_json_spark.sources import load_table
 
@@ -495,7 +496,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(first_touch, 'direct') AS first_touch,
            COALESCE(last_touch, 'direct') AS last_touch,
            CAST(COUNT(*) AS BIGINT) AS n_conversions,
-           ROUND(SUM(value), 2) AS attributed_value
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2) AS attributed_value
     FROM seq WHERE event_type = 'purchase'
     GROUP BY 1, 2
     """,
@@ -533,7 +534,7 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("last_touch", F.lit("direct")).alias("last_touch"),
     ).agg(
         F.count("*").alias("n_conversions"),
-        F.round(F.sum("value"), 2).alias("attributed_value"),
+        sum_exact("value").alias("attributed_value"),
     )
 
 
@@ -815,9 +816,9 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type)
     SELECT e.event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(e.value), 6) AS mean_raw,
-           ROUND(AVG(LEAST(GREATEST(e.value, c.lo), c.hi)), 6)
-             AS mean_winsorized,
+           ROUND(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) / 100.0 / COUNT(e.value), 6) AS mean_raw,
+           ROUND(SUM(CAST(ROUND(LEAST(GREATEST(e.value, c.lo), c.hi) * 100) AS BIGINT)) / 100.0
+                 / COUNT(e.value), 6) AS mean_winsorized,
            CAST(SUM(CASE WHEN e.value < c.lo OR e.value > c.hi
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
     FROM events e JOIN cuts c ON e.event_type = c.event_type
@@ -846,8 +847,10 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
     return j.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.avg("value"), 6).alias("mean_raw"),
-        F.round(F.avg(clipped), 6).alias("mean_winsorized"),
+        avg_exact("value").alias("mean_raw"),
+        F.round(F.sum(int_units(clipped)) / 100.0 / F.count("value"), 6).alias(
+            "mean_winsorized"
+        ),
         F.sum(
             F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
             .otherwise(0)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from hive_json_spark.functions.classifiers import classify_string
+from hive_json_spark.functions.exact import avg_exact, int_units, sum_exact
 from hive_json_spark.operators.relational import (
     anti_join,
     broadcast_join,
@@ -49,12 +50,12 @@ def query(name: str, oracle: str | None = None):
     """
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0, 2) AS sum_disc_price,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) / 100.0, 2) AS sum_charge,
            ROUND(AVG(l_quantity), 6)                                   AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6)                              AS avg_price,
-           ROUND(AVG(l_discount), 6)                                   AS avg_disc,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 / COUNT(l_extendedprice), 6) AS avg_price,
+           ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 100.0 / COUNT(l_discount), 6) AS avg_disc,
            CAST(COUNT(*) AS BIGINT)                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -63,7 +64,10 @@ def query(name: str, oracle: str | None = None):
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial agg map-side, one shuffle on a 6-value grouping key; the
-    shipdate filter pushes down to the parquet scan."""
+    shipdate filter pushes down to the parquet scan. Money aggregates use
+    the integer-cents rule (functions/exact.py) so results are
+    summation-order-free; quantity sums are integer-valued doubles and
+    already exact."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -71,12 +75,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            sum_exact("l_extendedprice").alias("sum_base_price"),
+            sum_exact(disc_price).alias("sum_disc_price"),
+            sum_exact(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            avg_exact("l_extendedprice").alias("avg_price"),
+            avg_exact("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -88,7 +92,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0, 2) AS revenue,
            o.o_orderdate
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -114,7 +118,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = broadcast_join(o, c.select("c_custkey"), F.col("c_custkey") == F.col("o_custkey"))
     joined = l.join(joined, F.col("l_orderkey") == F.col("o_orderkey"))
     agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
     return top_k(agg, [F.col("revenue").desc(), F.col("l_orderkey")], 10).select(
         "l_orderkey", "revenue", "o_orderdate"
@@ -127,7 +131,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     """
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0, 2) AS revenue
     FROM region r
       JOIN nation n   ON n.n_regionkey = r.r_regionkey
       JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -162,7 +166,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("s_nationkey") == F.col("cn_nationkey")),
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
 
 
@@ -174,7 +178,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.p_brand,
            CAST(COUNT(*) AS BIGINT)          AS n_items,
            ROUND(SUM(l.l_quantity), 2)       AS total_qty,
-           ROUND(AVG(p.p_retailprice), 6)    AS avg_retail
+           ROUND(SUM(CAST(ROUND(p.p_retailprice * 100) AS BIGINT)) / 100.0 / COUNT(p.p_retailprice), 6) AS avg_retail
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_size >= 20
     GROUP BY p.p_brand
@@ -189,7 +193,7 @@ def q_brand_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_items"),
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
-            F.round(F.avg("p_retailprice"), 6).alias("avg_retail"),
+            avg_exact("p_retailprice").alias("avg_retail"),
         )
     )
 
@@ -278,8 +282,8 @@ def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_running_events",
     """
     SELECT user_id, event_id,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 4) AS running_value,
            ROUND(COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1.0), 4) AS prev_value,
            CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
     FROM events
@@ -287,13 +291,22 @@ def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_running_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single shuffle on user_id serves all three window functions (same
-    window spec → one exchange + one sort)."""
+    window spec → one exchange + one sort). The running sum accumulates
+    integer cents: DuckDB evaluates window sums with a segment tree
+    (different addition order than Spark's sequential frame scan), so a
+    double accumulation is not reproducible — long accumulation is."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "user_id",
         "event_id",
-        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4).alias("running_value"),
+        F.round(
+            F.sum(int_units("value")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            / 100.0,
+            4,
+        ).alias("running_value"),
         F.round(F.coalesce(F.lag("value").over(w), F.lit(-1.0)), 4).alias("prev_value"),
         F.row_number().over(w).cast("bigint").alias("seq"),
     )
@@ -331,7 +344,7 @@ def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
            COALESCE(o_orderpriority, 'ALL') AS priority,
            CAST(COUNT(*) AS BIGINT)         AS n,
-           ROUND(SUM(o_totalprice), 2)      AS total
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
@@ -339,7 +352,7 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n"), sum_exact("o_totalprice").alias("total"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -354,7 +367,7 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
-           ROUND(SUM(l_extendedprice), 2) AS total_price
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS total_price
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -366,7 +379,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
                COALESCE(l_linestatus, 'ALL') AS linestatus,
-               ROUND(SUM(l_extendedprice), 2) AS total_price
+               ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS total_price
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -424,23 +437,49 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_stats_agg",
     """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s2,
+             CAST(COUNT(l_quantity) AS DOUBLE) AS n,
+             ROUND(MIN(l_quantity), 2) AS min_qty,
+             ROUND(MAX(l_quantity), 2) AS max_qty,
+             ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty
+      FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
-           ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
-           ROUND(VAR_SAMP(l_quantity), 6)    AS var_qty,
-           ROUND(MIN(l_quantity), 2)         AS min_qty,
-           ROUND(MAX(l_quantity), 2)         AS max_qty,
-           ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty
-    FROM lineitem GROUP BY l_returnflag
+           ROUND(SQRT((s2 - s * s / n) / (n - 1.0)), 6) AS sd_qty,
+           ROUND((s2 - s * s / n) / (n - 1.0), 6)       AS var_qty,
+           min_qty, max_qty, median_qty
+    FROM m
     """,
 )
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev via exact integer moments: l_quantity is
+    integer-valued, so SUM(x) and SUM(x*x) are exact longs regardless of
+    merge order; the textbook (s2 - s*s/n)/(n-1) formula then runs the
+    identical IEEE op sequence on both engines. (Built-in stddev_samp
+    merges Welford partials in partition order — not reproducible across
+    engines or partition counts.) Catastrophic cancellation isn't a risk
+    here: moments are exact integers, so the subtraction is the true
+    value ± one ulp."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
-        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+    q = F.col("l_quantity").cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.sum(q).cast("double").alias("s"),
+        F.sum(q * q).cast("double").alias("s2"),
+        F.count("l_quantity").cast("double").alias("n"),
         F.round(F.min("l_quantity"), 2).alias("min_qty"),
         F.round(F.max("l_quantity"), 2).alias("max_qty"),
         F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+    )
+    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - F.lit(1.0))
+    return m.select(
+        "l_returnflag",
+        F.round(F.sqrt(var), 6).alias("sd_qty"),
+        F.round(var, 6).alias("var_qty"),
+        "min_qty",
+        "max_qty",
+        "median_qty",
     )
 
 
@@ -488,7 +527,8 @@ def q_classify_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
       FROM seq)
     SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
-           CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 4) AS session_value
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 4) AS session_value
     FROM sessions GROUP BY user_id, session_seq
     """,
 )
@@ -499,7 +539,7 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = sessionize(e, "user_id", "ts", 3600, "event_id")
     return s.groupBy("user_id", F.col("session_seq").cast("bigint").alias("session_seq")).agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("session_value"),
+        F.round(F.sum(int_units("value")) / 100.0, 4).alias("session_value"),
     )
 
 
@@ -549,7 +589,7 @@ def q_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT time_bucket(INTERVAL 1 DAY, ts) AS win_start, event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(value), 4) AS total
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 4) AS total
     FROM events GROUP BY 1, 2
     """,
 )
@@ -561,7 +601,7 @@ def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .agg(F.count("*").alias("n"), F.round(F.sum(int_units("value")) / 100.0, 4).alias("total"))
         .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
     )
 
@@ -635,7 +675,7 @@ def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity_revenue",
     """
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0, 2) AS avg_yearly
     FROM lineitem l
     JOIN (SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
           FROM lineitem GROUP BY l_partkey) p
@@ -655,7 +695,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(per_part), l.l_partkey == per_part.p_key)
         .filter(F.col("l_quantity") < F.col("half_avg"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(F.round(F.sum(int_units("l_extendedprice")) / 100.0 / 7.0, 2).alias("avg_yearly"))
     )
 
 
@@ -721,7 +761,8 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH bands AS (SELECT i AS band_id, i * 5.0 AS lo, i * 5.0 + 5 AS hi
                    FROM range(10) AS t(i))
-    SELECT band_id, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(l_extendedprice), 2) AS rev
+    SELECT band_id, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS rev
     FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
     GROUP BY band_id
     """,
@@ -741,7 +782,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = range_join(li.select("l_quantity", "l_extendedprice"), F.broadcast(bands),
                         "l_quantity", "lo", "hi", bucket_width=5.0)
     return joined.groupBy("band_id").agg(
-        F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("rev")
+        F.count("*").alias("n"), sum_exact("l_extendedprice").alias("rev")
     )
 
 
@@ -774,7 +815,7 @@ def q_pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- pure-SQL interface (TPC-H Q6 shape over registered views) ---------------
 
 _Q6_SQL = """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) / 100.0, 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -800,7 +841,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_customers",
     """
     SELECT c.c_custkey, c.c_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0, 2) AS revenue,
            ROUND(c.c_acctbal, 2) AS acctbal, n.n_name
     FROM customer c
       JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -829,7 +870,7 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = broadcast_join(joined, c, F.col("o_custkey") == F.col("c_custkey"))
     joined = broadcast_join(joined, n, F.col("c_nationkey") == F.col("n_nationkey"))
     agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
     return top_k(agg, [F.col("revenue").desc(), F.col("c_custkey")], 20).select(
         "c_custkey", "c_name", "revenue", F.round("c_acctbal", 2).alias("acctbal"), "n_name"
@@ -842,9 +883,9 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue",
     """
     SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
                                   ELSE 0 END)
-                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+                 / SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)), 4) AS promo_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
@@ -858,10 +899,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    rev = int_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("long"))
     return broadcast_join(l, p.select("p_partkey", "p_type"), F.col("l_partkey") == F.col("p_partkey")).agg(
-        F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct")
+        F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_pct")
     )
 
 
@@ -870,7 +911,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_revenue",
     """
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0, 2) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
@@ -893,7 +934,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 50))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count("*").alias("n"),
     )
 
@@ -904,11 +945,11 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     """
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) * 1.0
                  / SUM(volume), 6) AS mkt_share
     FROM (
       SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS volume,
              ns.n_name AS supp_nation
       FROM lineitem l
         JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -946,13 +987,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = broadcast_join(j, s.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
     j = broadcast_join(j, ns, F.col("s_nationkey") == F.col("ns_key"))
 
-    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    china = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0))
+    volume = int_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    china = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0).cast("long"))
     return (
         j.select(F.year("o_orderdate").cast("int").alias("o_year"),
                  volume.alias("volume"), china.alias("china_vol"))
         .groupBy("o_year")
-        .agg(F.round(F.sum("china_vol") / F.sum("volume"), 6).alias("mkt_share"))
+        .agg(F.round(F.sum("china_vol") * F.lit(1.0) / F.sum("volume"), 6).alias("mkt_share"))
     )
 
 
@@ -965,21 +1006,21 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
            CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
            ROUND(MIN(l_quantity), 4) AS min_v, ROUND(MAX(l_quantity), 4) AS max_v,
-           ROUND(AVG(l_quantity), 4) AS avg_v
+           ROUND(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 / COUNT(l_quantity), 4) AS avg_v
     FROM lineitem
     UNION ALL
     SELECT 'l_extendedprice',
            CAST(COUNT(l_extendedprice) AS BIGINT),
            CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
            ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4),
-           ROUND(AVG(l_extendedprice), 4)
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 / COUNT(l_extendedprice), 4)
     FROM lineitem
     UNION ALL
     SELECT 'l_discount',
            CAST(COUNT(l_discount) AS BIGINT),
            CAST(COUNT(DISTINCT l_discount) AS BIGINT),
            ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4),
-           ROUND(AVG(l_discount), 4)
+           ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 100.0 / COUNT(l_discount), 4)
     FROM lineitem
     """,
 )
@@ -1008,7 +1049,11 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.when(F.col("v").isNotNull(), 1)).alias("n_distinct"),
                 F.round(F.min("v"), 4).alias("min_v"),
                 F.round(F.max("v"), 4).alias("max_v"),
-                F.round(F.sum(F.col("v") * F.col("cnt")) / nonnull, 4).alias("avg_v"),
+                # frequency-weighted mean in exact integer units (cents),
+                # summation-order-free like every rounded aggregate here
+                F.round(
+                    F.sum(int_units("v") * F.col("cnt")) / 100.0 / nonnull, 4
+                ).alias("avg_v"),
             )
         )
     out = outs[0]
@@ -1023,7 +1068,8 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_top_supplier",
     """
     WITH rev AS (
-      SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      SELECT l_suppkey,
+             ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0, 2) AS total_rev
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -1044,7 +1090,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     rev = (
         l.groupBy("l_suppkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
+        .agg(sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev"))
     )
     max_rev = rev.agg(F.max("total_rev").alias("m"))
     top = rev.join(F.broadcast(max_rev), rev.total_rev == max_rev.m).drop("m")
@@ -1100,11 +1146,11 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q7_volume_shipping",
     """
-    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume) / 100.0, 2) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS volume
       FROM supplier s
         JOIN lineitem l ON s.s_suppkey = l.l_suppkey
         JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -1148,7 +1194,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year")
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        F.round(
+            F.sum(int_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0,
+            2,
+        ).alias("revenue")
     )
 
 
@@ -1264,24 +1313,30 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_parts",
     """
     WITH v AS (
-      SELECT l.l_partkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS part_value
+      SELECT l.l_partkey,
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n   ON n.n_nationkey = s.s_nationkey
       WHERE n.n_name IN ('NATION_1', 'NATION_6', 'NATION_11')
       GROUP BY l.l_partkey)
-    SELECT l_partkey AS p_partkey, part_value
+    SELECT l_partkey AS p_partkey, ROUND(cents / 100.0, 2) AS part_value
     FROM v
-    WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM v)
+    WHERE cents > (SELECT SUM(cents) * 0.001 FROM v)
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose share of total value exceeds a
     fraction — group-agg plus a scalar-subquery threshold over the same
     agg. Value is lineitem revenue (no partsupp availqty×supplycost).
-    Per-part values are rounded to cents BEFORE the threshold compare so
-    both engines threshold identical inputs; the agg computes once and
-    its total broadcasts back (the Q15 scalar pattern)."""
+
+    Cross-engine determinism: per-line revenue is rounded to integer
+    cents BEFORE summing (the q9 pattern) — long sums are exact and
+    commutative, so neither the per-part value nor the global threshold
+    depends on summation order. The threshold compare itself runs on the
+    cents longs; the display value is cents/100 rounded (identical
+    double in both engines given identical cents). The agg computes
+    once and its total broadcasts back (the Q15 scalar pattern)."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation").filter(
@@ -1290,20 +1345,20 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = broadcast_join(
         s, n.select("n_nationkey"), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
     v = (
         broadcast_join(l, sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "part_value"
-            )
-        )
+        .agg(F.sum(cents).alias("cents"))
     )
-    total = v.agg((F.sum("part_value") * 0.001).alias("threshold"))
+    total = v.agg((F.sum("cents") * 0.001).alias("threshold"))
     return (
         v.join(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("threshold"))
-        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+        .filter(F.col("cents") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("cents") / 100.0, 2).alias("part_value"),
+        )
     )
 
 
@@ -1496,9 +1551,10 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_custkey, c_nationkey, c_acctbal FROM customer
       WHERE c_nationkey IN (3, 8, 13, 18, 23))
     SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
-           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+           ROUND(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) / 100.0, 2) AS totacctbal
     FROM pool c
-    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM pool WHERE c_acctbal > 0)
+    WHERE c.c_acctbal > (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0 / COUNT(c_acctbal)
+                         FROM pool WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                       AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     GROUP BY c.c_nationkey
@@ -1510,14 +1566,15 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar AVG broadcasts back as a filter; "lapsed" means no order in
     the dataset's final two years (every pooled customer HAS ordered at
     some point in this testdata, so the spec's never-ordered predicate
-    would be vacuous) — an anti-join on custkey; final agg is per-nation. The AVG
-    threshold compare is unrounded: account balances are cent-quantized
-    while the two engines' AVGs agree to ~1e-10, so no balance can sit
-    inside the disagreement window."""
+    would be vacuous) — an anti-join on custkey; final agg is per-nation.
+    The AVG threshold and the balance sum run on exact integer cents so
+    row membership and totals are summation-order-free."""
     pool = load_table(spark, sf_dir, "customer").filter(
         F.col("c_nationkey").isin(3, 8, 13, 18, 23)
     ).select("c_custkey", "c_nationkey", "c_acctbal")
-    thresh = pool.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    thresh = pool.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(int_units("c_acctbal")) / 100.0 / F.count("c_acctbal")).alias("avg_bal")
+    )
     rich = pool.join(F.broadcast(thresh)).filter(F.col("c_acctbal") > F.col("avg_bal"))
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
@@ -1525,7 +1582,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     never = anti_join(rich, o, F.col("o_custkey") == F.col("c_custkey"))
     return never.groupBy("c_nationkey").agg(
         F.count("*").cast("bigint").alias("numcust"),
-        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        sum_exact("c_acctbal").alias("totacctbal"),
     )
 
 
@@ -1540,7 +1597,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM events)
     SELECT day_start, hour_start,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 4) AS total_value
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 4) AS total_value
     FROM e GROUP BY GROUPING SETS ((day_start), (day_start, hour_start))
     """,
 )
@@ -1560,7 +1617,7 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FROM events)
         SELECT day_start, hour_start,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               ROUND(SUM(value), 4) AS total_value
+               ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 4) AS total_value
         FROM e GROUP BY GROUPING SETS ((day_start), (day_start, hour_start))
         """
     )
@@ -1573,7 +1630,7 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS bucket_total
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS bucket_total
     FROM orders
     GROUP BY 1
     """,
@@ -1588,7 +1645,7 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket")
     ).agg(
         F.count("*").cast("bigint").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("bucket_total"),
+        sum_exact("o_totalprice").alias("bucket_total"),
     )
 
 

@@ -2,8 +2,12 @@
 Spark and its oracle_sql() on DuckDB over the same parquet, compare
 row count, column names, and order-insensitive values.
 
-Kept strict (exact string compare after normalization, float tolerance
-1e-6 relative) so driver-side hash mismatches surface here first.
+Kept strict (exact string compare after normalization; floats at 17
+significant digits, i.e. bit-exact for doubles) so driver-side hash
+mismatches surface here first. Round 1 lesson: a 6-sig-digit compare
+let a cent flip on a 7-digit money value (q11) pass locally and fail
+the driver — every rounded aggregate must be summation-order-free
+(integer-unit sums), and this gate now proves it at full precision.
 """
 
 import math
@@ -41,10 +45,13 @@ def normalize(rows, colnames):
             if isinstance(v, float):
                 if math.isnan(v):
                     vals.append("NaN")
+                elif v == 0.0:
+                    vals.append("0")  # canonicalize -0.0 vs 0.0
                 else:
-                    vals.append(f"{v:.6g}")
+                    vals.append(f"{v:.17g}")
             elif v.__class__.__name__ == "Decimal":
-                vals.append(f"{float(v):.6g}")
+                f = float(v)
+                vals.append("0" if f == 0.0 else f"{f:.17g}")
             else:
                 vals.append(str(v))
         out.append(tuple(vals))
@@ -81,3 +88,47 @@ def test_queries_without_oracle_run(spark):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+# --- partition-count perturbation (cross-run determinism) --------------------
+#
+# The q11 lesson: a rounded double aggregate can pass an oracle compare under
+# one partitioning and flip a digit under another (the driver runs a different
+# local[N] / shuffle layout than this suite). Every query result must be a
+# pure function of the data — so rerun a sample of rounded-aggregate queries
+# under several shuffle-partition settings and require bit-identical
+# normalized output. This directly exercises the integer-unit rule in
+# functions/exact.py: long sums are commutative, double sums are not.
+
+PERTURB_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q_stats_agg",
+    "q_running_events",
+    "q_rolling_time_window",
+    "q_sessionize_events",
+    "q_winsorize",
+    "q_time_rollup",
+    "q8_market_share",
+]
+
+
+@pytest.mark.parametrize("name", PERTURB_QUERIES)
+def test_partition_count_invariance(spark, name):
+    results = []
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n_part in ("2", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            sdf = QUERIES[name](spark, SF_DIR)
+            cols = sorted(sdf.columns)
+            rows = [[row[c] for c in cols] for row in sdf.collect()]
+            results.append(normalize(rows, cols))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+    assert results[0] == results[1] == results[2], (
+        f"{name}: result varies with shuffle partition count"
+    )

@@ -186,6 +186,18 @@ def test_embedding_near_dup_exact_and_lsh(spark, sf_dir):
     assert lsh <= exact
 
 
+def test_embedding_near_dup_exact_refuses_oversized_corpus(spark, sf_dir):
+    # the exact baseline materializes the corpus on the driver — it must
+    # refuse (not OOM) when the corpus exceeds its declared bound
+    import pytest as _pytest
+
+    from hive_json_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with _pytest.raises(ValueError, match="max_exact_rows"):
+        embedding_near_dup_pairs(emb, threshold=0.4, max_exact_rows=3)
+
+
 def test_salted_join_matches_plain_join(spark):
     from hive_json_spark.operators.relational import salted_join
 
