@@ -1,12 +1,18 @@
 """Multimodal column plumbing: images/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the *decode kernels* are
-stubbed: ``decode_image`` raises ``NotImplementedError`` unless
-``fake=True``, which produces a deterministic hash-derived feature vector.
-Everything Spark-side — schemas, batch iteration, partitioning, UDF
-signatures, output shapes — is real and tested; swapping in a real codec
-(PIL/ffmpeg) changes only the marked kernel function.
+Two decode tiers:
+
+- REAL baseline codecs, dependency-free: uncompressed 24-bit BMP
+  (``encode_bmp``/``decode_bmp`` — header parse, bottom-up row order,
+  4-byte row padding) and PCM-16 mono WAV (``encode_wav``/``decode_wav``
+  — RIFF chunk walk). ``decode_media_features`` runs these end-to-end on
+  real bytes inside an Arrow-batched kernel.
+- Stubbed compressed codecs: the container has no PNG/JPEG/MP4 libraries,
+  so those formats raise ``NotImplementedError`` at the clearly marked
+  boundary (``decode_and_featurize(fake=False)``); ``fake=True`` gives a
+  deterministic hash-derived stand-in feature. Swapping in PIL/ffmpeg
+  changes only the marked kernel function.
 
 Scale notes: binary payloads stay columnar in Arrow batches end-to-end
 (never row-at-a-time); per-batch vectorized kernels amortize the Python
@@ -16,7 +22,10 @@ holds, so 100 TB of blobs streams through fixed executor memory.
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
+
+import numpy as np
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
@@ -79,6 +88,179 @@ def decode_and_featurize(
             )
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+# --- real baseline codecs (dependency-free) ----------------------------------
+
+def encode_bmp(arr: "np.ndarray") -> bytes:
+    """Encode an HxWx3 uint8 array (BGR channel order, top-down rows) as an
+    uncompressed 24-bit BMP — 54-byte header, bottom-up rows, rows padded
+    to 4 bytes."""
+    h, w, _ = arr.shape
+    row = (3 * w + 3) // 4 * 4
+    body = np.zeros((h, row), dtype=np.uint8)
+    body[:, : 3 * w] = arr[::-1].reshape(h, 3 * w)  # bottom-up
+    size = 54 + row * h
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, row * h, 2835, 2835, 0, 0
+    )
+    return header + body.tobytes()
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Decode an uncompressed 24-bit BMP → (width, height, HxWx3 uint8 BGR
+    top-down). Real byte-level work: header fields, bottom-up row order,
+    row padding."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP: missing 'BM' magic")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("baseline codec handles uncompressed 24-bit only")
+    row = (3 * w + 3) // 4 * 4
+    body = np.frombuffer(data, dtype=np.uint8, offset=pixel_off, count=row * h)
+    arr = body.reshape(h, row)[:, : 3 * w].reshape(h, w, 3)[::-1]
+    return w, h, arr
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int = 1000) -> bytes:
+    """Encode int16 samples as PCM-16 mono WAV (standard 44-byte header)."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    n = len(pcm)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + n, b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+        )
+        + struct.pack("<4sI", b"data", n)
+        + pcm
+    )
+
+
+def decode_wav(data: bytes) -> tuple[int, "np.ndarray"]:
+    """Decode PCM-16 mono WAV → (sample_rate, int16 sample array) via a
+    real RIFF chunk walk (tolerates extra chunks before 'data')."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV: missing RIFF/WAVE magic")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        pos += 8
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack_from("<HHI", data, pos)
+            bits = struct.unpack_from("<H", data, pos + 14)[0]
+            if fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError("baseline codec handles PCM-16 mono only")
+        elif cid == b"data":
+            samples = np.frombuffer(data, dtype="<i2", offset=pos, count=size // 2)
+        pos += size + (size & 1)  # RIFF chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return rate, samples
+
+
+MEDIA_FEATURES_SCHEMA = (
+    "media_id bigint, media_type string, width int, height int, "
+    "n_samples bigint, n_bytes bigint, mean_c0 double, mean_c1 double, "
+    "mean_c2 double, rms double"
+)
+
+
+def decode_media_features(media: DataFrame) -> DataFrame:
+    """Decode REAL bytes per media row and emit typed features: per-channel
+    pixel means for BMP images, RMS amplitude for WAV audio. Formats the
+    baseline codecs don't cover hit the NotImplementedError boundary.
+
+    Arrow-batched mapInPandas: blobs arrive columnar, each decoded with
+    numpy (no per-pixel Python), features leave as one batch."""
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "media_type", "width", "height", "n_samples",
+                "n_bytes", "mean_c0", "mean_c1", "mean_c2", "rms",
+            )}
+            for mid, content, fmt in zip(
+                pdf["media_id"], pdf["content"], pdf["format"]
+            ):
+                data = bytes(content)
+                row = dict.fromkeys(out)
+                row["media_id"] = mid
+                row["n_bytes"] = len(data)
+                # feature doubles are emitted UNROUNDED: the sums are exact
+                # integers (< 2^53) and the closing division/sqrt are
+                # correctly rounded IEEE ops, so every engine that computes
+                # the same definition gets the bit-identical double — no
+                # round-for-determinism needed (and Python round() is
+                # banker's, which would NOT match SQL ROUND at halfway).
+                if fmt == "bmp":
+                    w, h, arr = decode_bmp(data)
+                    means = arr.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+                    row.update(
+                        media_type="image", width=w, height=h,
+                        mean_c0=float(means[0]),
+                        mean_c1=float(means[1]),
+                        mean_c2=float(means[2]),
+                    )
+                elif fmt == "wav":
+                    _, samples = decode_wav(data)
+                    sq = samples.astype(np.int64) ** 2
+                    row.update(
+                        media_type="audio",
+                        n_samples=len(samples),
+                        rms=float(np.sqrt(sq.mean(dtype=np.float64))),
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"no baseline codec for format {fmt!r}; compressed "
+                        f"formats need PIL/ffmpeg (see module docstring)"
+                    )
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=MEDIA_FEATURES_SCHEMA)
+
+
+def synthetic_media_binary(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL binaries from an id column: even ids become
+    uncompressed BMPs (channel value ``(id*(17+c) + y) % 256`` constant
+    along each row y), odd ids PCM-16 WAVs (sample ``((id*13 + i) % 256 -
+    128) * 256``). Every stat a decoder recovers has a closed form in the
+    id, so downstream decode queries are oracle-checkable while the bytes
+    and codecs are genuinely exercised."""
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = {"media_id": [], "content": [], "media_type": [], "format": []}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    w = (mid % 16 + 1) * 4 + 2  # never a multiple of 4: padding is real
+                    h = (mid % 12 + 1) * 4
+                    y = np.arange(h, dtype=np.int64)[:, None, None]
+                    c = np.arange(3, dtype=np.int64)[None, None, :]
+                    arr = ((mid * (17 + c) + y) % 256).astype(np.uint8)
+                    arr = np.broadcast_to(arr, (h, w, 3))
+                    content, mtype, fmt = encode_bmp(arr), "image", "bmp"
+                else:
+                    n = (mid % 10 + 1) * 200
+                    i = np.arange(n, dtype=np.int64)
+                    samples = (((mid * 13 + i) % 256) - 128) * 256
+                    content, mtype, fmt = encode_wav(samples.astype("<i2")), "audio", "wav"
+                rows["media_id"].append(mid)
+                rows["content"].append(content)
+                rows["media_type"].append(mtype)
+                rows["format"].append(fmt)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="media_id bigint, content binary, media_type string, format string"
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

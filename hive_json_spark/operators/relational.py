@@ -318,9 +318,23 @@ def merge_changelog(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+    # ops outside the declared vocabulary fail the job instead of being
+    # silently treated as deletes of the matched base row (data loss for a
+    # typo'd op or an unexpected 'T' truncate marker). The guard is fused
+    # into the _op projection, so it costs no extra scan at any scale.
+    known = [*upsert_ops, delete_op]
+    op_checked = F.when(F.col(op_col).isin(*known), F.col(op_col)).otherwise(
+        F.raise_error(
+            F.concat_ws(
+                " ",
+                F.lit(f"merge_changelog: unknown op in {op_col!r} (expected one of {known}):"),
+                F.col(op_col).cast("string"),
+            )
+        )
+    )
     chg = changes.select(
         F.col(key).alias("_k"),
-        F.col(op_col).alias("_op"),
+        op_checked.alias("_op"),
         *[F.col(c).alias(f"_new_{c}") for c in payload],
     )
     joined = base.join(chg, base[key] == chg["_k"], "full_outer")

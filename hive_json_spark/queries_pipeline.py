@@ -17,8 +17,10 @@ from hive_json_spark.operators.dedup import (
 )
 from hive_json_spark.operators.multimodal import (
     decode_and_featurize,
+    decode_media_features,
     frame_sample_plan,
     synthetic_media,
+    synthetic_media_binary,
 )
 from hive_json_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from hive_json_spark.operators.textstats import fingerprint, lang_id, text_profile
@@ -283,6 +285,55 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.size("feature").cast("bigint").alias("feat_dim"),
     )
+
+
+@query(
+    "q_media_decode",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             doc_id % 2 = 0 AS is_img,
+             CAST((doc_id % 16 + 1) * 4 + 2 AS INT) AS w,
+             CAST((doc_id % 12 + 1) * 4 AS INT) AS h,
+             CAST((doc_id % 10 + 1) * 200 AS BIGINT) AS ns
+      FROM documents),
+    img AS (
+      SELECT media_id,
+             AVG((media_id * 17 + y) % 256) AS mean_c0,
+             AVG((media_id * 18 + y) % 256) AS mean_c1,
+             AVG((media_id * 19 + y) % 256) AS mean_c2
+      FROM m, LATERAL (SELECT unnest(range(h)) AS y)
+      WHERE is_img GROUP BY media_id),
+    aud AS (
+      SELECT media_id, SQRT(AVG(s * s)) AS rms
+      FROM (SELECT media_id, ((media_id * 13 + i) % 256 - 128) * 256 AS s
+            FROM m, LATERAL (SELECT unnest(range(ns)) AS i)
+            WHERE NOT is_img)
+      GROUP BY media_id)
+    SELECT m.media_id,
+           CASE WHEN is_img THEN 'image' ELSE 'audio' END AS media_type,
+           CASE WHEN is_img THEN w END AS width,
+           CASE WHEN is_img THEN h END AS height,
+           CASE WHEN is_img THEN NULL ELSE ns END AS n_samples,
+           CAST(CASE WHEN is_img THEN 54 + ((3 * w + 3) // 4) * 4 * h
+                     ELSE 44 + 2 * ns END AS BIGINT) AS n_bytes,
+           img.mean_c0, img.mean_c1, img.mean_c2, aud.rms
+    FROM m LEFT JOIN img USING (media_id) LEFT JOIN aud USING (media_id)
+    """,
+)
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary decode end-to-end: deterministic uncompressed BMPs and
+    PCM-16 WAVs are synthesized per document id, then the dependency-free
+    baseline codecs (operators/multimodal.py) parse the actual bytes —
+    header fields, bottom-up BMP rows, 4-byte row padding, RIFF chunk
+    walk — and emit per-channel pixel means / RMS amplitude. The oracle
+    recomputes every decoded stat from its closed form in the id, so any
+    codec bug (an off-by-one in padding, a row-order flip, a chunk-size
+    misread) breaks the hash. Feature doubles are unrounded: both engines
+    do exact-integer sums and one correctly-rounded division, so the
+    doubles are bit-identical by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_features(synthetic_media_binary(docs))
 
 
 @query(

@@ -4,12 +4,17 @@ distribution, updated every micro-batch — the continuous version of
 `q_distribution_drift` (queries_quality.py).
 
 State is the cumulative per-category count table (|categories| rows —
-KB-sized no matter how large the stream), kept as a parquet table the
-same way continuous_rollup keeps its aggregate: the table IS the state,
-so checkpoint restarts replay idempotently (counts are re-added per
-batch exactly once by the streaming engine's offset tracking). Each
+KB-sized no matter how large the stream), kept as a parquet table. Each
 batch rewrites the |categories|-row counts and psi tables — O(k) IO per
 batch regardless of stream volume.
+
+Replay safety: foreachBatch is at-least-once — after a crash between the
+counts write and the offset commit, the engine re-delivers the same
+batch. The read-add-overwrite accumulation is NOT naturally idempotent,
+so every counts overwrite carries the applied batch id (a constant
+``_batch_id`` column, atomic with the counts themselves); a re-delivered
+batch whose id is already applied skips the add and only recomputes the
+derived psi table.
 """
 
 from __future__ import annotations
@@ -42,7 +47,7 @@ def streaming_psi(
         .agg(F.count("*").alias("n_ref"))
     )
 
-    def update(batch_df: DataFrame, _batch_id: int) -> None:
+    def update(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         part = (
             batch_df.groupBy(F.col(category_col).alias("category"))
@@ -50,19 +55,32 @@ def streaming_psi(
         )
         try:
             existing = spark.read.parquet(counts_dir)
+            last = existing.agg(F.max("_batch_id")).collect()[0][0]
+        except AnalysisException:
+            existing, last = None, None
+        if last is not None and batch_id <= last:
+            # re-delivered batch: counts already include it — don't re-add
+            merged = existing.select("category", "n")
+        elif existing is not None:
             merged = (
-                existing.unionByName(part)
+                existing.select("category", "n")
+                .unionByName(part)
                 .groupBy("category")
                 .agg(F.sum("n").alias("n"))
             )
-        except AnalysisException:
+        else:
             merged = part
-        merged = merged.collect()  # |categories| rows — driver-sized
-        spark.createDataFrame(merged, "category string, n bigint").coalesce(
-            1
-        ).write.mode("overwrite").parquet(counts_dir)
+        # schema comes from the frame itself so non-string category columns
+        # (int codes, dates) round-trip; collect BEFORE the overwrite so the
+        # lazy self-read never races the rewrite
+        schema = merged.schema
+        rows = merged.collect()  # |categories| rows — driver-sized
+        applied = max(batch_id, last) if last is not None else batch_id
+        spark.createDataFrame(rows, schema).withColumn(
+            "_batch_id", F.lit(applied).cast("bigint")
+        ).coalesce(1).write.mode("overwrite").parquet(counts_dir)
 
-        cur = spark.read.parquet(counts_dir)
+        cur = spark.read.parquet(counts_dir).select("category", "n")
         joined = ref_counts.join(cur, "category", "full_outer")
         p_ref = F.col("n_ref") / F.sum("n_ref").over(Window.partitionBy())
         p_cur = F.col("n") / F.sum("n").over(Window.partitionBy())

@@ -91,12 +91,26 @@ def streaming_merge_upsert(
                 F.coalesce(F.col("bucket"), F.col("_bucket")).alias("bucket"),
             )
         )
+        merged = merged.persist()
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         try:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             merged.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+            # Dynamic overwrite only rewrites partitions PRESENT in `merged`.
+            # A bucket whose every remaining row was deleted this batch has
+            # no rows in `merged`, so its stale files would survive and the
+            # deleted rows would resurrect — truncate those buckets
+            # explicitly with an empty overwrite of the partition directory.
+            # (Replay-safe: rerunning the batch recomputes the same empty
+            # set and truncates again.)
+            present = {r["bucket"] for r in merged.select("bucket").distinct().collect()}
+            empty = spark.createDataFrame([], merged.drop("bucket").schema)
+            for b in buckets:
+                if b not in present:
+                    empty.write.mode("overwrite").parquet(f"{out_dir}/bucket={b}")
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            merged.unpersist()
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

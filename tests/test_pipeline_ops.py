@@ -524,3 +524,55 @@ def test_merge_changelog_is_idempotent(spark):
     once = merge_changelog(base, chg, "k")
     twice = merge_changelog(once, chg, "k")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_merge_changelog_rejects_unknown_op(spark):
+    """Ops outside the declared vocabulary must fail the job — silently
+    treating a 'T' truncate marker as a delete would drop the matched row."""
+    import pytest as _pytest
+
+    from hive_json_spark.operators.relational import merge_changelog
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    chg = spark.createDataFrame([(1, "T", "x")], "k bigint, op string, v string")
+    with _pytest.raises(Exception, match="unknown op"):
+        merge_changelog(base, chg, "k").collect()
+
+
+def test_baseline_codecs_reject_malformed_and_unsupported():
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_json_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    with _pytest.raises(ValueError, match="BM"):
+        decode_bmp(b"PNGnotabmp" + b"\x00" * 60)
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggSnotawav" + b"\x00" * 60)
+    # 8-bit BMPs and stereo WAVs are outside the baseline codec's scope
+    bad_bmp = bytearray(encode_bmp(np.zeros((4, 6, 3), dtype=np.uint8)))
+    bad_bmp[28] = 8  # bpp field
+    with _pytest.raises(NotImplementedError):
+        decode_bmp(bytes(bad_bmp))
+    bad_wav = bytearray(encode_wav(np.zeros(8, dtype="<i2")))
+    bad_wav[22] = 2  # channel count field
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bytes(bad_wav))
+
+
+def test_decode_media_features_unsupported_format_is_explicit(spark):
+    import pytest as _pytest
+
+    from hive_json_spark.operators.multimodal import decode_media_features
+
+    media = spark.createDataFrame(
+        [(1, b"compressed-bytes", "image", "png")],
+        "media_id bigint, content binary, media_type string, format string",
+    )
+    with _pytest.raises(Exception, match="baseline codec|NotImplemented"):
+        decode_media_features(media).collect()

@@ -390,3 +390,105 @@ def test_streaming_psi_matches_batch_psi(spark, sf_dir, tmp_path):
                          round(pc, 6) if cat in cmap else None,
                          term)
     assert got == expected
+
+
+def test_streaming_merge_delete_empties_bucket(spark, tmp_path):
+    """Deleting every remaining row of a bucket must truncate that bucket's
+    partition: dynamic partition overwrite only rewrites partitions present
+    in the written frame, so without explicit truncation the stale files
+    survive and deleted rows resurrect on the next read."""
+    from hive_json_spark.streaming import streaming_merge_upsert
+
+    n_buckets = 2
+    keys = list(range(1, 21))
+    kdf = spark.createDataFrame([(k,) for k in keys], "k bigint").withColumn(
+        "bucket", F.pmod(F.hash("k"), F.lit(n_buckets))
+    )
+    by_bucket = {r["k"]: r["bucket"] for r in kdf.collect()}
+    doomed = [k for k in keys if by_bucket[k] == 0]
+    assert doomed, "need at least one key hashing to bucket 0"
+
+    src = str(tmp_path / "chg")
+    spark.createDataFrame(
+        [(k, 1, "U", float(k)) for k in keys], "k bigint, seq int, op string, price double"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(k, 2, "D", None) for k in doomed], "k bigint, seq int, op string, price double"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k bigint, seq int, op string, price double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = str(tmp_path / "snap")
+    q = streaming_merge_upsert(
+        stream, "k", "op", "seq", ["price"], out, str(tmp_path / "ckpt"),
+        n_buckets=n_buckets,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == sorted(k for k in keys if by_bucket[k] != 0)
+
+
+def test_streaming_psi_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: re-delivering already-applied batches
+    (here: a full rerun with a FRESH checkpoint, the lost-offsets crash
+    case) must not re-add their counts — the counts table carries the
+    applied batch id and skips duplicates."""
+    from hive_json_spark.sources import load_table
+    from hive_json_spark.streaming import streaming_psi
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.dayofmonth("ts") <= 15).select("event_type")
+    cur = ev.filter(F.dayofmonth("ts") > 15).select("event_type").limit(500)
+
+    src = str(tmp_path / "cur")
+    cur.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "drift")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(cur.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = streaming_psi(stream, "event_type", ref, out, str(tmp_path / ckpt))
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    first = sorted(
+        (r["category"], r["n"]) for r in spark.read.parquet(f"{out}/counts").collect()
+    )
+    run("ckpt2")  # same data re-delivered as the same batch ids
+    second = sorted(
+        (r["category"], r["n"]) for r in spark.read.parquet(f"{out}/counts").collect()
+    )
+    assert first == second
+
+
+def test_streaming_psi_integer_categories(spark, sf_dir, tmp_path):
+    """category_col need not be a string: the counts write derives its
+    schema from the frame instead of hardcoding 'category string'."""
+    from hive_json_spark.sources import load_table
+    from hive_json_spark.streaming import streaming_psi
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "code", (F.col("user_id") % 3).cast("int")
+    )
+    ref = ev.filter(F.dayofmonth("ts") <= 15).select("code")
+    cur = ev.filter(F.dayofmonth("ts") > 15).select("code").limit(300)
+
+    src = str(tmp_path / "cur")
+    cur.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "drift")
+    stream = spark.readStream.schema(cur.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = streaming_psi(stream, "code", ref, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    counts = spark.read.parquet(f"{out}/counts")
+    assert dict(counts.dtypes)["category"] == "int"
+    got = {r["category"]: r["n"] for r in counts.collect()}
+    expected = {r["code"]: r["count"] for r in cur.groupBy("code").count().collect()}
+    assert got == expected
