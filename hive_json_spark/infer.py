@@ -191,6 +191,10 @@ def infer_schema(
 
 _COLUMN_INFER_MEMO: dict = {}
 
+# max partials merged in one place (one executor task or the driver); above
+# this, _fold_column_partials inserts executor-side tree-merge rounds
+_MERGE_FAN_IN = 64
+
 
 def _fold_column_partials(
     df,
@@ -234,11 +238,37 @@ def _fold_column_partials(
 
     from hive_json_spark.operators.util import ensure_parallelism
 
-    partials = (
-        ensure_parallelism(df.select(column))
-        .mapInPandas(fold_partition, schema="partial binary")
-        .collect()
+    def merge_partials(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        t: Optional[HType] = None
+        n = 0
+        bad = 0
+        for pdf in batches:
+            for blob in pdf["partial"]:
+                pt, pn, pbad = pickle.loads(bytes(blob))
+                t = merge_types(t, pt)
+                n += pn
+                bad += pbad
+        yield pd.DataFrame({"partial": [pickle.dumps((t, n, bad))]})
+
+    partials_df = ensure_parallelism(df.select(column)).mapInPandas(
+        fold_partition, schema="partial binary"
     )
+    # Tree final-merge: the driver loop below is fine for the usual few
+    # hundred partials (KB each), but at 10⁴-10⁵ input partitions (100 TB)
+    # a flat driver merge is a long single-threaded tail and a large
+    # collect. Above _MERGE_FAN_IN partitions, insert executor-side merge
+    # rounds (each shuffles only the tiny partials and reduces their count
+    # by the fan-in) until a driver-sized set remains — the same shape as
+    # treeAggregate(depth=2) used by the RDD path in infer_files. merge_types
+    # is the lattice join (associative), so the tree grouping leaves the
+    # canonicalized result unchanged.
+    n_parts = partials_df.rdd.getNumPartitions()
+    while n_parts > _MERGE_FAN_IN:
+        n_parts = -(-n_parts // _MERGE_FAN_IN)  # ceil division
+        partials_df = partials_df.repartition(n_parts).mapInPandas(
+            merge_partials, schema="partial binary"
+        )
+    partials = partials_df.collect()
     htype: Optional[HType] = None
     records = 0
     corrupt = 0

@@ -327,3 +327,18 @@ def test_parquet_schema_evolution_reads(spark, tmp_path):
     assert {(r["tag"], r["count"]) for r in got} == {(None, 50), ("new", 50)}
     # predicates on the evolved column skip legacy rows, never crash
     assert df.filter("tag = 'new'").count() == 50
+
+
+def test_column_fold_tree_merge_matches_flat(spark, sf_dir, monkeypatch):
+    """The executor-side tree final-merge (active above _MERGE_FAN_IN
+    partials) must produce the identical canonical schema and counts as
+    the flat driver merge — merge_types is the lattice join, so the
+    grouping must not matter."""
+    import hive_json_spark.infer as infer_mod
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(16)
+    flat = infer_mod.infer_schema_of_column(df, "props", canonical=True, memo=False)
+    monkeypatch.setattr(infer_mod, "_MERGE_FAN_IN", 2)  # force 3 tree rounds
+    tree = infer_mod.infer_schema_of_column(df, "props", canonical=True, memo=False)
+    assert tree.htype == flat.htype
+    assert (tree.records, tree.corrupt) == (flat.records, flat.corrupt)
