@@ -641,7 +641,157 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- deterministic stratified sampling ---------------------------------------
+@query(
+    "q_duplicate_ngram_fraction",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct([array_to_string(tk[i+1:i+5], ' ')
+               for i in range(greatest(len(tk) - 4, 0))])) AS gram
+      FROM tok),
+    df AS (
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+           ROUND(SUM(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS dup_fraction
+    FROM g JOIN df USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def q_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicate-n-gram fraction — the published corpus-
+    quality signal (a doc whose 5-grams mostly occur in other docs is
+    boilerplate or near-dup; pipelines drop above a threshold).
+
+    Scale shape: distinct (doc, gram) pairs from the Arrow-batched
+    ngram kernel; gram document-frequency is one groupBy(gram) with
+    map-side combine; the flag joins back on gram (both sides already
+    gram-partitioned — AQE reuses the exchange) and the per-doc ratio is
+    one more key-partitioned agg. Every stage is partial-aggregable;
+    nothing is quadratic. The ratio divides exact integers, so it is
+    cross-engine deterministic unrounded; rounded at 6 for display."""
+    from hive_json_spark.operators.textstats import distinct_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = distinct_ngrams(docs, "doc_id", "text", 5)
+    df_counts = g.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    j = g.join(df_counts, "gram")
+    dup = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        dup.cast("bigint").alias("n_dup_grams"),
+        F.round(dup * F.lit(1.0) / F.count("*"), 6).alias("dup_fraction"),
+    )
+
+
+@query(
+    "q_boilerplate_grams",
+    """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk
+      FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct([array_to_string(tk[i+1:i+5], ' ')
+               for i in range(greatest(len(tk) - 4, 0))])) AS gram
+      FROM tok)
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM g GROUP BY gram
+    ORDER BY n_docs DESC, gram
+    LIMIT 20
+    """,
+)
+def q_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-duplicated verbatim 5-grams across the corpus — the
+    boilerplate/template detector (cookie banners, license headers) that
+    feeds rule-based cleaning. One groupBy(gram) then top-k via
+    TakeOrderedAndProject (never a global sort); gram string tiebreak
+    makes the cut deterministic."""
+    from hive_json_spark.operators.relational import top_k
+    from hive_json_spark.operators.textstats import distinct_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = distinct_ngrams(docs, "doc_id", "text", 5)
+    counts = g.groupBy("gram").agg(F.count("*").cast("bigint").alias("n_docs"))
+    return top_k(counts, [F.col("n_docs").desc(), F.col("gram")], 20)
+
+
+@query(
+    "q_filter_funnel",
+    """
+    WITH t AS (
+      SELECT doc_id, n_chars, lang,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tok,
+             CAST(len(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))) AS DOUBLE)
+               / greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')), 1) AS diversity
+      FROM documents),
+    flags AS (
+      SELECT n_chars >= 100                         AS p1,
+             n_chars >= 100 AND n_tok >= 20         AS p2,
+             n_chars >= 100 AND n_tok >= 20 AND lang = 'en' AS p3,
+             n_chars >= 100 AND n_tok >= 20 AND lang = 'en' AND diversity >= 0.3 AS p4
+      FROM t)
+    SELECT stage, n_pass, CAST(first_drop - n_pass AS BIGINT) AS n_dropped
+    FROM (
+      SELECT 'min_length' AS stage, 1 AS ord, CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+             COUNT(*) AS first_drop FROM flags
+      UNION ALL
+      SELECT 'min_tokens', 2, CAST(SUM(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT),
+             SUM(CASE WHEN p1 THEN 1 ELSE 0 END) FROM flags
+      UNION ALL
+      SELECT 'lang_en', 3, CAST(SUM(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT),
+             SUM(CASE WHEN p2 THEN 1 ELSE 0 END) FROM flags
+      UNION ALL
+      SELECT 'diversity', 4, CAST(SUM(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT),
+             SUM(CASE WHEN p3 THEN 1 ELSE 0 END) FROM flags)
+    ORDER BY ord
+    """,
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning-funnel report: documents surviving each filter rule applied
+    in pipeline order (min length → min tokens → language → lexical
+    diversity), with per-stage drop counts — the health dashboard every
+    corpus-cleaning run publishes so a rule that suddenly eats the corpus
+    is caught before training.
+
+    Scale shape: ONE scan computes all stage predicates as columns, then a
+    single 1-row conditional aggregate — stages come from CASE sums, not
+    one scan per rule; no shuffle beyond the final tiny agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    n_tok = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        n_tok, F.lit(1)
+    )
+    p1 = F.col("n_chars") >= 100
+    p2 = p1 & (n_tok >= 20)
+    p3 = p2 & (F.col("lang") == "en")
+    p4 = p3 & (diversity >= 0.3)
+    cnt = lambda p: F.sum(F.when(p, 1).otherwise(0))  # noqa: E731
+    agg = docs.agg(
+        F.count("*").alias("total"),
+        cnt(p1).alias("c1"), cnt(p2).alias("c2"),
+        cnt(p3).alias("c3"), cnt(p4).alias("c4"),
+    )
+    stages = [
+        ("min_length", 1, "c1", "total"),
+        ("min_tokens", 2, "c2", "c1"),
+        ("lang_en", 3, "c3", "c2"),
+        ("diversity", 4, "c4", "c3"),
+    ]
+    out = None
+    for name, ordn, passed, prev in stages:
+        row = agg.select(
+            F.lit(name).alias("stage"),
+            F.lit(ordn).alias("_ord"),
+            F.col(passed).cast("bigint").alias("n_pass"),
+            (F.col(prev) - F.col(passed)).cast("bigint").alias("n_dropped"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("_ord").drop("_ord")
 
 @query(
     "q_stratified_sample",
