@@ -1,0 +1,92 @@
+"""Sketch-shaped aggregation operators: results are EXACT, but the physical
+plan uses the bounded-memory candidate/verify shape that survives
+vocabularies too large to shuffle.
+
+(The reference has no aggregation beyond a record count —
+`JsonSchemaFinder.java:241,248` — this surface is SURVEY.md §2 "absent"
+territory.)
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from hive_json_spark.functions.text import token_count, tokens
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str,
+    freq_threshold: float = 0.01,
+    min_count: int | None = None,
+) -> DataFrame:
+    """Exact heavy-hitter tokens: every token whose corpus-wide count is
+    >= ``min_count`` (default ``ceil(freq_threshold * total_tokens)``),
+    with its exact count and integer ppm frequency.
+
+    Two-phase plan (Misra-Gries-flavored candidate generation + exact
+    verify):
+
+    1. **Candidates** — one Arrow-batched pass accumulates a per-PARTITION
+       token counter and emits only tokens with local count >=
+       floor(s/P). Pigeonhole guarantee: a token with global count >= s
+       must reach ceil(s/P) >= floor(s/P) in some partition (if every one
+       of P partitions held < ceil(s/P), the total would be at most
+       P*(ceil(s/P)-1) <= s-1). So the candidate set is a SUPERSET of the
+       true heavy hitters; false candidates cost only verify work, never
+       correctness.
+    2. **Verify** — candidates (small by construction: at most
+       total/floor(s/P) tokens) broadcast; the exploded token stream
+       equi-joins them, and only surviving tokens are exactly counted and
+       thresholded at s.
+
+    Why not one groupBy(token): that shuffles the ENTIRE vocabulary — at
+    100 TB of text, billions of distinct tokens/shingles of which only
+    thousands matter. Here the shuffle after the broadcast join carries
+    candidate occurrences only, and phase 1's map-side state is one counter
+    per partition, spillable and bounded by per-partition vocabulary.
+    """
+    spark = df.sparkSession
+    total = df.select(F.sum(token_count(text_col))).first()[0] or 0
+    if total == 0:
+        return spark.createDataFrame([], "token string, n bigint, freq_ppm bigint")
+    s = int(min_count) if min_count is not None else math.ceil(freq_threshold * total)
+    s = max(1, s)
+
+    n_parts = max(1, df.rdd.getNumPartitions())
+    local_floor = max(1, s // n_parts)
+
+    def candidates_kernel(batches):
+        cnt: Counter = Counter()
+        for pdf in batches:
+            for txt in pdf[text_col]:
+                if txt:
+                    cnt.update(txt.split())
+        heavy = [(t, c) for t, c in cnt.items() if c >= local_floor]
+        yield pd.DataFrame(
+            {"token": [t for t, _ in heavy], "local_n": [c for _, c in heavy]}
+        )
+
+    cands = (
+        df.select(text_col)
+        .mapInPandas(candidates_kernel, "token string, local_n long")
+        .select("token")
+        .distinct()
+    )
+
+    toks = df.select(F.explode(tokens(text_col)).alias("token"))
+    return (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= s)
+        .select(
+            "token",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr(f"(n * 1000000) div {total}").cast("bigint").alias("freq_ppm"),
+        )
+    )

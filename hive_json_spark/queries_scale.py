@@ -1,0 +1,351 @@
+"""Scale-infrastructure queries: the physical-layout and skew techniques a
+100 TB deployment leans on, each proven correctness-preserving against a
+plain-SQL DuckDB oracle.
+
+The point of this module: techniques like key salting, bucketed co-located
+joins, two-phase heavy hitters, and z-order clustering change the PHYSICAL
+plan (where rows live, what shuffles) without changing the LOGICAL result —
+so each query here computes its answer through the scale technique while the
+oracle computes it the naive way, and the hash-match proves the rewrite is
+semantics-preserving. (The reference engine has no distribution at all —
+`JsonSchemaFinder.java:227-247` is a single-threaded loop — so this entire
+surface is "absent from reference" per SURVEY.md §2's second table.)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from hive_json_spark.functions.exact import sql_sum_exact, sum_exact
+from hive_json_spark.functions.text import tokens
+from hive_json_spark.sources import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- skew-salted join --------------------------------------------------------
+
+@query(
+    "q_salted_join",
+    f"""
+    SELECT s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_sum_exact("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier revenue through a SALTED join — the hot-key mitigation.
+
+    The skewed fact side gets a uniform salt in [0, 8); the supplier side is
+    replicated 8x and the join key becomes (suppkey, salt), so one celebrity
+    supplier spreads over 8 tasks instead of melting one executor. Salting
+    repartitions WORK, not RESULTS: every fact row still meets exactly one
+    replica of its supplier row, so the aggregate is identical to the
+    plain join the oracle runs — which is exactly what this query proves.
+
+    100 TB: use when one key dominates past what AQE's skew-join split
+    handles (power-law fan-in, null-heavy FKs). Cost = replicating the
+    small side n_salts x; pair with broadcast when it fits. Revenue uses
+    the integer-cents rule (SCALE.md) so the sum is summation-order-free
+    across partitionings — salted and plain plans hash identically.
+    """
+    from hive_json_spark.operators.relational import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    joined = salted_join(li, sup, ["suppkey"], n_salts=8)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("s_name").agg(
+        F.count("*").alias("n_items"),
+        sum_exact(rev).alias("revenue"),
+    )
+
+
+# --- bucketed co-located join ------------------------------------------------
+
+_WAREHOUSE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_warehouse"
+)
+N_BUCKETS = 8
+
+
+def bucketed_table(spark: SparkSession, sf_dir: str, table: str, key: str) -> DataFrame:
+    """Materialize ``table`` bucketed+sorted by ``key`` (once per session/sf)
+    and return it AS A CATALOG SCAN — reading via the table name is what
+    carries the bucketing metadata that lets the join planner drop the
+    Exchange. Idempotent per session: the write happens only on first use.
+    """
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    name = f"{table}_b_{sf_tag}"
+    if not spark.catalog.tableExists(name):
+        path = os.path.join(_WAREHOUSE, sf_tag, name)
+        (
+            load_table(spark, sf_dir, table)
+            .write.bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .option("path", path)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
+@query(
+    "q_bucketed_join",
+    f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_sum_exact("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority through a BUCKETED co-located join.
+
+    Both sides are written once with ``bucketBy(8, orderkey).sortBy``, so
+    rows with the same key already live in the same bucket file — the
+    sort-merge join runs with NO Exchange on either side (pinned by
+    tests/test_scale_queries.py, which asserts the join subtree is
+    exchange-free). The oracle joins the raw parquet the naive way;
+    hash-match proves bucket layout changes nothing logical.
+
+    100 TB: bucketing is THE amortization story for fact-to-fact joins —
+    pay one layout shuffle at ingest, then every subsequent join/groupBy on
+    the bucket key is shuffle-free. AQE cannot synthesize this; it is a
+    write-time decision. Bucket count scales with the cluster (e.g. 4096
+    at 1000 executors); 8 matches local test scale.
+    """
+    orders = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    li = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    # hint("merge"): pin the sort-merge strategy the bucketing pays off for.
+    # At graded/test SFs the orders side fits the broadcast threshold and the
+    # planner would (rightly) broadcast — but fact-to-fact at 100 TB cannot
+    # broadcast, and the plan this query exists to demonstrate is the
+    # exchange-free bucketed SMJ.
+    joined = orders.hint("merge").join(li, orders.o_orderkey == li.l_orderkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        sum_exact(rev).alias("revenue"),
+    )
+
+
+# --- two-phase exact heavy hitters -------------------------------------------
+
+HH_FREQ = 0.0345  # corpus-frequency threshold for "heavy"
+
+@query(
+    "q_heavy_hitters",
+    f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+               AS token
+      FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tok)
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST((COUNT(*) * 1000000) // (SELECT n_total FROM tot) AS BIGINT)
+             AS freq_ppm
+    FROM tok GROUP BY token
+    HAVING COUNT(*) >= CEIL({HH_FREQ} * (SELECT n_total FROM tot))
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy-hitter tokens (count >= 3.45% of all tokens) via the
+    TWO-PHASE candidate/verify pattern — exact results without shuffling the
+    full vocabulary.
+
+    Phase 1 (candidates): one Arrow-batched pass counts tokens per
+    partition and keeps only locally-heavy ones (local count >=
+    floor(s/P)). Any token with global count >= s must reach ceil(s/P) in
+    at least one of P partitions (pigeonhole: if every partition held <
+    ceil(s/P), the total would be <= s-1), so the candidate set is a
+    guaranteed superset — never a recall loss. Phase 2 (verify): the small
+    candidate list broadcasts, the token stream semi-joins it, and only
+    candidate tokens are exactly counted and thresholded. Equals the
+    oracle's full GROUP BY ... HAVING by construction.
+
+    100 TB: a naive token groupBy shuffles the whole vocabulary (billions
+    of distinct shingles); here the shuffle carries candidate tokens only.
+    freq_ppm is integer division of exact longs — order-free.
+    """
+    from hive_json_spark.operators.sketch import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitters(docs, "text", freq_threshold=HH_FREQ)
+
+
+# --- per-document token entropy ----------------------------------------------
+
+@query(
+    "q_token_entropy",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+               AS token
+      FROM documents),
+    cnt AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY doc_id, token),
+    tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id),
+    terms AS (
+      SELECT cnt.doc_id, tot.n,
+             CAST(ROUND(1000000 * (cnt.c / CAST(tot.n AS DOUBLE))
+                        * ln(cnt.c / CAST(tot.n AS DOUBLE))) AS BIGINT) AS t
+      FROM cnt JOIN tot USING (doc_id))
+    SELECT doc_id,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+           ROUND(-SUM(t) / 1000000.0, 6) AS token_entropy
+    FROM terms GROUP BY doc_id
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the unigram token distribution — the
+    classic corpus-quality signal (gibberish and templated boilerplate sit
+    at opposite entropy extremes; pipelines band-pass filter on it).
+
+    Determinism note (the q11 lesson, SCALE.md): entropy is a SUM of double
+    terms p*ln(p), which would be summation-order-dependent across engines.
+    Each term is therefore rounded to integer micro-nats PER ROW (identical
+    IEEE double -> identical long on both engines; sub-ulp libm differences
+    in ln() vanish at the 1e-6 grid) and summed as exact longs — the same
+    integer-unit rule the money aggregates use, applied to information.
+
+    Scale shape: explode to (doc, token), two key-partitioned aggs, one
+    join back on doc_id — all partial-aggregable, nothing quadratic; at
+    100 TB this is the same shape as TF-IDF (already in the registry).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    cnt = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    term = F.round(F.lit(1000000) * p * F.log(p)).cast("bigint")
+    terms = cnt.join(tot, "doc_id").select("doc_id", "n", term.alias("t"))
+    return terms.groupBy("doc_id").agg(
+        F.any_value("n").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("distinct_tokens"),
+        F.round(-F.sum("t") / F.lit(1000000.0), 6).alias("token_entropy"),
+    )
+
+
+# --- z-order clustering layout -----------------------------------------------
+
+Z_BITS = 10  # quantization bits per dimension
+Z_GROUPS = 16  # file groups the layout is split into
+
+
+def _z_expr(qx: str, qy: str, dialect: str) -> str:
+    """Morton/z-value bit-interleave expression text for one dialect:
+    z = sum_i (bit_i(qx) << 2i) + (bit_i(qy) << 2i+1). Terms occupy
+    disjoint bits, so + is |, and a flat sum parses identically in both
+    engines (DuckDB shift operators; Spark shiftleft/shiftright)."""
+    terms = []
+    for i in range(Z_BITS):
+        if dialect == "duck":
+            terms.append(f"((({qx} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({qy} >> {i}) & 1) << {2 * i + 1})")
+        else:
+            terms.append(f"shiftleft(shiftright({qx}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({qy}, {i}) & 1, {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_QX = "CAST(((l_partkey - min_pk) * 1024) {div} (max_pk - min_pk + 1) AS BIGINT)"
+_QY = "CAST(((l_suppkey - min_sk) * 1024) {div} (max_sk - min_sk + 1) AS BIGINT)"
+
+
+@query(
+    "q_zorder_layout",
+    f"""
+    WITH bounds AS (
+      SELECT MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+             MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
+      FROM lineitem),
+    q AS (
+      SELECT l_orderkey, l_linenumber,
+             {_QX.format(div='//')} AS qx,
+             {_QY.format(div='//')} AS qy
+      FROM lineitem, bounds),
+    z AS (
+      SELECT qx, qy,
+             NTILE({Z_GROUPS}) OVER (
+               ORDER BY {_z_expr('qx', 'qy', 'duck')}, l_orderkey, l_linenumber
+             ) AS file_group
+      FROM q)
+    SELECT CAST(file_group AS BIGINT) AS file_group,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(qx) AS BIGINT) AS min_qx, CAST(MAX(qx) AS BIGINT) AS max_qx,
+           CAST(MIN(qy) AS BIGINT) AS min_qy, CAST(MAX(qy) AS BIGINT) AS max_qy
+    FROM z GROUP BY file_group
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering layout for two-dimensional data
+    skipping: quantize (l_partkey, l_suppkey) to 10 bits each, interleave
+    the bits into a z-value, split the z-sorted corpus into 16 file groups,
+    and report each group's bounding box in BOTH dimensions.
+
+    Why this is the layout you want at 100 TB: a single-column sort gives
+    perfect min/max pruning on one predicate column and none on the other;
+    z-ordering gives useful pruning on both (each file group's qx AND qy
+    ranges are narrow), which is how lakehouse OPTIMIZE ZORDER BY earns its
+    keep for multi-dimensional point/range scans. The emitted bounding
+    boxes ARE the skipping index a scan would consult.
+
+    Physical note: the graded query totals the layout with one NTILE over
+    the z-sort (bounded output); a production write would instead
+    ``repartitionByRange(16, z)`` + sortWithinPartitions — one range
+    shuffle, no global window. The z-value math (integer quantize + bit
+    interleave) is identical expression text in both engines — exact
+    integer ops, no float anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_partkey").alias("min_pk"),
+        F.max("l_partkey").alias("max_pk"),
+        F.min("l_suppkey").alias("min_sk"),
+        F.max("l_suppkey").alias("max_sk"),
+    )
+    q = (
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .crossJoin(F.broadcast(bounds))
+        .selectExpr(
+            "l_orderkey",
+            "l_linenumber",
+            f"{_QX.format(div='div')} AS qx",
+            f"{_QY.format(div='div')} AS qy",
+        )
+    )
+    zval = F.expr(_z_expr("qx", "qy", "spark"))
+    w = Window.orderBy(zval, F.col("l_orderkey"), F.col("l_linenumber"))
+    z = q.withColumn("file_group", F.ntile(Z_GROUPS).over(w))
+    return z.groupBy(F.col("file_group").cast("bigint").alias("file_group")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("qx").cast("bigint").alias("min_qx"),
+        F.max("qx").cast("bigint").alias("max_qx"),
+        F.min("qy").cast("bigint").alias("min_qy"),
+        F.max("qy").cast("bigint").alias("max_qy"),
+    )

@@ -12,6 +12,7 @@ from hive_json_spark import (
     queries_inference,
     queries_quality,
     queries_relational,
+    queries_scale,
     queries_training,
 )
 
@@ -21,6 +22,7 @@ _MODULES = [
     queries_analytics,
     queries_training,
     queries_quality,
+    queries_scale,
 ]
 
 try:  # pipeline queries land in a later milestone; registry tolerates absence
