@@ -960,3 +960,64 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(benford, 6).alias("benford_p"),
         F.round(F.col("n") / total - benford, 6).alias("deviation"),
     )
+
+
+@query(
+    "q_unigram_logloss",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+               AS token
+      FROM documents),
+    dt AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY doc_id, token),
+    lm AS (SELECT token, CAST(SUM(c) AS BIGINT) AS cw FROM dt GROUP BY token),
+    tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_total FROM lm),
+    terms AS (
+      SELECT dt.doc_id, dt.c,
+             CAST(ROUND(1000000 * dt.c
+                        * ln(lm.cw / CAST((SELECT n_total FROM tot) AS DOUBLE)))
+                  AS BIGINT) AS t
+      FROM dt JOIN lm USING (token))
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           ROUND((-SUM(t) / 1000000.0) / SUM(c), 6) AS xent
+    FROM terms GROUP BY doc_id
+    """,
+)
+def q_unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy against the CORPUS unigram language model
+    — the CCNet-style LM quality score: documents whose tokens are
+    improbable under the corpus distribution (gibberish, wrong language,
+    OCR noise) score high; templated boilerplate scores abnormally low.
+    Pipelines band-pass on this exactly like perplexity from a real LM,
+    at a millionth of the cost.
+
+    Determinism (SCALE.md integer-unit rule): each (doc, token) term
+    c * ln(p_corpus) is rounded to integer micro-nats PER ROW before the
+    per-doc long sum, so cross-engine/cross-partitioning summation order
+    cannot flip the rounded output; the final divide is by an exact long.
+
+    Scale shape: (doc, token) counts -> token LM in one groupBy(token)
+    (map-side combined) -> join back on token -> one groupBy(doc). Same
+    two-shuffle profile as TF-IDF; the LM side is vocabulary-sized, never
+    corpus-sized, and joins shuffle-partitioned on token (broadcast it
+    when the vocabulary fits, as synthetic corpora here do).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    dt = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    lm = dt.groupBy("token").agg(F.sum("c").cast("bigint").alias("cw"))
+    total = lm.agg(F.sum("cw").cast("bigint").alias("n_total"))
+    p = F.col("cw") / F.col("n_total").cast("double")
+    term = F.round(F.lit(1000000) * F.col("c") * F.log(p)).cast("bigint")
+    terms = (
+        dt.join(lm, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "c", term.alias("t"))
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.round((-F.sum("t") / F.lit(1000000.0)) / F.sum("c"), 6).alias("xent"),
+    )

@@ -555,3 +555,51 @@ def q_url_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_en"),
         F.min(F.parse_url("url", F.lit("PROTOCOL"))).alias("protocol"),
     )
+
+
+@query(
+    "q_epoch_shuffle",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS h
+      FROM documents)
+    SELECT doc_id,
+           CAST(h % 16 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: assign every document a pseudo-random
+    but reproducible training order — Knuth multiplicative hash as the
+    sort key, 16 shards so each data-loader worker reads one shard
+    sequentially. The manifest (doc_id, shard, pos) IS the epoch plan;
+    vary the multiplier/offset per epoch for fresh orders.
+
+    Never rand(): the hash is a pure function of doc_id, so task retries,
+    partition count, and engine all agree (the same determinism stance as
+    every sampler in this module). Multiplier fits 64-bit exactly for
+    doc_id < 2^31 (doc_id * 2654435761 < 2^63); shard-local position is a
+    ROW_NUMBER over a total order with doc_id tiebreak.
+
+    Scale shape: one hash projection in codegen + one shuffle on shard +
+    per-shard window sort — the same cost as writing the epoch out
+    range-partitioned. At 100 TB the window sorts ~1/16 of the corpus per
+    task-group; raise shard count with cluster size (shards are the
+    data-parallel read unit downstream).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296))
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = Window.partitionBy(F.col("h") % 16).orderBy("h", "doc_id")
+    return keyed.select(
+        "doc_id",
+        (F.col("h") % 16).cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

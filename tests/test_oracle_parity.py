@@ -113,6 +113,10 @@ PERTURB_QUERIES = [
     "q_winsorize",
     "q_time_rollup",
     "q8_market_share",
+    # ln()-sum queries: per-term integer micro-nat rounding must make the
+    # entropy/cross-entropy sums order-free too
+    "q_token_entropy",
+    "q_unigram_logloss",
 ]
 
 
