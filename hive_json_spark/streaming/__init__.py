@@ -9,3 +9,4 @@ from hive_json_spark.streaming.infer_stream import (  # noqa: F401
 from hive_json_spark.streaming.rollup import continuous_rollup  # noqa: F401
 from hive_json_spark.streaming.merge import streaming_merge_upsert  # noqa: F401
 from hive_json_spark.streaming.drift import streaming_psi  # noqa: F401
+from hive_json_spark.streaming.topk import streaming_topk  # noqa: F401

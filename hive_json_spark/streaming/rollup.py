@@ -10,9 +10,17 @@ Each micro-batch:
    (``partitionOverwriteMode=dynamic``).
 
 State never lives in the streaming engine — the rollup table IS the
-state, so restarts are safe wherever the checkpoint restarts the source:
-re-aggregating a replayed batch is idempotent per partition because the
-merge reads current truth before writing.
+state.
+
+Replay safety: foreachBatch is at-least-once, and read-add-overwrite is
+NOT naturally idempotent (a re-delivered batch would re-add its rows).
+Every written partition therefore carries the applied ``_batch_id``; a
+re-delivered batch N re-reads the same day partitions it originally
+touched, finds max(_batch_id) >= N there (the ids are atomic with the
+data — same files), and skips the add. If the original write never
+committed, those partitions still show < N and the batch applies
+normally. Only the touched partitions are consulted — no full-table scan
+to decide replay.
 """
 
 from __future__ import annotations
@@ -38,7 +46,7 @@ def continuous_rollup(
     trigger for continuous operation.
     """
 
-    def upsert(batch_df: DataFrame, _batch_id: int) -> None:
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         part = (
             batch_df.groupBy(F.window(ts_col, window).alias("w"), *key_cols)
@@ -55,6 +63,9 @@ def continuous_rollup(
             return
         try:
             existing = spark.read.parquet(out_dir).filter(F.col("day").isin(days))
+            last = existing.agg(F.max("_batch_id")).collect()[0][0]
+            if last is not None and batch_id <= last:
+                return  # re-delivered batch: these partitions already include it
             merged = (
                 existing.select(part.columns)
                 .unionByName(part)
@@ -66,7 +77,12 @@ def continuous_rollup(
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         try:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            merged.write.mode("overwrite").partitionBy("day").parquet(out_dir)
+            (
+                merged.withColumn("_batch_id", F.lit(batch_id).cast("bigint"))
+                .write.mode("overwrite")
+                .partitionBy("day")
+                .parquet(out_dir)
+            )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 

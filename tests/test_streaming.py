@@ -492,3 +492,80 @@ def test_streaming_psi_integer_categories(spark, sf_dir, tmp_path):
     got = {r["category"]: r["n"] for r in counts.collect()}
     expected = {r["code"]: r["count"] for r in cur.groupBy("code").count().collect()}
     assert got == expected
+
+
+def test_continuous_rollup_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: re-running the same source with a
+    FRESH checkpoint (the lost-offsets crash case) re-delivers the same
+    batch ids — the rollup's partition-carried _batch_id must make the
+    re-adds no-ops, not double the counts."""
+    from hive_json_spark.sources import load_table
+    from hive_json_spark.streaming import continuous_rollup
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    src = str(tmp_path / "src")
+    events.filter(F.dayofmonth("ts") <= 15).coalesce(1).write.parquet(src)
+    events.filter(F.dayofmonth("ts") > 15).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "rollup")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = continuous_rollup(stream, "ts", ["user_id"], "value", out, str(tmp_path / ckpt))
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    first = sorted(
+        (str(r.day), r.user_id, r.n, round(r.total, 4))
+        for r in spark.read.parquet(out).collect()
+    )
+    run("ckpt2")  # same batches re-delivered with the same ids
+    second = sorted(
+        (str(r.day), r.user_id, r.n, round(r.total, 4))
+        for r in spark.read.parquet(out).collect()
+    )
+    assert first == second
+
+
+def test_streaming_topk_matches_batch_and_replay(spark, sf_dir, tmp_path):
+    """Incremental top-k over two micro-batches must equal the batch
+    top-k over all data; a full re-delivery (fresh checkpoint) must not
+    change it."""
+    from hive_json_spark.sources import load_table
+    from hive_json_spark.streaming import streaming_topk
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    src = str(tmp_path / "src")
+    events.filter(F.dayofmonth("ts") <= 15).coalesce(1).write.parquet(src)
+    events.filter(F.dayofmonth("ts") > 15).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "topk")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = streaming_topk(stream, "user_id", out, str(tmp_path / ckpt), k=5)
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    got = [(r.key, r.n) for r in spark.read.parquet(f"{out}/topk")
+           .orderBy(F.col("n").desc(), F.col("key").asc()).collect()]
+    expected = [
+        (r.key, r.n)
+        for r in events.groupBy(F.col("user_id").alias("key"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(5)
+        .collect()
+    ]
+    assert got == expected
+
+    run("ckpt2")  # replay with same batch ids
+    again = [(r.key, r.n) for r in spark.read.parquet(f"{out}/topk")
+             .orderBy(F.col("n").desc(), F.col("key").asc()).collect()]
+    assert again == expected
