@@ -295,3 +295,79 @@ def synthetic_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
         ((F.col(id_col) % 48 + 1) * 8).cast("int").alias("height"),
         ((F.col(id_col) % 10 + 1) * 1500).cast("bigint").alias("duration_ms"),
     )
+
+
+def resize_nearest(arr: "np.ndarray", h_out: int, w_out: int) -> "np.ndarray":
+    """Nearest-neighbor resize of an HxWxC uint8 array via integer index
+    maps (y_src = y_out * h // h_out) — pure vectorized gather, no
+    interpolation arithmetic, so the result is exactly reproducible from
+    the source pixels (what makes the downstream query oracle-able)."""
+    h, w, _ = arr.shape
+    ys = (np.arange(h_out, dtype=np.int64) * h) // h_out
+    xs = (np.arange(w_out, dtype=np.int64) * w) // w_out
+    return arr[ys][:, xs]
+
+
+RESIZED_FEATURES_SCHEMA = (
+    "media_id bigint, media_type string, w_in int, h_in int, w_out int, "
+    "h_out int, n_out bigint, n_bytes_out bigint, mean_c0 double, "
+    "mean_c1 double, mean_c2 double, rms double"
+)
+
+
+def resize_media_features(media: DataFrame, scale: int = 2) -> DataFrame:
+    """Decode REAL bytes, spatially downsample by ``scale`` (images:
+    nearest-neighbor to (h//scale, w//scale); audio: keep every scale-th
+    sample), RE-ENCODE the result with the baseline codecs, and emit the
+    resized dims, re-encoded byte size, and features of the RESIZED
+    payload. Exercises decode → transform → encode end to end on actual
+    bytes — the full shape of a production thumbnail/downsample stage.
+
+    Arrow-batched mapInPandas; all pixel/sample work is vectorized numpy.
+    """
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = (
+            "media_id", "media_type", "w_in", "h_in", "w_out", "h_out",
+            "n_out", "n_bytes_out", "mean_c0", "mean_c1", "mean_c2", "rms",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, content, fmt in zip(
+                pdf["media_id"], pdf["content"], pdf["format"]
+            ):
+                data = bytes(content)
+                row = dict.fromkeys(cols)
+                row["media_id"] = mid
+                if fmt == "bmp":
+                    w, h, arr = decode_bmp(data)
+                    h2, w2 = max(h // scale, 1), max(w // scale, 1)
+                    small = resize_nearest(arr, h2, w2)
+                    reenc = encode_bmp(np.ascontiguousarray(small))
+                    means = small.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+                    row.update(
+                        media_type="image", w_in=w, h_in=h, w_out=w2, h_out=h2,
+                        n_bytes_out=len(reenc),
+                        mean_c0=float(means[0]), mean_c1=float(means[1]),
+                        mean_c2=float(means[2]),
+                    )
+                elif fmt == "wav":
+                    rate, samples = decode_wav(data)
+                    small = samples[::scale]
+                    reenc = encode_wav(small, rate)
+                    sq = small.astype(np.int64) ** 2
+                    row.update(
+                        media_type="audio", n_out=len(small),
+                        n_bytes_out=len(reenc),
+                        rms=float(np.sqrt(sq.mean(dtype=np.float64))),
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"no baseline codec for format {fmt!r} (see module docstring)"
+                    )
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=RESIZED_FEATURES_SCHEMA)

@@ -337,6 +337,58 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_media_resize",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             doc_id % 2 = 0 AS is_img,
+             CAST((doc_id % 16 + 1) * 4 + 2 AS INT) AS w,
+             CAST((doc_id % 12 + 1) * 4 AS INT) AS h,
+             CAST((doc_id % 10 + 1) * 200 AS BIGINT) AS ns
+      FROM documents),
+    img AS (
+      SELECT media_id,
+             AVG((media_id * 17 + 2 * y) % 256) AS mean_c0,
+             AVG((media_id * 18 + 2 * y) % 256) AS mean_c1,
+             AVG((media_id * 19 + 2 * y) % 256) AS mean_c2
+      FROM m, LATERAL (SELECT unnest(range(h // 2)) AS y)
+      WHERE is_img GROUP BY media_id),
+    aud AS (
+      SELECT media_id, SQRT(AVG(s * s)) AS rms
+      FROM (SELECT media_id, ((media_id * 13 + i) % 256 - 128) * 256 AS s
+            FROM m, LATERAL (SELECT unnest(range(0, ns, 2)) AS i)
+            WHERE NOT is_img)
+      GROUP BY media_id)
+    SELECT m.media_id,
+           CASE WHEN is_img THEN 'image' ELSE 'audio' END AS media_type,
+           CASE WHEN is_img THEN w END AS w_in,
+           CASE WHEN is_img THEN h END AS h_in,
+           CASE WHEN is_img THEN CAST(w // 2 AS INT) END AS w_out,
+           CASE WHEN is_img THEN CAST(h // 2 AS INT) END AS h_out,
+           CASE WHEN is_img THEN NULL ELSE ns // 2 END AS n_out,
+           CAST(CASE WHEN is_img THEN 54 + ((3 * (w // 2) + 3) // 4) * 4 * (h // 2)
+                     ELSE 44 + 2 * (ns // 2) END AS BIGINT) AS n_bytes_out,
+           img.mean_c0, img.mean_c1, img.mean_c2, aud.rms
+    FROM m LEFT JOIN img USING (media_id) LEFT JOIN aud USING (media_id)
+    """,
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> downsample -> re-encode on REAL bytes: BMPs shrink 2x by
+    nearest-neighbor gather, WAVs keep every 2nd sample, both re-encode
+    through the baseline codecs, and the emitted features describe the
+    RESIZED payload (dims, re-encoded byte size, channel means / RMS).
+    The oracle recomputes everything from the closed form of the
+    synthetic pixels/samples — an off-by-one in the index map (y*h//h2),
+    a padding slip in the re-encode, or a stride bug in the sample take
+    breaks the hash. Together with q_media_decode this pins the full
+    production thumbnail stage: parse, transform, serialize."""
+    from hive_json_spark.operators.multimodal import resize_media_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media_features(synthetic_media_binary(docs), scale=2)
+
+
+@query(
     "q_frame_sample",
     """
     WITH media AS (

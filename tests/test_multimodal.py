@@ -1,0 +1,32 @@
+
+
+def test_resize_nearest_exact_gather():
+    import numpy as np
+
+    from hive_json_spark.operators.multimodal import resize_nearest
+
+    arr = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    small = resize_nearest(arr, 3, 2)
+    # y_src = y_out*6//3 = 0,2,4 ; x_src = x_out*4//2 = 0,2
+    assert small.shape == (3, 2, 3)
+    assert (small == arr[[0, 2, 4]][:, [0, 2]]).all()
+    # degenerate 1x1 stays the top-left source pixel
+    one = resize_nearest(arr, 1, 1)
+    assert (one == arr[[0]][:, [0]]).all()
+
+
+def test_resize_roundtrip_through_codecs():
+    import numpy as np
+
+    from hive_json_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    small = resize_nearest(arr, 4, 3)
+    w, h, back = decode_bmp(encode_bmp(np.ascontiguousarray(small)))
+    assert (w, h) == (3, 4)
+    assert (back == small).all()
