@@ -64,3 +64,38 @@ def register_engine_udfs(spark: SparkSession) -> list[str]:
     spark.udf.register("infer_json_type", infer_json_type)
     names.append("infer_json_type")
     return names
+
+
+def register_shred_udtf(spark: SparkSession, name: str = "shred_json") -> str:
+    """Register the reference's shredder (`JsonShredder.shredObject`,
+    JsonShredder.java:64-81) as a SQL TABLE function (Python UDTF,
+    Spark 4): each JSON document expands to its (path, value) leaf rows,
+    usable directly in LATERAL position —
+
+        SELECT d.doc_id, s.path, s.value
+        FROM docs d, LATERAL shred_json(d.props) s
+
+    This is the UDTF tier of the function surface (scalar SQL functions
+    and Arrow pandas_udfs are registered by `register_engine_udfs`): the
+    per-row fan-out shape that scalar UDFs cannot express. The row walk
+    reuses `shred.shred_records`, so SQL, DataFrame (`shred_column`), and
+    CLI shredding share one set of semantics.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="path string, value string")
+    class ShredJson:
+        def eval(self, doc: str):  # noqa: ANN001 — UDTF protocol signature
+            if doc is None:
+                return
+            from hive_json_spark.shred import shred_records
+            from hive_json_spark.types import loads_first
+
+            try:
+                parsed = loads_first(doc)
+            except ValueError:
+                return  # undecodable doc: contribute no rows (skip semantics)
+            yield from shred_records(parsed)
+
+    spark.udtf.register(name, ShredJson)
+    return name

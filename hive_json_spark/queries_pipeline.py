@@ -730,8 +730,13 @@ def q_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     g = distinct_ngrams(docs, "doc_id", "text", 5)
-    df_counts = g.groupBy("gram").agg(F.count("*").alias("n_docs"))
-    j = g.join(df_counts, "gram")
+    # document frequency as a window over gram rather than agg + self-join:
+    # one exchange on gram serves both the count and the flag (the join
+    # formulation shuffles g a second time when AQE can't line the
+    # exchanges up), then one exchange on doc_id for the per-doc ratio
+    j = g.withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy("gram"))
+    )
     dup = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
     return j.groupBy("doc_id").agg(
         F.count("*").alias("n_grams"),
