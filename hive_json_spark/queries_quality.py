@@ -1021,3 +1021,83 @@ def q_unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("n_tokens"),
         F.round((-F.sum("t") / F.lit(1000000.0)) / F.sum("c"), 6).alias("xent"),
     )
+
+
+@query(
+    "q_zipf_audit",
+    """
+    WITH freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+                     AS token
+            FROM documents)
+      GROUP BY token),
+    ranked AS (
+      SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f DESC, token) AS BIGINT) AS r
+      FROM freq),
+    terms AS (
+      SELECT CAST(ROUND(1000000 * ln(CAST(r AS DOUBLE))) AS BIGINT) AS tx,
+             CAST(ROUND(1000000 * ln(CAST(f AS DOUBLE))) AS BIGINT) AS ty,
+             CAST(ROUND(1000000 * (ln(CAST(r AS DOUBLE)) * ln(CAST(f AS DOUBLE))))
+                  AS BIGINT) AS txy,
+             CAST(ROUND(1000000 * (ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))))
+                  AS BIGINT) AS txx
+      FROM ranked),
+    sums AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(tx) / 1000000.0 AS sx, SUM(ty) / 1000000.0 AS sy,
+             SUM(txy) / 1000000.0 AS sxy, SUM(txx) / 1000000.0 AS sxx
+      FROM terms)
+    SELECT CAST(n AS BIGINT) AS n_vocab,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept
+    FROM sums
+    """,
+)
+def q_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law audit: OLS slope of ln(frequency) on ln(rank) over the
+    corpus vocabulary. Natural text sits near slope -1; synthetic/templated
+    corpora flatten toward 0 and spammy corpora steepen — a one-row corpus
+    health check alongside the entropy band-pass filters.
+
+    Determinism: every ln-product term is rounded to integer micro-units
+    per ROW and long-summed (SCALE.md rule); the OLS formula then combines
+    five exact sums with an identical expression tree on both engines, so
+    identical doubles in give identical doubles out. The rank is a
+    ROW_NUMBER with token tiebreak — total order, no ties to break
+    differently.
+
+    Scale shape: one token groupBy (vocabulary-sized shuffle), one window
+    over the vocab, one 1-row agg. At 100 TB only the vocab table shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("f"))
+    )
+    r = F.row_number().over(Window.orderBy(F.desc("f"), "token")).cast("bigint")
+    lnr = F.log(F.col("r").cast("double"))
+    lnf = F.log(F.col("f").cast("double"))
+    mk = lambda e: F.round(F.lit(1000000) * e).cast("long")  # noqa: E731
+    terms = freq.select(r.alias("r"), "f").select(
+        mk(lnr).alias("tx"),
+        mk(lnf).alias("ty"),
+        mk(lnr * lnf).alias("txy"),
+        mk(lnr * lnr).alias("txx"),
+    )
+    sums = terms.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("tx") / F.lit(1000000.0)).alias("sx"),
+        (F.sum("ty") / F.lit(1000000.0)).alias("sy"),
+        (F.sum("txy") / F.lit(1000000.0)).alias("sxy"),
+        (F.sum("txx") / F.lit(1000000.0)).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        n.cast("bigint").alias("n_vocab"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )

@@ -603,3 +603,52 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("h") % 16).cast("bigint").alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+@query(
+    "q_power_iteration",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_reduce(list_transform(embedding, e -> CAST(e AS DOUBLE) * 0.125),
+                         (a, b) -> a + b) AS s
+      FROM embeddings),
+    t AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(ROUND(1000000 * (CAST(unnest(embedding) AS DOUBLE) * s))
+                  AS BIGINT) AS term
+      FROM s)
+    SELECT CAST(dim AS BIGINT) AS dim,
+           ROUND(SUM(term) / 1000000.0, 6) AS gram_v
+    FROM t GROUP BY dim
+    """,
+)
+def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed power-iteration step for the corpus's dominant
+    principal direction: v1 = X'(X v0) with v0 = (1/8, ..., 1/8) — the
+    building block of PCA / spectral embedding quality audits, computed
+    WITHOUT ever materializing the d x d Gram matrix or shuffling raw
+    vectors: the per-row scalar s = x.v0 rides the scan, and the explode
+    collapses to d partial sums per map task before the one tiny exchange
+    (reducer state is d cells regardless of corpus size — the same
+    bounded-state property as the centroid M-step above).
+
+    Determinism: v0 = 0.125 is an exact binary fraction; the per-row dot
+    product folds left-to-right identically in both engines (F.aggregate
+    vs list_reduce); each (row, dim) contribution x_j * s is rounded to
+    integer micro-units per row and long-summed (the SCALE.md rule), so
+    partitioning/engine cannot reorder a double sum. Iterating = feeding
+    the normalized output back as the next v0 — each step is this same
+    one-scan query.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x * F.lit(0.125),
+    )
+    ex = emb.select(s.alias("s"), F.posexplode("embedding").alias("dim", "x"))
+    term = F.round(F.lit(1000000) * (F.col("x") * F.col("s"))).cast("long")
+    return ex.groupBy(F.col("dim").cast("bigint").alias("dim")).agg(
+        F.round(F.sum(term) / F.lit(1000000.0), 6).alias("gram_v")
+    )
