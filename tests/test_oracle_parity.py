@@ -124,15 +124,20 @@ PERTURB_QUERIES = [
 def test_partition_count_invariance(spark, name):
     results = []
     original = spark.conf.get("spark.sql.shuffle.partitions")
+    original_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
-        for n_part in ("2", "7", "32"):
+        # vary partition count (AQE on), then disable AQE entirely — the
+        # driver's environment may differ in both dimensions
+        for n_part, aqe in (("2", "true"), ("7", "true"), ("32", "true"), ("32", "false")):
             spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
             sdf = QUERIES[name](spark, SF_DIR)
             cols = sorted(sdf.columns)
             rows = [[row[c] for c in cols] for row in sdf.collect()]
             results.append(normalize(rows, cols))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", original)
-    assert results[0] == results[1] == results[2], (
-        f"{name}: result varies with shuffle partition count"
+        spark.conf.set("spark.sql.adaptive.enabled", original_aqe)
+    assert all(r == results[0] for r in results), (
+        f"{name}: result varies with shuffle partition count / AQE setting"
     )
