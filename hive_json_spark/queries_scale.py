@@ -97,7 +97,9 @@ def bucketed_table(spark: SparkSession, sf_dir: str, table: str, key: str) -> Da
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     name = f"{table}_b_{sf_tag}"
     if not spark.catalog.tableExists(name):
-        path = os.path.join(_WAREHOUSE, sf_tag, name)
+        # per-process path: two concurrent sessions (driver + bench + tests)
+        # each write their own copy instead of racing an overwrite of one
+        path = os.path.join(_WAREHOUSE, f"{sf_tag}_{os.getpid()}", name)
         (
             load_table(spark, sf_dir, table)
             .write.bucketBy(N_BUCKETS, key)
