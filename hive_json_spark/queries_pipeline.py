@@ -895,7 +895,9 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dfreq
            FROM terms GROUP BY term),
     n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM documents)
-    SELECT tf.doc_id, ROUND(SUM((tf.f / dl.len) * ln(n.total / df.dfreq)), 6) AS score
+    SELECT tf.doc_id,
+           ROUND(SUM(CAST(ROUND(1000000 * ((tf.f / dl.len) * ln(n.total / df.dfreq)))
+                          AS BIGINT)) / 1000000.0, 6) AS score
     FROM tf JOIN dl ON tf.doc_id = dl.doc_id
             JOIN df ON tf.term = df.term
             CROSS JOIN n
@@ -918,9 +920,10 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode. df for the query's terms is tiny → broadcast back; N is a
     scalar broadcast. Filtering tf to the query terms BEFORE the joins
     keeps the scored frame proportional to matching postings, not the
-    corpus. Top-k is TakeOrderedAndProject. Score rounded to 6 so
-    ln()-ulp and sum-order differences between engines can't flip the
-    hash."""
+    corpus. Top-k is TakeOrderedAndProject. Each tf*idf term is rounded
+    to integer micro-units per row before the per-doc sum (SCALE.md
+    rule), so neither summation order nor ln() ulp differences can flip
+    the score or the ranking."""
     docs = load_table(spark, sf_dir, "documents")
     from hive_json_spark.functions.text import tokens
 
@@ -941,10 +944,12 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("term") == F.col("df_term"))
         .join(F.broadcast(n))
     )
+    term_units = F.round(
+        F.lit(1000000)
+        * ((F.col("f") / F.col("len")) * F.log(F.col("total") / F.col("dfreq")))
+    ).cast("long")
     agg = scored.groupBy("doc_id").agg(
-        F.round(
-            F.sum((F.col("f") / F.col("len")) * F.log(F.col("total") / F.col("dfreq"))), 6
-        ).alias("score")
+        F.round(F.sum(term_units) / F.lit(1000000.0), 6).alias("score")
     )
     from hive_json_spark.operators.relational import top_k
 

@@ -117,6 +117,7 @@ PERTURB_QUERIES = [
     # entropy/cross-entropy sums order-free too
     "q_token_entropy",
     "q_unigram_logloss",
+    "q_tfidf_topk",
 ]
 
 
