@@ -350,3 +350,38 @@ def merge_changelog(
             for c in payload
         ],
     )
+
+
+def incremental_agg_merge(
+    base_agg: DataFrame,
+    delta_agg: DataFrame,
+    keys: Sequence[str],
+    merge_spec: dict[str, str],
+) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: combine a
+    maintained per-key aggregate table with a delta batch's partial
+    aggregate of the SAME shape, without rescanning the base fact data.
+
+    ``merge_spec`` maps each aggregate column to how partials combine:
+    'sum' (covers COUNT and SUM — both add), 'min', or 'max'. AVG and
+    other algebraic aggregates decompose into these (store sum + count,
+    divide at read time); holistic aggregates (median, distinct count)
+    don't combine and need sketches (HLL surface) or a rebuild.
+
+    Scale shape: the base side is |keys| rows, not |facts| — the merge
+    shuffles base_agg + delta_agg on the group keys, so maintaining a
+    rollup over a 100 TB fact table costs O(delta + key cardinality) per
+    batch. This is the batch twin of streaming/rollup.py's foreachBatch
+    merge (same combine semantics, engine-managed there by partition
+    overwrite).
+    """
+    combiners = {"sum": F.sum, "min": F.min, "max": F.max}
+    unknown = set(merge_spec.values()) - set(combiners)
+    if unknown:
+        raise ValueError(f"incremental_agg_merge: unknown combiner(s) {sorted(unknown)}")
+    aggs = [combiners[how](c).alias(c) for c, how in merge_spec.items()]
+    return (
+        base_agg.unionByName(delta_agg)
+        .groupBy(*keys)
+        .agg(*aggs)
+    )

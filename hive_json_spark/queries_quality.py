@@ -1101,3 +1101,60 @@ def q_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+@query(
+    "q_incremental_agg",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+             AS total_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, proven correct: maintain a per-priority
+    aggregate of orders as BASE (80% of keys, pre-aggregated) merged with a
+    DELTA batch (the other 20%, aggregated alone) via
+    `operators.relational.incremental_agg_merge` — and hash-match the
+    oracle's single full-scan GROUP BY. Distributive partials (count/sum as
+    sums, min/max as themselves) combine exactly, so the maintained rollup
+    IS the full aggregate at every point in time.
+
+    Scale shape: the merge touches |keys| base rows + the delta's partial —
+    a 100 TB fact table's rollup updates at O(delta) cost per batch; this
+    is the batch twin of the streaming continuous_rollup. Money sums ride
+    exact integer cents end to end (SCALE.md rule), so base/delta grouping
+    cannot reorder a double sum.
+    """
+    from hive_json_spark.functions.exact import int_units
+    from hive_json_spark.operators.relational import incremental_agg_merge
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def agg_part(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(int_units("o_totalprice")).alias("cents"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+
+    base = agg_part(orders.filter(F.col("o_orderkey") % 10 < 8))
+    delta = agg_part(orders.filter(F.col("o_orderkey") % 10 >= 8))
+    merged = incremental_agg_merge(
+        base,
+        delta,
+        ["o_orderpriority"],
+        {"n": "sum", "cents": "sum", "min_price": "min", "max_price": "max"},
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("cents") / 100.0, 2).alias("total_price"),
+        "min_price",
+        "max_price",
+    )

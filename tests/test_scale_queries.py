@@ -124,3 +124,38 @@ def test_token_entropy_bounds(spark):
         # tolerance: per-term micro-nat rounding contributes up to
         # 0.5e-6 * distinct_tokens of drift past the exact bound
         assert -1e-4 <= r["token_entropy"] <= math.log(r["distinct_tokens"]) + 1e-4
+
+
+def test_incremental_agg_merge_rejects_unknown_combiner(spark):
+    from hive_json_spark.operators.relational import incremental_agg_merge
+
+    df = spark.createDataFrame([(1, 2)], "k int, v bigint")
+    with pytest.raises(ValueError, match="unknown combiner"):
+        incremental_agg_merge(df, df, ["k"], {"v": "avg"})
+
+
+def test_incremental_agg_merge_three_way_associative(spark):
+    """Merging (A+B)+C must equal A+(B+C) must equal one-shot — partials
+    are a commutative monoid under the spec."""
+    from hive_json_spark.operators.relational import incremental_agg_merge
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+    def part(pred):
+        return orders.filter(pred).groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"), F.min("o_totalprice").alias("lo")
+        )
+
+    k = F.col("o_orderkey") % 3
+    a, b, c = part(k == 0), part(k == 1), part(k == 2)
+    spec = {"n": "sum", "lo": "min"}
+    left = incremental_agg_merge(
+        incremental_agg_merge(a, b, ["o_orderpriority"], spec), c,
+        ["o_orderpriority"], spec)
+    right = incremental_agg_merge(
+        a, incremental_agg_merge(b, c, ["o_orderpriority"], spec),
+        ["o_orderpriority"], spec)
+    full = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.min("o_totalprice").alias("lo"))
+    norm = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert norm(left) == norm(right) == norm(full)
