@@ -88,6 +88,29 @@ _WAREHOUSE = os.path.join(
 N_BUCKETS = 8
 
 
+def _reap_dead_warehouse_dirs() -> None:
+    """Delete bucketed-table copies left by processes that no longer exist,
+    so repeated bench/driver runs don't accumulate dead copies on disk.
+    Live processes' dirs are never touched (that's the concurrency story
+    the per-pid path exists for)."""
+    import shutil
+
+    try:
+        entries = os.listdir(_WAREHOUSE)
+    except FileNotFoundError:
+        return
+    for entry in entries:
+        pid_str = entry.rsplit("_", 1)[-1]
+        if not pid_str.isdigit() or int(pid_str) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_str), 0)  # probe only; signal 0 delivers nothing
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(_WAREHOUSE, entry), ignore_errors=True)
+        except PermissionError:
+            pass  # pid exists but isn't ours — leave it alone
+
+
 def bucketed_table(spark: SparkSession, sf_dir: str, table: str, key: str) -> DataFrame:
     """Materialize ``table`` bucketed+sorted by ``key`` (once per session/sf)
     and return it AS A CATALOG SCAN — reading via the table name is what
@@ -97,6 +120,7 @@ def bucketed_table(spark: SparkSession, sf_dir: str, table: str, key: str) -> Da
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     name = f"{table}_b_{sf_tag}"
     if not spark.catalog.tableExists(name):
+        _reap_dead_warehouse_dirs()
         # per-process path: two concurrent sessions (driver + bench + tests)
         # each write their own copy instead of racing an overwrite of one
         path = os.path.join(_WAREHOUSE, f"{sf_tag}_{os.getpid()}", name)
