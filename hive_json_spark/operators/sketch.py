@@ -10,12 +10,20 @@ territory.)
 from __future__ import annotations
 
 import math
+import re
 from collections import Counter
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from hive_json_spark.functions.text import token_count, tokens
+
+# candidate generation must tokenize EXACTLY like the verify phase's
+# tokens() (JVM \s+, which is ASCII whitespace) or the pigeonhole superset
+# guarantee breaks: Python str.split() splits on Unicode whitespace (e.g.
+# NBSP) and would fragment a token the JVM keeps whole, hiding a true
+# heavy hitter from the candidate set
+_ASCII_WS = re.compile(r"\s+", re.ASCII)
 
 
 def heavy_hitters(
@@ -65,7 +73,7 @@ def heavy_hitters(
         for pdf in batches:
             for txt in pdf[text_col]:
                 if txt:
-                    cnt.update(txt.split())
+                    cnt.update(t for t in _ASCII_WS.split(txt) if t)
         heavy = [(t, c) for t, c in cnt.items() if c >= local_floor]
         yield pd.DataFrame(
             {"token": [t for t, _ in heavy], "local_n": [c for _, c in heavy]}

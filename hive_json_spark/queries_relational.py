@@ -439,8 +439,8 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT l_returnflag,
-             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s,
-             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS s,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT) * CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS s2,
              CAST(COUNT(l_quantity) AS DOUBLE) AS n,
              ROUND(MIN(l_quantity), 2) AS min_qty,
              ROUND(MAX(l_quantity), 2) AS max_qty,
@@ -463,7 +463,10 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     here: moments are exact integers, so the subtraction is the true
     value ± one ulp."""
     li = load_table(spark, sf_dir, "lineitem")
-    q = F.col("l_quantity").cast("long")
+    # ROUND before the integer cast on BOTH engines: Spark cast(long)
+    # truncates toward zero while DuckDB CAST rounds — integral data hides
+    # the divergence until the generator ever emits a fraction
+    q = F.round(F.col("l_quantity")).cast("long")
     m = li.groupBy("l_returnflag").agg(
         F.sum(q).cast("double").alias("s"),
         F.sum(q * q).cast("double").alias("s2"),

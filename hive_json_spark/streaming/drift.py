@@ -15,6 +15,13 @@ so every counts overwrite carries the applied batch id (a constant
 ``_batch_id`` column, atomic with the counts themselves); a re-delivered
 batch whose id is already applied skips the add and only recomputes the
 derived psi table.
+
+Identity caveat: batch ids restart at 0 per checkpoint lineage, so an
+``out_dir`` is bound to ONE logical stream — restarting the same stream
+with a lost/fresh checkpoint is handled (the early batches are replays of
+applied data), but pointing a genuinely NEW stream at an existing
+``out_dir`` would misread its first batches as replays. New logical
+streams get new out_dirs.
 """
 
 from __future__ import annotations
@@ -47,6 +54,19 @@ def streaming_psi(
         .agg(F.count("*").alias("n_ref"))
     )
 
+    def _write_psi(spark) -> None:
+        cur = spark.read.parquet(counts_dir).select("category", "n")
+        joined = ref_counts.join(cur, "category", "full_outer")
+        p_ref = F.col("n_ref") / F.sum("n_ref").over(Window.partitionBy())
+        p_cur = F.col("n") / F.sum("n").over(Window.partitionBy())
+        psi = joined.select(
+            "category",
+            F.round(p_ref, 6).alias("p_ref"),
+            F.round(p_cur, 6).alias("p_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+        )
+        psi.coalesce(1).write.mode("overwrite").parquet(psi_dir)
+
     def update(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         part = (
@@ -55,13 +75,24 @@ def streaming_psi(
         )
         try:
             existing = spark.read.parquet(counts_dir)
-            last = existing.agg(F.max("_batch_id")).collect()[0][0]
         except AnalysisException:
             existing, last = None, None
+        else:
+            # state written before the batch-id protocol has no _batch_id
+            # column: keep its counts (last=None applies the batch on top)
+            # instead of misreading the AnalysisException as "no state"
+            last = (
+                existing.agg(F.max("_batch_id")).collect()[0][0]
+                if "_batch_id" in existing.columns
+                else None
+            )
         if last is not None and batch_id <= last:
-            # re-delivered batch: counts already include it — don't re-add
-            merged = existing.select("category", "n")
-        elif existing is not None:
+            # re-delivered batch: counts already include it — re-derive the
+            # psi view only; rewriting identical counts would open a
+            # delete-then-write crash window on the only state copy
+            _write_psi(spark)
+            return
+        if existing is not None:
             merged = (
                 existing.select("category", "n")
                 .unionByName(part)
@@ -79,18 +110,7 @@ def streaming_psi(
         spark.createDataFrame(rows, schema).withColumn(
             "_batch_id", F.lit(applied).cast("bigint")
         ).coalesce(1).write.mode("overwrite").parquet(counts_dir)
-
-        cur = spark.read.parquet(counts_dir).select("category", "n")
-        joined = ref_counts.join(cur, "category", "full_outer")
-        p_ref = F.col("n_ref") / F.sum("n_ref").over(Window.partitionBy())
-        p_cur = F.col("n") / F.sum("n").over(Window.partitionBy())
-        psi = joined.select(
-            "category",
-            F.round(p_ref, 6).alias("p_ref"),
-            F.round(p_cur, 6).alias("p_cur"),
-            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
-        )
-        psi.coalesce(1).write.mode("overwrite").parquet(psi_dir)
+        _write_psi(spark)
 
     return (
         stream.writeStream.foreachBatch(update)

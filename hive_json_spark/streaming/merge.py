@@ -92,6 +92,11 @@ def streaming_merge_upsert(
             )
         )
         merged = merged.persist()
+        # Materialize the touched-bucket set BEFORE the overwrite: `merged`'s
+        # lineage reads out_dir, so any post-write recomputation (cache loss)
+        # would scan the files the overwrite just replaced. The collect also
+        # populates the persisted blocks the write then reuses.
+        present = {r["bucket"] for r in merged.select("bucket").distinct().collect()}
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         try:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -103,7 +108,6 @@ def streaming_merge_upsert(
             # explicitly with an empty overwrite of the partition directory.
             # (Replay-safe: rerunning the batch recomputes the same empty
             # set and truncates again.)
-            present = {r["bucket"] for r in merged.select("bucket").distinct().collect()}
             empty = spark.createDataFrame([], merged.drop("bucket").schema)
             for b in buckets:
                 if b not in present:

@@ -14,13 +14,14 @@ state.
 
 Replay safety: foreachBatch is at-least-once, and read-add-overwrite is
 NOT naturally idempotent (a re-delivered batch would re-add its rows).
-Every written partition therefore carries the applied ``_batch_id``; a
-re-delivered batch N re-reads the same day partitions it originally
-touched, finds max(_batch_id) >= N there (the ids are atomic with the
-data — same files), and skips the add. If the original write never
-committed, those partitions still show < N and the batch applies
-normally. Only the touched partitions are consulted — no full-table scan
-to decide replay.
+Every written partition therefore carries the applied ``_batch_id``, and
+replay is decided PER DAY PARTITION: a re-delivered batch N re-applies
+only to partitions whose stamped id is < N — so a crash that committed
+some of the batch's partitions and not others replays exactly the
+missing ones (the ids are atomic with each partition's data — same
+files). Only the touched partitions are consulted — no full-table scan.
+Batch ids restart per checkpoint lineage, so an out_dir is bound to one
+logical stream (same caveat as streaming/drift.py).
 """
 
 from __future__ import annotations
@@ -63,17 +64,35 @@ def continuous_rollup(
             return
         try:
             existing = spark.read.parquet(out_dir).filter(F.col("day").isin(days))
-            last = existing.agg(F.max("_batch_id")).collect()[0][0]
-            if last is not None and batch_id <= last:
-                return  # re-delivered batch: these partitions already include it
+        except AnalysisException:  # first batch: table does not exist yet
+            merged = part
+        else:
+            # decide replay PER DAY PARTITION, not per batch: a crash mid
+            # dynamic-overwrite can commit some of the batch's partitions
+            # and not others, so "max id anywhere >= N" must not skip the
+            # partitions that never got N. Pre-protocol state (no
+            # _batch_id column) counts as never-applied.
+            if "_batch_id" in existing.columns:
+                applied_days = {
+                    r["day"]
+                    for r in existing.groupBy("day")
+                    .agg(F.max("_batch_id").alias("last"))
+                    .filter(F.col("last") >= batch_id)
+                    .collect()
+                }
+            else:
+                applied_days = set()
+            todo = [d for d in days if d not in applied_days]
+            if not todo:
+                return  # fully applied replay
+            part_todo = part.filter(F.col("day").isin(todo))
             merged = (
-                existing.select(part.columns)
-                .unionByName(part)
+                existing.filter(F.col("day").isin(todo))
+                .select(part.columns)
+                .unionByName(part_todo)
                 .groupBy("day", *key_cols)
                 .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
             )
-        except AnalysisException:  # first batch: table does not exist yet
-            merged = part
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         try:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -40,6 +40,15 @@ def streaming_topk(
     counts_dir = f"{out_dir}/counts"
     topk_dir = f"{out_dir}/topk"
 
+    def _write_view(spark) -> None:
+        top = (
+            spark.read.parquet(counts_dir)
+            .select("key", "n")
+            .orderBy(F.col("n").desc(), F.col("key").asc())
+            .limit(k)
+        )
+        top.coalesce(1).write.mode("overwrite").parquet(topk_dir)
+
     def update(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         part = batch_df.groupBy(F.col(key_col).alias("key")).agg(
@@ -47,12 +56,22 @@ def streaming_topk(
         )
         try:
             existing = spark.read.parquet(counts_dir)
-            last = existing.agg(F.max("_batch_id")).collect()[0][0]
         except AnalysisException:
             existing, last = None, None
+        else:
+            # pre-protocol state (no _batch_id column) keeps its counts
+            last = (
+                existing.agg(F.max("_batch_id")).collect()[0][0]
+                if "_batch_id" in existing.columns
+                else None
+            )
         if last is not None and batch_id <= last:
-            merged = existing.select("key", "n")
-        elif existing is not None:
+            # replayed batch: state already includes it — refresh the view
+            # only, never delete-and-rewrite identical counts (a crash
+            # between delete and write would destroy the only state copy)
+            _write_view(spark)
+            return
+        if existing is not None:
             merged = (
                 existing.select("key", "n")
                 .unionByName(part)
@@ -63,18 +82,10 @@ def streaming_topk(
             merged = part
         schema = merged.schema
         rows = merged.collect()  # |keys| rows — bounded by key cardinality
-        applied = max(batch_id, last) if last is not None else batch_id
         spark.createDataFrame(rows, schema).withColumn(
-            "_batch_id", F.lit(applied).cast("bigint")
+            "_batch_id", F.lit(batch_id).cast("bigint")
         ).coalesce(1).write.mode("overwrite").parquet(counts_dir)
-
-        top = (
-            spark.read.parquet(counts_dir)
-            .select("key", "n")
-            .orderBy(F.col("n").desc(), F.col("key").asc())
-            .limit(k)
-        )
-        top.coalesce(1).write.mode("overwrite").parquet(topk_dir)
+        _write_view(spark)
 
     return (
         stream.writeStream.foreachBatch(update)

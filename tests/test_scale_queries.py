@@ -159,3 +159,19 @@ def test_incremental_agg_merge_three_way_associative(spark):
         F.count("*").alias("n"), F.min("o_totalprice").alias("lo"))
     norm = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert norm(left) == norm(right) == norm(full)
+
+
+def test_heavy_hitters_keeps_unicode_whitespace_tokens(spark):
+    """Candidate tokenization must match tokens() (ASCII \\s): a token
+    containing a non-breaking space is ONE token on the JVM side, and the
+    Python candidate kernel must not fragment it — else a true heavy
+    hitter silently disappears."""
+    from hive_json_spark.operators.sketch import heavy_hitters
+
+    token = "foo bar"  # NBSP inside — not ASCII whitespace
+    docs = spark.createDataFrame(
+        [(i, f"{token} other words here") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    out = {r["token"]: r["n"] for r in heavy_hitters(docs, "text", min_count=10).collect()}
+    assert out.get(token) == 20, out

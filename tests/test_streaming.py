@@ -569,3 +569,28 @@ def test_streaming_topk_matches_batch_and_replay(spark, sf_dir, tmp_path):
     again = [(r.key, r.n) for r in spark.read.parquet(f"{out}/topk")
              .orderBy(F.col("n").desc(), F.col("key").asc()).collect()]
     assert again == expected
+
+
+def test_streaming_psi_migrates_pre_protocol_state(spark, sf_dir, tmp_path):
+    """A counts table written before the batch-id protocol (no _batch_id
+    column) must be treated as valid accumulated state, not reset."""
+    from hive_json_spark.sources import load_table
+    from hive_json_spark.streaming import streaming_psi
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.filter(F.dayofmonth("ts") <= 15).select("event_type")
+    cur = ev.filter(F.dayofmonth("ts") > 15).select("event_type").limit(300)
+
+    out = str(tmp_path / "drift")
+    legacy = spark.createDataFrame([("click", 1000)], "category string, n bigint")
+    legacy.coalesce(1).write.parquet(f"{out}/counts")
+
+    src = str(tmp_path / "cur")
+    cur.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(cur.schema).parquet(src)
+    q = streaming_psi(stream, "event_type", ref, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {r["category"]: r["n"] for r in spark.read.parquet(f"{out}/counts").collect()}
+    batch_clicks = cur.filter(F.col("event_type") == "click").count()
+    assert got["click"] == 1000 + batch_clicks  # accumulated, not reset
