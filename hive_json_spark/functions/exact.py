@@ -27,6 +27,16 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
+__doc_inline_note__ = """Why some query sites inline their own ROUND(scale *
+expr)::long instead of calling int_units(expr, scale): int_units computes
+round(expr * scale) while several ln-family oracles are written as
+ROUND(scale * a * b) = (scale*a)*b. IEEE multiplication is commutative but
+NOT associative, and scale=1e6 is not a power of two, so (scale*a)*b and
+(a*b)*scale can differ by an ulp — enough to flip the rounded unit at a
+.5 boundary. Each Spark site must mirror its oracle string's exact
+association order, so those sites inline the twin expression on purpose."""
+
+
 def int_units(col: Column | str, scale: int = 100) -> Column:
     """Per-row conversion of a fixed-decimal double to exact integer units
     (cents by default). IEEE multiply+round of the same double is identical
