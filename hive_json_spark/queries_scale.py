@@ -341,12 +341,19 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep for multi-dimensional point/range scans. The emitted bounding
     boxes ARE the skipping index a scan would consult.
 
-    Physical note: the graded query totals the layout with one NTILE over
-    the z-sort (bounded output); a production write would instead
-    ``repartitionByRange(16, z)`` + sortWithinPartitions — one range
-    shuffle, no global window. The z-value math (integer quantize + bit
-    interleave) is identical expression text in both engines — exact
-    integer ops, no float anywhere.
+    Physical note — distributed exact NTILE: a naive
+    ``Window.orderBy(z)`` funnels the whole table through ONE task (the
+    classic global-window scale-killer), so the Spark side decomposes the
+    global rank instead: per-z-cell counts roll up map-side and a prefix
+    sum runs over the DISTINCT z domain (bounded: at most 2^20 cells no
+    matter how many rows), while the within-cell tiebreak rank is a
+    window PARTITIONED by z — fully parallel. global_rank = prefix(z) +
+    rank_within(z), and the NTILE bucket is closed-form integer math on
+    that rank. The oracle keeps the one-line NTILE the decomposition must
+    equal. Production writes skip ranks entirely:
+    ``repartitionByRange(16, z)`` + sortWithinPartitions. The z-value
+    math (integer quantize + bit interleave) is identical expression text
+    in both engines — exact integer ops, no float anywhere.
     """
     li = load_table(spark, sf_dir, "lineitem")
     bounds = li.agg(
@@ -364,10 +371,31 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_QX.format(div='div')} AS qx",
             f"{_QY.format(div='div')} AS qy",
         )
+        .withColumn("zval", F.expr(_z_expr("qx", "qy", "spark")))
     )
-    zval = F.expr(_z_expr("qx", "qy", "spark"))
-    w = Window.orderBy(zval, F.col("l_orderkey"), F.col("l_linenumber"))
-    z = q.withColumn("file_group", F.ntile(Z_GROUPS).over(w))
+    # prefix counts over the bounded distinct-z domain (rows before this z)
+    zcells = q.groupBy("zval").agg(F.count("*").alias("zn"))
+    wz = Window.orderBy("zval").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = zcells.select(
+        "zval", F.coalesce(F.sum("zn").over(wz), F.lit(0)).alias("before")
+    )
+    # parallel within-cell tiebreak rank
+    win = Window.partitionBy("zval").orderBy("l_orderkey", "l_linenumber")
+    ranked = (
+        q.withColumn("rw", F.row_number().over(win))
+        .join(prefix, "zval")
+        .withColumn("r", F.col("before") + F.col("rw"))  # 1-based global rank
+    )
+    total = q.count()
+    base, rem = total // Z_GROUPS, total % Z_GROUPS
+    # NTILE semantics: first `rem` buckets get base+1 rows, the rest base
+    big = rem * (base + 1)
+    file_group = F.when(
+        F.col("r") <= big, (F.col("r") - 1) / (base + 1)
+    ).otherwise(rem + (F.col("r") - big - 1) / base if base else rem).cast(
+        "long"
+    ) + 1
+    z = ranked.withColumn("file_group", file_group)
     return z.groupBy(F.col("file_group").cast("bigint").alias("file_group")).agg(
         F.count("*").alias("n_rows"),
         F.min("qx").cast("bigint").alias("min_qx"),
