@@ -689,20 +689,64 @@ def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quantile) binning: decile boundaries + per-bin counts,
     the feature-bucketization / histogram-equalization primitive. Output is
     deterministic under price ties because only price-derived stats leave
-    the query. NOTE the exact version needs a total order (single-partition
-    window) — fine to sf0.1; the 100 TB path computes boundaries with
-    approx_percentile (see q_approx_quantiles) and bins by range join,
-    trading exactness for full parallelism (SCALE.md).
+    the query.
+
+    Distributed exact NTILE (no global per-row window): per-VALUE counts
+    roll up map-side, a prefix sum runs over the bounded distinct-price
+    domain (cents grid — ≤ ~10^7 cells regardless of row count), and each
+    value cell's global rank interval [prefix+1, prefix+cn] is intersected
+    with the closed-form NTILE bucket boundaries — a cell straddling a
+    boundary explodes into its ≤2 (generally ≤10) overlapping bins with
+    exact overlap counts. Tied rows are interchangeable, so interval math
+    reproduces row-level NTILE exactly (the oracle runs the literal
+    NTILE). Same pattern as q_zorder_layout's rank decomposition; the
+    approximate path for continuous domains is approx_percentile
+    boundaries + range join (q_approx_quantiles, SCALE.md).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    binned = li.select(
-        "l_extendedprice",
-        F.ntile(10).over(Window.orderBy("l_extendedprice")).alias("bin"),
+    n_bins = 10
+    total = li.count()
+    base, rem = total // n_bins, total % n_bins
+    big = rem * (base + 1)
+
+    def bin_of(r):
+        body = F.when(r <= big, (r - 1) / (base + 1))
+        body = body.otherwise(rem + (r - big - 1) / base if base else rem)
+        return body.cast("long") + 1
+
+    cells = li.groupBy("l_extendedprice").agg(F.count("*").alias("cn"))
+    wp = Window.orderBy("l_extendedprice").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    return binned.groupBy("bin").agg(
-        F.count("*").alias("n"),
-        F.round(F.min("l_extendedprice"), 2).alias("lo"),
-        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    ranked = cells.select(
+        "l_extendedprice",
+        "cn",
+        (F.coalesce(F.sum("cn").over(wp), F.lit(0)) + 1).alias("lo_rank"),
+    ).withColumn("hi_rank", F.col("lo_rank") + F.col("cn") - 1)
+    expanded = ranked.select(
+        "l_extendedprice",
+        "lo_rank",
+        "hi_rank",
+        F.explode(
+            F.sequence(bin_of(F.col("lo_rank")), bin_of(F.col("hi_rank")))
+        ).alias("bin"),
+    )
+    start_b = F.when(
+        F.col("bin") <= rem, (F.col("bin") - 1) * (base + 1) + 1
+    ).otherwise(big + (F.col("bin") - rem - 1) * base + 1)
+    size_b = F.when(F.col("bin") <= rem, base + 1).otherwise(base)
+    end_b = start_b + size_b - 1
+    overlap = (
+        F.least(F.col("hi_rank"), end_b) - F.greatest(F.col("lo_rank"), start_b) + 1
+    )
+    return (
+        expanded.withColumn("k", overlap)
+        .groupBy(F.col("bin").cast("int").alias("bin"))
+        .agg(
+            F.sum("k").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
     )
 
 
