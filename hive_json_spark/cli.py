@@ -112,10 +112,48 @@ def run_query(argv: list[str]) -> int:
     return 0
 
 
+def sql(argv: list[str]) -> int:
+    """``sql [--sf-dir DIR] [--limit N] QUERY``: register every corpus
+    table (region nation customer supplier part orders lineitem events
+    documents embeddings) as a temp view plus the engine's SQL functions
+    (classifiers, token_count, shred_json UDTF) and run one ad-hoc SQL
+    statement — the raw-SQL face of the engine, CSV to stdout."""
+    sf_dir = "/root/testdata/sf0.001"
+    limit = 50
+    stmts: list[str] = []
+    it = iter(argv)
+    for arg in it:
+        if arg == "--sf-dir":
+            sf_dir = next(it)
+        elif arg == "--limit":
+            limit = int(next(it))
+        else:
+            stmts.append(arg)
+    if not stmts:
+        print("usage: sql [--sf-dir DIR] [--limit N] QUERY", file=sys.stderr)
+        return 2
+    from hive_json_spark.functions.udf import register_engine_udfs, register_shred_udtf
+    from hive_json_spark.session import get_spark
+    from hive_json_spark.sources import TABLES, load_table
+
+    spark = get_spark()
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    register_engine_udfs(spark)
+    register_shred_udtf(spark)
+    for stmt in stmts:
+        df = spark.sql(stmt).limit(limit)
+        rows = df.collect()
+        print(",".join(df.columns))
+        for r in rows:
+            print(",".join("" if v is None else str(v) for v in r))
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) < 2:
         print(
-            "usage: hive_json_spark.cli {find-json-schema|shred-json|run-query} ...",
+            "usage: hive_json_spark.cli {find-json-schema|shred-json|run-query|sql} ...",
             file=sys.stderr,
         )
         return 2
@@ -126,6 +164,8 @@ def main() -> int:
         return shred_json(rest)
     if cmd == "run-query":
         return run_query(rest)
+    if cmd == "sql":
+        return sql(rest)
     print(f"unknown command: {cmd}", file=sys.stderr)
     return 2
 

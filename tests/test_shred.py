@@ -70,3 +70,26 @@ def test_cli_run_query(capsys):
     assert out[0].split(",")[0] and len(out) == 4  # header + 3 rows
 
     assert cli.run_query(["definitely_not_a_query"]) == 2
+
+
+def test_cli_sql(capsys):
+    from hive_json_spark import cli
+
+    rc = cli.sql([
+        "--sf-dir", "/root/testdata/sf0.001", "--limit", "5",
+        "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == "o_orderpriority,n" and len(out) >= 2
+
+    # engine functions and the shredder UDTF are registered for SQL use
+    rc = cli.sql([
+        "--sf-dir", "/root/testdata/sf0.001", "--limit", "2",
+        "SELECT s.path, s.value FROM events, LATERAL shred_json(props) s",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0] == "path,value" and out[1].startswith("root.")
+
+    assert cli.sql([]) == 2
