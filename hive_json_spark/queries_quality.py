@@ -1158,3 +1158,125 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price",
         "max_price",
     )
+
+
+@query(
+    "q_bigram_lm",
+    """
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS l
+      FROM documents),
+    pairs AS (
+      SELECT unnest(l[1:len(l)-1]) AS ctx, unnest(l[2:len(l)]) AS nxt
+      FROM toks WHERE len(l) >= 2),
+    big AS (SELECT ctx, nxt, CAST(COUNT(*) AS BIGINT) AS c
+            FROM pairs GROUP BY ctx, nxt),
+    tot AS (SELECT ctx, CAST(SUM(c) AS BIGINT) AS n FROM big GROUP BY ctx),
+    ranked AS (
+      SELECT big.ctx, big.nxt, big.c, tot.n,
+             ROW_NUMBER() OVER (PARTITION BY big.ctx
+                                ORDER BY big.c DESC, big.nxt) AS rk
+      FROM big JOIN tot USING (ctx))
+    SELECT ctx, nxt, c,
+           CAST((c * 1000000) // n AS BIGINT) AS p_ppm
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language model table: for every context token, the top-3
+    next tokens with exact conditional probability (integer ppm) — the
+    classic count-based LM that powers autocomplete baselines, corpus
+    template detection (a context whose top next-token probability is
+    ~1e6 ppm is boilerplate), and cheap perplexity sanity checks next to
+    q_unigram_logloss.
+
+    Scale shape: adjacent pairs stream out of two aligned slices zipped
+    and exploded (pipelined into the partial agg — the shuffle carries
+    bigram partial counts, vocabulary^2-bounded, not corpus-sized);
+    context totals re-aggregate the bigram table; the top-3 is a window
+    PARTITIONED by context (parallel, no global sort). p_ppm is integer
+    division of exact longs — order-free by construction.
+    """
+    from hive_json_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    l = tokens("text")
+    pair = F.explode(
+        F.arrays_zip(
+            F.slice(l, 1, F.size(l) - 1).alias("ctx"),
+            F.slice(l, 2, F.size(l) - 1).alias("nxt"),
+        )
+    )
+    pairs = docs.filter(F.size(l) >= 2).select(pair.alias("p")).select(
+        F.col("p.ctx").alias("ctx"), F.col("p.nxt").alias("nxt")
+    )
+    big = pairs.groupBy("ctx", "nxt").agg(F.count("*").alias("c"))
+    tot = big.groupBy("ctx").agg(F.sum("c").cast("bigint").alias("n"))
+    w = Window.partitionBy("ctx").orderBy(F.col("c").desc(), "nxt")
+    ranked = big.join(tot, "ctx").withColumn("rk", F.row_number().over(w))
+    return ranked.filter(F.col("rk") <= 3).select(
+        "ctx",
+        "nxt",
+        F.col("c").cast("bigint").alias("c"),
+        F.expr("(c * 1000000) div n").cast("bigint").alias("p_ppm"),
+    )
+
+
+@query(
+    "q_keyword_extraction",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))
+               AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS f
+           FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfreq FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(ROUND(1000000 * (tf.f * ln(CAST(n.total AS DOUBLE) / dfreq)))
+                  AS BIGINT) AS w
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, w,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, term, ROUND(w / 1000000.0, 6) AS weight
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-3 terms by tf*idf weight —
+    what goes into document tags, dedup blocking keys, and retrieval
+    indexes. Differs from q_tfidf_topk (which scores docs against ONE
+    query): this ranks terms WITHIN every document.
+
+    Determinism: the weight f * ln(N/df) is rounded to integer
+    micro-units per (doc, term) row — ranking and output both run on
+    exact longs, so window order and engine agree everywhere (ties break
+    on the term string). Scale shape: postings → df by term → join back
+    on term (both sides term-partitioned) → per-doc window, PARTITIONED
+    by doc — no global sort anywhere.
+    """
+    from hive_json_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("f"))
+    df_t = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("dfreq"))
+    n = docs.agg(F.count("*").cast("bigint").alias("total"))
+    w_units = F.round(
+        F.lit(1000000)
+        * (F.col("f") * F.log(F.col("total").cast("double") / F.col("dfreq")))
+    ).cast("bigint")
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", w_units.alias("w"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), "term")
+    ranked = scored.withColumn("rk", F.row_number().over(win))
+    return ranked.filter(F.col("rk") <= 3).select(
+        "doc_id", "term", F.round(F.col("w") / F.lit(1000000.0), 6).alias("weight")
+    )
