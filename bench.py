@@ -42,6 +42,10 @@ HEADLINE = [
     "q_text_profile",
     "q_doc_fingerprint",
     "q_similarity_bruteforce",
+    # round-2 flagships (in the set from the first parsed-baseline round on)
+    "q_heavy_hitters",
+    "q_token_entropy",
+    "q_bucketed_join",
 ]
 
 
