@@ -1175,3 +1175,44 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("mae"), 8).alias("avg_mae"),
         F.round(F.max("mae"), 8).alias("max_mae"),
     )
+
+
+@query(
+    "q_png_decode",
+    """
+    WITH m AS (SELECT doc_id AS media_id,
+                      CAST((doc_id % 7 + 1) * 3 + 1 AS INT) AS w,
+                      CAST((doc_id % 5 + 1) * 4 AS INT) AS h
+               FROM documents),
+    px AS (
+      SELECT media_id, w, h,
+             AVG((media_id * 23 + y + 2 * x) % 256) AS mean_c0,
+             AVG((media_id * 24 + y + 2 * x) % 256) AS mean_c1,
+             AVG((media_id * 25 + y + 2 * x) % 256) AS mean_c2
+      FROM m,
+           LATERAL (SELECT unnest(range(h)) AS y),
+           LATERAL (SELECT unnest(range(w)) AS x)
+      GROUP BY media_id, w, h)
+    SELECT media_id, w AS width, h AS height,
+           CAST(h * (1 + 3 * w) AS BIGINT) AS raw_len,
+           mean_c0, mean_c1, mean_c2
+    FROM px
+    """,
+)
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real COMPRESSED image format end to end with zero codec deps:
+    synthetic RGB patterns are encoded as genuine PNGs (zlib-deflated
+    IDAT; rows cycle through all five PNG filter types) and decoded back
+    — chunk walk, inflate, full unfiltering — inside one Arrow kernel.
+    The oracle recomputes the decoded-pixel means from the pattern's
+    closed form, so a bug anywhere in the filter/unfilter pair, CRC-range
+    framing, or row stride flips the hash. Pixel means are exact-integer
+    sums divided once (identical doubles on both engines, same argument
+    as q_media_decode). Upgrades the multimodal boundary: compressed
+    formats are no longer NotImplementedError — PNG decodes for real;
+    only codec-library formats (JPEG/MP3/H.264) remain stubs.
+    """
+    from hive_json_spark.operators.multimodal import synthetic_png_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return synthetic_png_features(docs)

@@ -30,3 +30,27 @@ def test_resize_roundtrip_through_codecs():
     w, h, back = decode_bmp(encode_bmp(np.ascontiguousarray(small)))
     assert (w, h) == (3, 4)
     assert (back == small).all()
+
+
+def test_png_roundtrip_all_filters():
+    """Encoder cycles filter types 0-4 per row; decode must invert all
+    five (None/Sub/Up/Average/Paeth) exactly."""
+    import numpy as np
+
+    from hive_json_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (5, 3), (10, 17), (23, 8)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        w2, h2, back = decode_png(encode_png(arr))
+        assert (w2, h2) == (w, h)
+        assert (back == arr).all(), (h, w)
+
+
+def test_png_rejects_unsupported():
+    import pytest as _pytest
+
+    from hive_json_spark.operators.multimodal import decode_png
+
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png(b"notapng")
