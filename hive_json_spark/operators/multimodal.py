@@ -5,14 +5,17 @@ Two decode tiers:
 
 - REAL baseline codecs, dependency-free: uncompressed 24-bit BMP
   (``encode_bmp``/``decode_bmp`` — header parse, bottom-up row order,
-  4-byte row padding) and PCM-16 mono WAV (``encode_wav``/``decode_wav``
-  — RIFF chunk walk). ``decode_media_features`` runs these end-to-end on
-  real bytes inside an Arrow-batched kernel.
-- Stubbed compressed codecs: the container has no PNG/JPEG/MP4 libraries,
-  so those formats raise ``NotImplementedError`` at the clearly marked
-  boundary (``decode_and_featurize(fake=False)``); ``fake=True`` gives a
-  deterministic hash-derived stand-in feature. Swapping in PIL/ffmpeg
-  changes only the marked kernel function.
+  4-byte row padding), PCM-16 mono WAV (``encode_wav``/``decode_wav`` —
+  RIFF chunk walk), and PNG — a genuinely COMPRESSED format —
+  (``encode_png``/``decode_png``: zlib IDAT, chunk framing, all five
+  PNG row filters; zlib is stdlib). ``decode_media_features`` and
+  ``synthetic_png_features`` run these end-to-end on real bytes inside
+  Arrow-batched kernels.
+- Stubbed codec-library formats: the container has no JPEG/MP3/H.264
+  libraries, so those raise ``NotImplementedError`` at the clearly
+  marked boundary (``decode_and_featurize(fake=False)``); ``fake=True``
+  gives a deterministic hash-derived stand-in feature. Swapping in
+  PIL/ffmpeg changes only the marked kernel function.
 
 Scale notes: binary payloads stay columnar in Arrow batches end-to-end
 (never row-at-a-time); per-batch vectorized kernels amortize the Python
