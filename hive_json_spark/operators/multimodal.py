@@ -398,29 +398,27 @@ def encode_png(arr: "np.ndarray") -> bytes:
     h, w, _ = arr.shape
     arr = arr.astype(np.int64)
     raw = bytearray()
-    prev = np.zeros((w, 3), dtype=np.int64)
+    zero_row = np.zeros((w, 3), dtype=np.int64)
+    prev = zero_row
     for y in range(h):
         row = arr[y]
         ftype = y % 5
         raw.append(ftype)
+        left = np.vstack([np.zeros((1, 3), np.int64), row[:-1]])
         if ftype == 0:
             out = row
         elif ftype == 1:  # Sub: left
-            left = np.vstack([np.zeros((1, 3), np.int64), row[:-1]])
             out = row - left
         elif ftype == 2:  # Up
             out = row - prev
         elif ftype == 3:  # Average
-            left = np.vstack([np.zeros((1, 3), np.int64), row[:-1]])
             out = row - (left + prev) // 2
-        else:  # Paeth
-            out = np.empty_like(row)
-            for x in range(w):
-                for c in range(3):
-                    a = row[x - 1, c] if x else 0
-                    b = prev[x, c]
-                    cc = prev[x - 1, c] if x else 0
-                    out[x, c] = row[x, c] - _paeth(int(a), int(b), int(cc))
+        else:  # Paeth — predictor reads only SOURCE neighbors: vectorize
+            a, b, c = left, prev, np.vstack([np.zeros((1, 3), np.int64), prev[:-1]])
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            out = row - pred
         raw.extend((out % 256).astype(np.uint8).tobytes())
         prev = row
 
@@ -479,25 +477,41 @@ def decode_png(data: bytes) -> tuple[int, int, "np.ndarray"]:
         cur = np.frombuffer(line, dtype=np.uint8, offset=1).astype(np.int64).reshape(w, 3)
         if ftype == 0:
             row = cur
-        elif ftype == 1:  # Sub
-            row = cur.copy()
-            for x in range(1, w):
-                row[x] = (row[x] + row[x - 1]) % 256
+        elif ftype == 1:  # Sub: running sum along x — cumsum is the inverse
+            row = np.cumsum(cur, axis=0) % 256
         elif ftype == 2:  # Up
             row = (cur + prev) % 256
-        elif ftype == 3:  # Average
-            row = cur.copy()
+        elif ftype == 3:  # Average — sequential in x; python-int list loop
+            # beats numpy scalar indexing ~10x at these widths
+            cl, pl = cur.tolist(), prev.tolist()
+            rl = [[0, 0, 0] for _ in range(w)]
+            la = [0, 0, 0]
             for x in range(w):
-                left = row[x - 1] if x else np.zeros(3, np.int64)
-                row[x] = (cur[x] + (left + prev[x]) // 2) % 256
-        elif ftype == 4:  # Paeth
-            row = cur.copy()
+                px, cx, rx = pl[x], cl[x], rl[x]
+                for ch in range(3):
+                    rx[ch] = (cx[ch] + (la[ch] + px[ch]) // 2) % 256
+                la = rx
+            row = np.asarray(rl, dtype=np.int64)
+        elif ftype == 4:  # Paeth — sequential in x; same list-loop strategy
+            cl, pl = cur.tolist(), prev.tolist()
+            rl = [[0, 0, 0] for _ in range(w)]
+            la = [0, 0, 0]
+            lc = [0, 0, 0]
             for x in range(w):
-                for c in range(3):
-                    a = int(row[x - 1, c]) if x else 0
-                    b = int(prev[x, c])
-                    cc = int(prev[x - 1, c]) if x else 0
-                    row[x, c] = (cur[x, c] + _paeth(a, b, cc)) % 256
+                px, cx, rx = pl[x], cl[x], rl[x]
+                for ch in range(3):
+                    a, b, cc = la[ch], px[ch], lc[ch]
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = cc
+                    rx[ch] = (cx[ch] + pred) % 256
+                la, lc = rx, px
+            row = np.asarray(rl, dtype=np.int64)
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = row
