@@ -1216,3 +1216,77 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return synthetic_png_features(docs)
+
+
+@query(
+    "q_dataset_card",
+    """
+    WITH t AS (
+      SELECT lang, source, md5(text) AS h,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_tok,
+             CAST(length(text) AS BIGINT) AS n_chr
+      FROM documents),
+    v AS (
+      SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab
+      FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+                     AS token
+            FROM documents))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+           (SELECT vocab FROM v) AS vocab,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_docs,
+           ROUND(1.0 - COUNT(DISTINCT h) * 1.0 / COUNT(*), 6) AS dup_fraction,
+           ROUND(SUM(n_tok) * 1.0 / COUNT(*), 6) AS mean_tokens,
+           ROUND(QUANTILE_CONT(n_tok, 0.5), 4) AS p50_tokens
+    FROM t
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the corpus-level summary a dataset release
+    ships (docs/tokens/chars, vocabulary, language/source spread, exact
+    duplicate rate, token-length center) — the roll-up of the per-doc
+    quality surface into the number a data lead reads first.
+
+    Scale shape: ONE scan computes every per-doc stat in codegen; the
+    distinct counts are partial-aggregated (exact here because the card
+    is the governed artifact; at 100 TB swap COUNT(DISTINCT) for
+    approx_count_distinct / HLL sketches — the declared approximate
+    path); the token-explode for vocabulary is its own scan-aggregate
+    with a vocabulary-sized shuffle; ratios divide exact longs
+    (order-free), and the median runs on integer token counts (exact
+    percentile, the q_stats_agg pattern).
+    """
+    from hive_json_spark.functions.text import token_count, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "source",
+        F.md5("text").alias("h"),
+        token_count("text").alias("n_tok"),
+        F.length("text").cast("bigint").alias("n_chr"),
+    )
+    vocab = docs.select(F.explode(tokens("text")).alias("token")).agg(
+        F.count_distinct("token").cast("bigint").alias("vocab")
+    )
+    card = t.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("n_chr").cast("bigint").alias("n_chars"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+        F.count_distinct("h").cast("bigint").alias("n_unique_docs"),
+        F.round(
+            1.0 - F.count_distinct("h") * F.lit(1.0) / F.count("*"), 6
+        ).alias("dup_fraction"),
+        F.round(F.sum("n_tok") * F.lit(1.0) / F.count("*"), 6).alias("mean_tokens"),
+        F.round(F.expr("percentile(n_tok, 0.5)"), 4).alias("p50_tokens"),
+    )
+    return card.crossJoin(F.broadcast(vocab)).select(
+        "n_docs", "n_tokens", "n_chars", "vocab", "n_langs", "n_sources",
+        "n_unique_docs", "dup_fraction", "mean_tokens", "p50_tokens",
+    )

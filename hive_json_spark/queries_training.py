@@ -652,3 +652,85 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy(F.col("dim").cast("bigint").alias("dim")).agg(
         F.round(F.sum(term) / F.lit(1000000.0), 6).alias("gram_v")
     )
+
+
+@query(
+    "q_semantic_dedup",
+    """
+    WITH e AS (
+      SELECT label, vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+      FROM embeddings),
+    c AS (
+      SELECT label, ord, AVG(x) AS m
+      FROM (SELECT label, unnest(emb) AS x,
+                   generate_subscripts(emb, 1) AS ord FROM e)
+      GROUP BY label, ord),
+    cent AS (SELECT label, list(m ORDER BY ord) AS centroid FROM c GROUP BY label),
+    d AS (
+      SELECT e.label, e.vec_id,
+             CAST(ROUND(1000000 * list_reduce(
+                    list_transform(range(1, len(e.emb) + 1),
+                                   i -> (e.emb[i] - cent.centroid[i])
+                                        * (e.emb[i] - cent.centroid[i])),
+                    (a, b) -> a + b)) AS BIGINT) AS d2u
+      FROM e JOIN cent USING (label)),
+    best AS (
+      SELECT label, vec_id, d2u,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2u, vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY label) AS n_members
+      FROM d)
+    SELECT label, vec_id AS keeper_id,
+           ROUND(d2u / 1000000.0, 6) AS dist2,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM best WHERE rn = 1
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup, keep-one-per-cluster: for every
+    label cluster, keep the member closest to the cluster centroid (the
+    SemDeDup-style representative election — labels here stand in for the
+    k-means assignment produced by q_kmeans_assign). Output is the keeper
+    manifest with cluster sizes.
+
+    Scale shape: centroids are a k x d partial aggregate (bounded reducer
+    state, the q_embedding_centroids plan) broadcast back; each member
+    computes its squared distance map-side with a FIXED left-fold over
+    dims (F.aggregate / list_reduce — same order both engines), rounded
+    to integer micro-units per row so the argmin ranks exact longs; the
+    election is one window partitioned by label. No pairwise distances
+    anywhere — O(n·d + k·d), the property that lets semantic dedup run
+    at corpus scale where near-dup pair enumeration cannot.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    ex = emb.select("label", F.posexplode("emb").alias("ord", "x"))
+    cent = (
+        ex.groupBy("label", "ord")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "m"))), lambda s: s.m
+            ).alias("centroid")
+        )
+    )
+    joined = emb.join(F.broadcast(cent), "label")
+    diff2 = F.zip_with("emb", "centroid", lambda a, b: (a - b) * (a - b))
+    d2 = F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+    d2u = F.round(F.lit(1000000) * d2).cast("bigint")
+    w = Window.partitionBy("label").orderBy("d2u", "vec_id")
+    ranked = joined.select("label", "vec_id", d2u.alias("d2u")).select(
+        "label",
+        "vec_id",
+        "d2u",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("label")).alias("n_members"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "label",
+        F.col("vec_id").alias("keeper_id"),
+        F.round(F.col("d2u") / F.lit(1000000.0), 6).alias("dist2"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+    )
