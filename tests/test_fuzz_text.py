@@ -20,6 +20,7 @@ FUZZED = [
     "q_heavy_hitters",
     "q_zipf_audit",
     "q_duplicate_ngram_fraction",
+    "q_dataset_card",
 ]
 
 ALPHABET = [
