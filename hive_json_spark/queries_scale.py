@@ -341,65 +341,224 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep for multi-dimensional point/range scans. The emitted bounding
     boxes ARE the skipping index a scan would consult.
 
-    Physical note — distributed exact NTILE: a naive
+    Physical note — distributed exact NTILE via boundary cells: a naive
     ``Window.orderBy(z)`` funnels the whole table through ONE task (the
-    classic global-window scale-killer), so the Spark side decomposes the
-    global rank instead: per-z-cell counts roll up map-side and a prefix
-    sum runs over the DISTINCT z domain (bounded: at most 2^20 cells no
-    matter how many rows), while the within-cell tiebreak rank is a
-    window PARTITIONED by z — fully parallel. global_rank = prefix(z) +
-    rank_within(z), and the NTILE bucket is closed-form integer math on
-    that rank. The oracle keeps the one-line NTILE the decomposition must
-    equal. Production writes skip ranks entirely:
-    ``repartitionByRange(16, z)`` + sortWithinPartitions. The z-value
-    math (integer quantize + bit interleave) is identical expression text
-    in both engines — exact integer ops, no float anywhere.
+    classic global-window scale-killer). Instead, per-z-cell counts roll
+    up map-side and a prefix sum runs over the DISTINCT z domain
+    (bounded: at most 2^20 cells no matter how many rows). A cell
+    occupies global ranks [prefix+1, prefix+count], so its bucket span
+    is closed-form integer math on broadcast scalars — and at most
+    Z_GROUPS-1 cells straddle a bucket boundary. Non-straddling cells
+    (all but ~15) fold into the answer as whole cells with NO row-level
+    work; only boundary-cell rows take the per-cell tiebreak window,
+    reached through a broadcast semi-join that prunes the rescan. Row
+    volume through the window: O(rows in ≤15 cells). The oracle keeps
+    the one-line NTILE the decomposition must equal. Production writes
+    skip ranks entirely: ``repartitionByRange(16, z)`` +
+    sortWithinPartitions. The z-value math (integer quantize + bit
+    interleave) is identical expression text in both engines — exact
+    integer ops, no float anywhere.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    bounds = li.agg(
+    # the 4 quantization bounds are an O(1) scalar collect (parquet
+    # min/max stats make this scan cheap). Inlining them as LITERALS —
+    # instead of a crossJoin(broadcast(bounds)) — keeps every downstream
+    # qx/qy/zval expression a pure function of base columns, so filters
+    # on them stay in whole-stage codegen and can reach the parquet scan
+    # (with a frame-valued bounds the optimizer folds such filters into a
+    # BroadcastNestedLoopJoin condition, re-evaluating the 40-term
+    # z-expression per row OUTSIDE codegen — measured 4-5 s at sf0.1).
+    b = li.agg(
         F.min("l_partkey").alias("min_pk"),
         F.max("l_partkey").alias("max_pk"),
         F.min("l_suppkey").alias("min_sk"),
         F.max("l_suppkey").alias("max_sk"),
-    )
-    q = (
-        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-        .crossJoin(F.broadcast(bounds))
-        .selectExpr(
-            "l_orderkey",
-            "l_linenumber",
-            f"{_QX.format(div='div')} AS qx",
-            f"{_QY.format(div='div')} AS qy",
+    ).first()
+    if b["min_pk"] is None:  # empty table → empty layout
+        return spark.createDataFrame(
+            [],
+            "file_group bigint, n_rows bigint, min_qx bigint, max_qx bigint, "
+            "min_qy bigint, max_qy bigint",
         )
-        .withColumn("zval", F.expr(_z_expr("qx", "qy", "spark")))
+    min_pk, max_pk, min_sk, max_sk = b["min_pk"], b["max_pk"], b["min_sk"], b["max_sk"]
+    pk_range, sk_range = max_pk - min_pk + 1, max_sk - min_sk + 1
+    qx_lit = f"CAST(((l_partkey - {min_pk}) * 1024) div {pk_range} AS BIGINT)"
+    qy_lit = f"CAST(((l_suppkey - {min_sk}) * 1024) div {sk_range} AS BIGINT)"
+    q = li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        f"{qx_lit} AS qx",
+        f"{qy_lit} AS qy",
+    ).withColumn("zval", F.expr(_z_expr("qx", "qy", "spark")))
+    # per-cell counts + prefix sum over the bounded distinct-z domain
+    # (zval ↔ (qx,qy) is a bijection, so qx/qy ride along the groupBy).
+    # localCheckpoint: this is the ONLY data-proportional computation; its
+    # output is ≤2^20 rows whatever the input size, and four downstream
+    # consumers (local prefix, chunk offsets, NTILE scalars, the cell
+    # frame) would each re-inline the scan+shuffle pipeline without it.
+    zcells = (
+        q.groupBy("zval", "qx", "qy").agg(F.count("*").alias("zn")).localCheckpoint()
     )
-    # prefix counts over the bounded distinct-z domain (rows before this z)
-    zcells = q.groupBy("zval").agg(F.count("*").alias("zn"))
-    wz = Window.orderBy("zval").rowsBetween(Window.unboundedPreceding, -1)
-    prefix = zcells.select(
-        "zval", F.coalesce(F.sum("zn").over(wz), F.lit(0)).alias("before")
+    # two-level prefix sum: a single Window.orderBy(zval) over the distinct
+    # domain would run in ONE task (up to 2^20 cells). Split the domain by
+    # zval>>8 (monotone, so range-contiguous): local prefixes run parallel
+    # per chunk, and only the ≤4096-row chunk-total frame takes a global
+    # window before broadcasting back as offsets.
+    chunked = zcells.withColumn("chunk", F.shiftright("zval", 8))
+    wlocal = (
+        Window.partitionBy("chunk")
+        .orderBy("zval")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # parallel within-cell tiebreak rank
-    win = Window.partitionBy("zval").orderBy("l_orderkey", "l_linenumber")
-    ranked = (
-        q.withColumn("rw", F.row_number().over(win))
-        .join(prefix, "zval")
-        .withColumn("r", F.col("before") + F.col("rw"))  # 1-based global rank
+    local = chunked.withColumn(
+        "local_before", F.coalesce(F.sum("zn").over(wlocal), F.lit(0))
     )
-    total = q.count()
-    base, rem = total // Z_GROUPS, total % Z_GROUPS
-    # NTILE semantics: first `rem` buckets get base+1 rows, the rest base
+    wchunk = Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        chunked.groupBy("chunk")
+        .agg(F.sum("zn").alias("chunk_n"))
+        .withColumn("chunk_before", F.coalesce(F.sum("chunk_n").over(wchunk), F.lit(0)))
+        .select("chunk", "chunk_before")
+    )
+    prefix = local.join(F.broadcast(offsets), "chunk").withColumn(
+        "before", F.col("chunk_before") + F.col("local_before")
+    )
+    # total row count as an in-plan broadcast scalar (sum of the per-cell
+    # counts already aggregated) — NOT a driver-side q.count(), which would
+    # cost a second full scan and an eager job before the real one
+    totals = zcells.agg(F.sum("zn").alias("total")).select(
+        "total",
+        F.expr(f"total div {Z_GROUPS}").alias("base"),
+        (F.col("total") % Z_GROUPS).alias("rem"),
+    )
+
+    # NTILE semantics: first `rem` buckets get base+1 rows, the rest base.
+    # bucket_of(global rank r), closed-form on the broadcast scalars:
+    def bucket_of(r):
+        big = F.col("rem") * (F.col("base") + 1)
+        return (
+            F.when(r <= big, (r - 1) / (F.col("base") + 1))
+            .when(F.col("base") > 0, F.col("rem") + (r - big - 1) / F.col("base"))
+            .otherwise(F.col("rem"))
+            .cast("long")
+            + 1
+        )
+
+    # A z-cell occupies global ranks [before+1, before+zn]. At most
+    # Z_GROUPS-1 cells straddle an NTILE boundary — every other cell maps
+    # WHOLESALE to one bucket, so the per-row tiebreak window and the
+    # row-level cell join run over ~15 cells' rows, not the whole table.
+    #
+    # localCheckpoint: `cells` feeds three consumers (the whole-cell agg,
+    # the straddle list, the totals scalars); without materialization
+    # Catalyst inlines the scan+shuffle+window pipeline once PER consumer
+    # (measured: a ~160-node plan re-scanning lineitem 6×). The frame is
+    # bounded — ≤2^20 rows whatever the data size — so materializing it is
+    # O(domain), and everything after reads the checkpoint.
+    cells = (
+        prefix.crossJoin(F.broadcast(totals))
+        .select(
+            "zval",
+            "qx",
+            "qy",
+            "zn",
+            "before",
+            bucket_of(F.col("before") + 1).alias("b_lo"),
+            bucket_of(F.col("before") + F.col("zn")).alias("b_hi"),
+        )
+        .localCheckpoint()
+    )
+    whole = cells.filter(F.col("b_lo") == F.col("b_hi")).groupBy(
+        F.col("b_lo").alias("file_group")
+    ).agg(
+        F.sum("zn").alias("n_rows"),
+        F.min("qx").alias("min_qx"),
+        F.max("qx").alias("max_qx"),
+        F.min("qy").alias("min_qy"),
+        F.max("qy").alias("max_qy"),
+    )
+    # the straddle set is ≤ Z_GROUPS-1 cells BY CONSTRUCTION — a bounded
+    # driver collect (like the NTILE scalars), independent of data size
+    straddle_rows = cells.filter(F.col("b_lo") != F.col("b_hi")).select(
+        "zval", "qx", "qy", "before"
+    ).collect()
+    base, rem, total = (
+        cells.agg(
+            F.sum("zn").alias("total"),
+            F.expr(f"sum(zn) div {Z_GROUPS}").alias("base"),
+        )
+        .select("base", (F.col("total") % Z_GROUPS).alias("rem"), "total")
+        .first()
+    )
     big = rem * (base + 1)
-    file_group = F.when(
-        F.col("r") <= big, (F.col("r") - 1) / (base + 1)
-    ).otherwise(rem + (F.col("r") - big - 1) / base if base else rem).cast(
-        "long"
-    ) + 1
-    z = ranked.withColumn("file_group", file_group)
-    return z.groupBy(F.col("file_group").cast("bigint").alias("file_group")).agg(
-        F.count("*").alias("n_rows"),
-        F.min("qx").cast("bigint").alias("min_qx"),
-        F.max("qx").cast("bigint").alias("max_qx"),
-        F.min("qy").cast("bigint").alias("min_qy"),
-        F.max("qy").cast("bigint").alias("max_qy"),
+
+    def bucket_of_lit(r):
+        if base == 0:  # fewer rows than groups: every rank sits in a big bucket
+            return (r - 1).cast("long") + 1
+        return (
+            F.when(r <= big, (r - 1) / (base + 1))
+            .otherwise(rem + (r - big - 1) / base)
+            .cast("long")
+            + 1
+        )
+
+    if straddle_rows:
+        zmap = {row["zval"]: row["before"] for row in straddle_rows}
+
+        # invert each straddle cell's (qx, qy) back to base-column ranges:
+        # qx == g  ⇔  l_partkey ∈ [min_pk + ceil(g·R/1024),
+        #                          min_pk + floor(((g+1)·R - 1)/1024)].
+        # These are plain l_partkey/l_suppkey range predicates — parquet
+        # row-group stats prune the rescan to the (z-localized!) files
+        # holding boundary cells, the z-order skipping story applied to
+        # the layout computation itself. The exact zval isin stays on top.
+        def dim_range(g, lo0, rng):
+            return lo0 + (g * rng + 1023) // 1024, lo0 + ((g + 1) * rng - 1) // 1024
+
+        pred = None
+        for row in straddle_rows:
+            pk_lo, pk_hi = dim_range(row["qx"], min_pk, pk_range)
+            sk_lo, sk_hi = dim_range(row["qy"], min_sk, sk_range)
+            one = (
+                F.col("l_partkey").between(pk_lo, pk_hi)
+                & F.col("l_suppkey").between(sk_lo, sk_hi)
+            )
+            pred = one if pred is None else (pred | one)
+        before_expr = F.element_at(
+            F.create_map(*[F.lit(x) for kv in zmap.items() for x in kv]),
+            F.col("zval"),
+        )
+        win = Window.partitionBy("zval").orderBy("l_orderkey", "l_linenumber")
+        r = before_expr + F.row_number().over(win)
+        split = (
+            li.filter(pred)
+            .selectExpr(
+                "l_orderkey",
+                "l_linenumber",
+                f"{qx_lit} AS qx",
+                f"{qy_lit} AS qy",
+            )
+            .withColumn("zval", F.expr(_z_expr("qx", "qy", "spark")))
+            .filter(F.col("zval").isin(list(zmap)))
+            .withColumn("r", r)
+            .groupBy(bucket_of_lit(F.col("r")).alias("file_group"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("qx").alias("min_qx"),
+                F.max("qx").alias("max_qx"),
+                F.min("qy").alias("min_qy"),
+                F.max("qy").alias("max_qy"),
+            )
+        )
+        whole = whole.unionByName(split)
+    return whole.groupBy(
+        F.col("file_group").cast("bigint").alias("file_group")
+    ).agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.min("min_qx").cast("bigint").alias("min_qx"),
+        F.max("max_qx").cast("bigint").alias("max_qx"),
+        F.min("min_qy").cast("bigint").alias("min_qy"),
+        F.max("max_qy").cast("bigint").alias("max_qy"),
     )
