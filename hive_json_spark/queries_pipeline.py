@@ -1290,3 +1290,164 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs", "n_tokens", "n_chars", "vocab", "n_langs", "n_sources",
         "n_unique_docs", "dup_fraction", "mean_tokens", "p50_tokens",
     )
+
+
+# --- inverted index (postings lists) -----------------------------------------
+
+@query(
+    "q_inverted_index",
+    """
+    WITH p AS (
+      SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS tok
+            FROM documents)
+      GROUP BY tok, doc_id),
+    r AS (
+      SELECT tok, doc_id, tf,
+             ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+      FROM p)
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS tf_total,
+           array_to_string(list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= 20), ',')
+             AS postings_head
+    FROM r
+    GROUP BY tok
+    ORDER BY df DESC, tok
+    LIMIT 50
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: token -> (document frequency, total term
+    frequency, head of the sorted postings list). The core physical
+    structure behind sparse retrieval (and the precursor the TF-IDF/BM25
+    queries conceptually read from); emitted here for the 50 highest-df
+    tokens with postings truncated to the first 20 doc_ids.
+
+    Scale shape: explode -> (tok, doc_id) partial-agg (the only
+    corpus-sized shuffle), then ONE window partitioned by token ranks
+    postings so the head is selected BEFORE any list materializes —
+    collect_list only ever sees <=20 survivors per token, so a stopword
+    with a billion postings costs streaming rank state, never a
+    billion-element array in an aggregation buffer. df/tf_total aggregate
+    the full postings frame alongside. Top-50 is TakeOrderedAndProject.
+    The postings head is emitted as a comma-joined STRING (identical text
+    in both engines) rather than an engine-native array."""
+    from hive_json_spark.functions.text import tokens
+    from hive_json_spark.operators.relational import top_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    r = p.withColumn("rn", F.row_number().over(w))
+    idx = r.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("tf_total"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.when(F.col("rn") <= 20, F.col("doc_id")))
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_head"),
+    )
+    return top_k(idx, [F.col("df").desc(), F.col("tok")], 50)
+
+
+# --- BM25 ranking ------------------------------------------------------------
+
+@query(
+    "q_bm25_topk",
+    """
+    WITH terms AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS f
+           FROM terms GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM terms GROUP BY doc_id),
+    df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dfreq
+           FROM terms GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM documents),
+    a AS (SELECT CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl FROM dl)
+    SELECT tf.doc_id,
+           ROUND(SUM(CAST(ROUND(1000000 *
+                   ln(1 + (n.total - df.dfreq + 0.5) / (df.dfreq + 0.5))
+                   * (tf.f * 2.2)
+                   / (tf.f + 1.2 * (0.25 + 0.75 * CAST(dl.len AS DOUBLE) / a.avgdl)))
+                 AS BIGINT)) / 1000000.0, 6) AS score
+    FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+            JOIN df ON tf.term = df.term
+            CROSS JOIN n CROSS JOIN a
+    WHERE tf.term IN ('vector', 'filter', 'merge')
+    GROUP BY tf.doc_id
+    ORDER BY score DESC, tf.doc_id
+    LIMIT 20
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking (k1=1.2, b=0.75) of the corpus against a
+    bag-of-words query — the standard sparse-retrieval scorer, one level
+    up from the TF-IDF baseline: idf saturates (ln(1+(N-df+0.5)/(df+0.5)))
+    and term frequency saturates at k1, normalized by document length
+    against the corpus mean.
+
+    Scale shape: identical postings plan to q_tfidf_topk — one explode,
+    the (doc, term, freq) frame pinned and re-aggregated for dl/df, the
+    query-term df slice broadcast back, scored frame proportional to
+    matching postings only. avgdl is computed as an EXACT long token-count
+    sum divided once (never AVG over doubles — summation order would leak
+    into every score via the length normalizer); each BM25 term is rounded
+    to integer micro-units per posting before the per-doc sum, so neither
+    summation order nor ln() ulp differences can flip a score or the
+    ranking (SCALE.md integer-unit rule)."""
+    from hive_json_spark.functions.text import tokens
+    from hive_json_spark.operators.relational import top_k
+
+    k1, b = 1.2, 0.75
+    query_terms = ["vector", "filter", "merge"]
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("f"))
+        .persist()
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("f").cast("bigint").alias("len"))
+    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("dfreq"))
+    n = docs.agg(F.count("*").cast("double").alias("total"))
+    a = dl.agg(
+        (F.sum("len").cast("double") / F.count("*")).alias("avgdl")
+    )
+    scored = (
+        tf.filter(F.col("term").isin(query_terms))
+        .join(dl, "doc_id")
+        .join(
+            F.broadcast(
+                df.filter(F.col("term").isin(query_terms)).withColumnRenamed(
+                    "term", "df_term"
+                )
+            ),
+            F.col("term") == F.col("df_term"),
+        )
+        .join(F.broadcast(n))
+        .join(F.broadcast(a))
+    )
+    idf = F.log(
+        1 + (F.col("total") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+    )
+    sat = (F.col("f") * (k1 + 1)) / (
+        F.col("f")
+        + k1 * (1 - b + b * F.col("len").cast("double") / F.col("avgdl"))
+    )
+    term_units = F.round(F.lit(1000000) * idf * sat).cast("long")
+    agg = scored.groupBy("doc_id").agg(
+        F.round(F.sum(term_units) / F.lit(1000000.0), 6).alias("score")
+    )
+    return top_k(agg, [F.col("score").desc(), F.col("doc_id")], 20)

@@ -118,6 +118,7 @@ PERTURB_QUERIES = [
     "q_token_entropy",
     "q_unigram_logloss",
     "q_tfidf_topk",
+    "q_bm25_topk",
 ]
 
 
