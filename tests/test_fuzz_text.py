@@ -21,6 +21,9 @@ FUZZED = [
     "q_zipf_audit",
     "q_duplicate_ngram_fraction",
     "q_dataset_card",
+    "q_tfidf_topk",
+    "q_bm25_topk",
+    "q_inverted_index",
 ]
 
 ALPHABET = [
