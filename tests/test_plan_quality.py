@@ -198,3 +198,39 @@ def test_merge_upsert_is_one_keyed_join(spark):
     plan = plan_of(spark, "q_merge_upsert")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count("BroadcastHashJoin") == 1
+
+
+def test_inverted_index_caps_postings_before_collect(spark):
+    # the postings-head cap runs as a rank window BEFORE collect_list, so
+    # no aggregation buffer holds an unbounded postings array; the top-50
+    # short-circuits; only the (tok,doc) agg + tok window/agg shuffle
+    plan = plan_of(spark, "q_inverted_index")
+    assert "TakeOrderedAndProject" in plan
+    # collect_list's input is the rank-capped CASE, fed by a row_number
+    # window — the cap happens upstream of the aggregation buffer
+    assert "row_number()" in plan
+    assert "collect_list(CASE WHEN" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_bm25_postings_cached_once_and_scalars_broadcast(spark):
+    # same pinned-postings shape as TF-IDF: one InMemoryRelation, the
+    # query-term df slice + N + avgdl all broadcast, no nested-loop joins
+    # except the 1-row scalar cross joins
+    plan = plan_of(spark, "q_bm25_topk")
+    assert "InMemoryTableScan" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_straddle_rescan_pushes_key_ranges(spark):
+    # the boundary-cell rescan reaches the parquet scan as plain
+    # l_partkey/l_suppkey range predicates (data skipping), and the
+    # whole-cell branch reads the checkpointed cell frame, not the table
+    plan = plan_of(spark, "q_zorder_layout")
+    assert "Scan ExistingRDD" in plan  # checkpointed cell frame
+    if "PushedFilters" in plan:  # straddle branch exists at this SF
+        pushed = plan.split("PushedFilters: ")[1].splitlines()[0]
+        assert "l_partkey" in pushed or "l_suppkey" in pushed
+    assert "BroadcastNestedLoopJoin" not in plan
