@@ -324,12 +324,17 @@ def ngram_jaccard_pairs(
     text_col: str,
     block_cols: Sequence[str],
     threshold: float,
+    keep_block_cols: bool = False,
 ) -> DataFrame:
     """Exact token-set Jaccard for all pairs inside a blocking key.
 
     The blocking keys bound the quadratic term; at 100 TB the blocks come
     from cheap attributes (source, language, length bucket) so each block
     fits one task. SQL-expressible → oracle-checkable.
+
+    keep_block_cols=True carries the blocking key on each emitted pair —
+    downstream block-local operators (``blocked_components``) group on it
+    without re-joining the corpus.
     """
     base = ensure_parallelism(df).select(
         F.col(id_col), *[F.col(c) for c in block_cols], F.col(text_col).alias("_txt")
@@ -338,9 +343,11 @@ def ngram_jaccard_pairs(
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    extra = [F.col(f"a.{c}").alias(c) for c in block_cols] if keep_block_cols else []
     paired = a.join(b, cond).select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
+        *extra,
         F.col("a._txt").alias("_ta"),
         F.col("b._txt").alias("_tb"),
     )
@@ -350,6 +357,15 @@ def ngram_jaccard_pairs(
     # array_union are CodegenFallback expressions (per-row boxed eval +
     # GC churn), while Python set ops over the same pairs are faster and
     # steady. Output values are identical (exact distinct-token Jaccard).
+    keep = ["id_a", "id_b"]
+    out_fields = "id_a bigint, id_b bigint"
+    if keep_block_cols:
+        by_name = {f.name: f for f in df.schema.fields}
+        for c in block_cols:
+            keep.append(c)
+            out_fields += f", {c} {by_name[c].dataType.simpleString()}"
+    out_fields += ", jaccard double"
+
     def verify(batches):
         for pdf in batches:
             jac = []
@@ -358,10 +374,10 @@ def ngram_jaccard_pairs(
                 sb = set(tb.split()) if tb else set()
                 union = len(sa | sb)
                 jac.append(round(len(sa & sb) / union, 4) if union else 0.0)
-            yield pdf[["id_a", "id_b"]].assign(jaccard=jac)
+            yield pdf[keep].assign(jaccard=jac)
 
     return (
-        paired.mapInPandas(verify, "id_a bigint, id_b bigint, jaccard double")
+        paired.mapInPandas(verify, out_fields)
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -448,6 +464,62 @@ def embedding_near_dup_pairs(
         ensure_parallelism(df)
         .select(id_col, vec_col)
         .mapInPandas(kernel, "id_a bigint, id_b bigint, cos_sim double")
+    )
+
+
+def blocked_components(
+    pairs: DataFrame,
+    block_cols: Sequence[str],
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected components when every edge lives INSIDE a blocking key
+    (the shape block-bounded pair generators like ``ngram_jaccard_pairs``
+    emit): one union-find pass per block replaces the iterative min-label
+    propagation of ``dedup_clusters`` — a single shuffle of the (sparse)
+    pair frame, zero rounds, no checkpoints.
+
+    cluster_id = min node id in the component (union by smaller root, so
+    the final root IS the minimum — identical labels to dedup_clusters).
+
+    Scale bound: per-task state ∝ distinct nodes appearing in one block's
+    pairs — the same block-fits-a-task bound the quadratic pair generation
+    already assumes, and usually far smaller (near-dup nodes only). For
+    graphs whose edges CROSS blocks, use ``dedup_clusters`` (generic
+    iterative) or GraphFrames at billion-edge scale.
+    """
+    import pandas as pd
+
+    def uf(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf[id_a], pdf[id_b]):
+            a, b = int(a), int(b)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra == rb:
+                continue
+            if ra < rb:  # union by min root → root stays the component min
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+        nodes = sorted(parent)
+        return pd.DataFrame(
+            {"doc_id": nodes, "cluster_id": [find(n) for n in nodes]}
+        )
+
+    return pairs.groupBy(*[F.col(c) for c in block_cols]).applyInPandas(
+        uf, "doc_id long, cluster_id long"
     )
 
 

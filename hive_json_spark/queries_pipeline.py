@@ -640,14 +640,20 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components → one cluster id per doc.
-    Spark runs iterative min-label propagation (operators.dedup.
-    dedup_clusters); the oracle closes the same graph with a recursive
-    CTE. Components over Jaccard-0.5 edges within (lang, source) blocks."""
+    The pair generator blocks on (lang, source), so every edge lives
+    inside one block and components are block-local: Spark closes them
+    with ONE union-find pass per block (operators.dedup.
+    blocked_components — one shuffle of the sparse pair frame, zero
+    iteration rounds). The generic cross-block graph keeps the iterative
+    min-label propagation (dedup_clusters, pinned by its own unit tests);
+    the oracle closes the same graph with a recursive CTE."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", ["lang", "source"], 0.5)
-    from hive_json_spark.operators.dedup import dedup_clusters
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", ["lang", "source"], 0.5, keep_block_cols=True
+    )
+    from hive_json_spark.operators.dedup import blocked_components
 
-    return dedup_clusters(pairs.select("id_a", "id_b"))
+    return blocked_components(pairs, ["lang", "source"])
 
 
 # --- benchmark decontamination (n-gram overlap) ------------------------------
@@ -1072,17 +1078,20 @@ def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster via the left join + coalesce, so the output is a complete
     keep-list for the corpus.
 
-    Scale shape: clustering is the iterative min-label propagation of
-    q_dedup_clusters (localCheckpoint per round); the election is one
-    row_number window and the member count rides the same cluster_id
-    partitioning. The oracle closes the identical graph with a recursive
-    CTE and runs the identical window — both engines elect the same rows.
+    Scale shape: clustering is the block-local union-find of
+    q_dedup_clusters (blocked_components — one pass, no rounds); the
+    election is one row_number window and the member count rides the same
+    cluster_id partitioning. The oracle closes the identical graph with a
+    recursive CTE and runs the identical window — both engines elect the
+    same rows.
     """
-    from hive_json_spark.operators.dedup import dedup_clusters
+    from hive_json_spark.operators.dedup import blocked_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", ["lang", "source"], 0.5)
-    clusters = dedup_clusters(pairs.select("id_a", "id_b"))
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", ["lang", "source"], 0.5, keep_block_cols=True
+    )
+    clusters = blocked_components(pairs, ["lang", "source"])
     everyone = (
         docs.select("doc_id", "n_chars")
         .join(clusters, "doc_id", "left")

@@ -283,6 +283,35 @@ def test_dedup_clusters_multihop_chain(spark):
     assert {got[i] for i in (20, 21, 22)} == {20}
 
 
+def test_blocked_components_matches_iterative_on_random_graphs(spark):
+    """blocked_components (per-block union-find, one pass) must produce
+    IDENTICAL labels to dedup_clusters (generic min-label propagation) on
+    block-local graphs — including long chains, triangles, and crossing
+    id orders inside each block."""
+    import random
+
+    from hive_json_spark.operators.dedup import blocked_components, dedup_clusters
+
+    for seed in range(5):
+        rnd = random.Random(seed)
+        rows = []
+        for block in range(rnd.randint(1, 4)):
+            nodes = rnd.sample(range(block * 1000, block * 1000 + 200), rnd.randint(2, 40))
+            for _ in range(rnd.randint(1, 60)):
+                a, b = rnd.sample(nodes, 2)
+                rows.append((min(a, b), max(a, b), f"b{block}"))
+        pairs = spark.createDataFrame(rows, "id_a bigint, id_b bigint, blk string")
+        fast = {
+            (r.doc_id, r.cluster_id)
+            for r in blocked_components(pairs, ["blk"]).collect()
+        }
+        slow = {
+            (r.doc_id, r.cluster_id)
+            for r in dedup_clusters(pairs.select("id_a", "id_b")).collect()
+        }
+        assert fast == slow, f"seed={seed}"
+
+
 def test_distinct_ngrams_kernel_matches_jvm_formulation(spark):
     """The Arrow n-gram kernel must agree exactly with the declarative
     JVM formulation (filter + sequence + transform + slice) it replaced
