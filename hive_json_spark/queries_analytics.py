@@ -1091,3 +1091,66 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b.conv_rate", 6).alias("conv_b"),
         F.round(t, 6).alias("welch_t"),
     )
+
+
+# --- robust outlier detection (median absolute deviation) --------------------
+
+@query(
+    "q_mad_outliers",
+    """
+    WITH med AS (
+      SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS med
+      FROM lineitem GROUP BY l_returnflag),
+    dev AS (
+      SELECT l.l_returnflag, l.l_extendedprice, m.med,
+             ABS(l.l_extendedprice - m.med) AS d
+      FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag),
+    mad AS (
+      SELECT l_returnflag, ROUND(quantile_cont(d, 0.5), 4) AS mad
+      FROM dev GROUP BY l_returnflag)
+    SELECT dev.l_returnflag, ANY_VALUE(dev.med) AS med, ANY_VALUE(mad.mad) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev JOIN mad ON dev.l_returnflag = mad.l_returnflag
+    GROUP BY dev.l_returnflag
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median absolute deviation.
+    Unlike mean±k·stddev (q_anomaly_daily's z-scores), the median/MAD pair
+    has a 50% breakdown point — the outliers themselves can't drag the
+    fence — which is what you want for heavy-tailed price/metric columns.
+
+    Scale shape: two exact-percentile aggregations (each one shuffle on
+    the 3-value group key) with the tiny per-group med/mad frames
+    BROADCAST back onto the scan — the fact table never shuffles for the
+    join or the fence test. The declared 100 TB variant swaps exact
+    percentile for approx_percentile (mergeable sketch) with the same
+    plan shape. Determinism: med and mad are ROUNDED to 4 digits in both
+    engines BEFORE the fence comparison, so an interpolation ulp can
+    never flip a row across the 3×MAD fence."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "d", F.abs(F.col("l_extendedprice") - F.col("med"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(d, 0.5)"), 4).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
