@@ -561,3 +561,248 @@ def synthetic_png_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             "mean_c0 double, mean_c1 double, mean_c2 double"
         ),
     )
+
+
+# --- GIF (LZW) baseline codec ------------------------------------------------
+#
+# A second REAL compressed format with zero codec dependencies: GIF89a with
+# a 256-entry global palette and genuine variable-width LZW image data
+# (9→12-bit codes, LSB-first bit packing, 255-byte sub-blocks, CLEAR/EOI
+# handling including the cScSc decoder case). Exercises a different
+# compression family than PNG's DEFLATE. Spec: GIF89a (CompuServe, 1989).
+
+
+def _lzw_encode_gif(indices: bytes, min_code_size: int = 8) -> bytes:
+    """Variable-width LZW for GIF image data. The width switch fires one
+    code LATER than the encoder's own table state suggests: the decoder
+    defines entries one code behind the encoder, so the encoder widens
+    when ITS next_code == (1 << width) + 1 — exactly when the decoder's
+    next_code hits (1 << width). Getting this off by one desyncs every
+    code after the 254th entry."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    buf = 0
+    nbits = 0
+    res = bytearray()
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            res.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    s = b""
+    for ch in indices:
+        sc = s + bytes([ch])
+        if sc in table:
+            s = sc
+            continue
+        emit(table[s])
+        if next_code < 4096:
+            table[sc] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # table full: reset (rare; images here never get close)
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        s = bytes([ch])
+    if s:
+        emit(table[s])
+    emit(eoi)
+    if nbits > 0:
+        res.append(buf & 0xFF)
+    return bytes(res)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int = 8) -> bytes:
+    """Canonical GIF LZW decoder: width starts at min+1, entries defined
+    one code behind the stream, width bumps when next_code == 1 << width,
+    ``code == next_code`` resolves to prev + prev[0] (the cScSc case)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    buf = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+
+    def read() -> int:
+        nonlocal buf, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return eoi
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        return code
+
+    while True:
+        code = read()
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # cScSc: entry being defined right now
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif(idx: "np.ndarray", palette: "np.ndarray") -> bytes:
+    """Encode an HxW uint8 index array + 256x3 uint8 palette as a real
+    single-frame GIF89a (global color table, non-interlaced, true LZW)."""
+    import struct as _s
+
+    h, w = idx.shape
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: global table, 8-bit color res, 256 entries
+    out += _s.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += palette.astype(np.uint8).tobytes()  # 768-byte global color table
+    out += b"\x2c" + _s.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    out.append(8)  # LZW minimum code size
+    lzw = _lzw_encode_gif(idx.astype(np.uint8).tobytes())
+    for i in range(0, len(lzw), 255):  # 255-byte sub-blocks
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Decode a single-frame GIF → (width, height, HxWx3 uint8 RGB):
+    header walk (skipping 0x21 extension blocks), global palette read,
+    sub-block reassembly, LZW decompression, palette lookup."""
+    import struct as _s
+
+    if data[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF: bad signature")
+    w, h, packed, _bg, _ar = _s.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        size = 2 ** ((packed & 0x07) + 1)
+        palette = (
+            np.frombuffer(data, dtype=np.uint8, count=3 * size, offset=pos)
+            .reshape(size, 3)
+            .astype(np.uint8)
+        )
+        pos += 3 * size
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _x, _y, iw, ih, ipacked = _s.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            if ipacked & 0x40:
+                raise NotImplementedError("baseline GIF codec: no interlace")
+            if ipacked & 0x80:  # local color table overrides global
+                size = 2 ** ((ipacked & 0x07) + 1)
+                palette = (
+                    np.frombuffer(data, dtype=np.uint8, count=3 * size, offset=pos)
+                    .reshape(size, 3)
+                    .astype(np.uint8)
+                )
+                pos += 3 * size
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                n = data[pos]
+                lzw += data[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            if palette is None:
+                raise ValueError("GIF image without a color table")
+            indices = np.frombuffer(
+                _lzw_decode_gif(bytes(lzw), min_code), dtype=np.uint8
+            )
+            if len(indices) != iw * ih:
+                raise ValueError(
+                    f"LZW produced {len(indices)} indices for {iw}x{ih} image"
+                )
+            return iw, ih, palette[indices.reshape(ih, iw)]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def synthetic_gif_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per id: synthesize an indexed-color image and palette with
+    closed-form patterns, encode as a REAL GIF (variable-width LZW),
+    decode it back, and emit stats of the DECODED RGB pixels. The index
+    pattern repeats heavily on purpose — repeated runs are what grow the
+    LZW table past the 9→10-bit width switch, the classic desync spot.
+    Any defect in the bit packing, width schedule, cScSc handling, or
+    palette lookup corrupts the means and breaks the oracle hash."""
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "n_pixels",
+                "mean_c0", "mean_c1", "mean_c2",
+            )}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w = (mid % 6 + 2) * 4
+                h = (mid % 4 + 2) * 5
+                y = np.arange(h, dtype=np.int64)[:, None]
+                x = np.arange(w, dtype=np.int64)[None, :]
+                idx = ((mid * 23 + 5 * y + x) % 256).astype(np.uint8)
+                i = np.arange(256, dtype=np.int64)[:, None]
+                c = np.arange(3, dtype=np.int64)[None, :]
+                palette = ((i * (3 + c) + 11 * c) % 256).astype(np.uint8)
+                w2, h2, rgb = decode_gif(encode_gif(idx, palette))
+                means = rgb.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+                out["media_id"].append(mid)
+                out["width"].append(w2)
+                out["height"].append(h2)
+                out["n_pixels"].append(w2 * h2)
+                out["mean_c0"].append(float(means[0]))
+                out["mean_c1"].append(float(means[1]))
+                out["mean_c2"].append(float(means[2]))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(
+        kernel,
+        schema=(
+            "media_id bigint, width int, height int, n_pixels bigint, "
+            "mean_c0 double, mean_c1 double, mean_c2 double"
+        ),
+    )

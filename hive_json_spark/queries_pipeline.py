@@ -1460,3 +1460,48 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(term_units) / F.lit(1000000.0), 6).alias("score")
     )
     return top_k(agg, [F.col("score").desc(), F.col("doc_id")], 20)
+
+
+# --- GIF decode (LZW) --------------------------------------------------------
+
+@query(
+    "q_gif_decode",
+    """
+    WITH m AS (SELECT doc_id AS media_id,
+                      CAST((doc_id % 6 + 2) * 4 AS INT) AS w,
+                      CAST((doc_id % 4 + 2) * 5 AS INT) AS h
+               FROM documents),
+    px AS (
+      SELECT media_id, w, h,
+             AVG(((media_id * 23 + 5 * y + x) * 3) % 256)      AS mean_c0,
+             AVG(((media_id * 23 + 5 * y + x) * 4 + 11) % 256) AS mean_c1,
+             AVG(((media_id * 23 + 5 * y + x) * 5 + 22) % 256) AS mean_c2
+      FROM m,
+           LATERAL (SELECT unnest(range(h)) AS y),
+           LATERAL (SELECT unnest(range(w)) AS x)
+      GROUP BY media_id, w, h)
+    SELECT media_id, w AS width, h AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           mean_c0, mean_c1, mean_c2
+    FROM px
+    """,
+)
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A second real COMPRESSED image format end to end, exercising a
+    different compression family than PNG's DEFLATE: synthetic
+    indexed-color patterns are encoded as genuine GIF89a (variable-width
+    9→12-bit LZW, LSB-first bit packing, 255-byte sub-blocks, global
+    palette) and decoded back inside one Arrow kernel. The repetitive
+    index pattern grows the LZW table past the 9→10-bit width switch —
+    the classic encoder/decoder desync spot (the encoder must widen one
+    code LATER than its own table state, because the decoder defines
+    entries one code behind). The oracle recomputes the decoded-pixel
+    means from the closed form — palette[(mid·23+5y+x)%256][c] collapses
+    to ((mid·23+5y+x)·(3+c)+11c)%256 by modular arithmetic — so a bug in
+    the width schedule, bit packing, cScSc case, sub-block framing, or
+    palette lookup flips the hash. Means are exact-integer sums divided
+    once (identical doubles in both engines, PNG-decode precedent)."""
+    from hive_json_spark.operators.multimodal import synthetic_gif_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return synthetic_gif_features(docs)

@@ -54,3 +54,49 @@ def test_png_rejects_unsupported():
 
     with _pytest.raises(ValueError, match="signature"):
         decode_png(b"notapng")
+
+
+def test_gif_lzw_roundtrip_width_switches_and_reset():
+    """LZW round-trips across the 9→10→11-bit width switches (repetitive
+    streams grow the table fast) and the 4096-entry mid-stream CLEAR."""
+    import random
+
+    from hive_json_spark.operators.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    rnd = random.Random(3)
+    cases = [
+        b"",
+        b"\x00",
+        bytes(rnd.randrange(256) for _ in range(500)),     # 9→10 bit switch
+        bytes((i % 5) for i in range(4000)),               # heavy repetition
+        (bytes(range(64)) * 900)[:40000],                  # 4096-entry reset
+        bytes(rnd.randrange(256) for _ in range(30000)),   # random reset path
+    ]
+    for data in cases:
+        assert _lzw_decode_gif(_lzw_encode_gif(data)) == data, len(data)
+
+
+def test_gif_roundtrip_palette_lookup():
+    import numpy as np
+
+    from hive_json_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(5)
+    for h, w in [(1, 1), (7, 4), (20, 24), (33, 19)]:
+        idx = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+        w2, h2, rgb = decode_gif(encode_gif(idx, pal))
+        assert (w2, h2) == (w, h)
+        assert (rgb == pal[idx]).all(), (h, w)
+
+
+def test_gif_rejects_unsupported():
+    import pytest as _pytest
+
+    from hive_json_spark.operators.multimodal import decode_gif
+
+    with _pytest.raises(ValueError, match="signature"):
+        decode_gif(b"notagif")
