@@ -46,6 +46,10 @@ HEADLINE = [
     "q_heavy_hitters",
     "q_token_entropy",
     "q_bucketed_join",
+    "q_zorder_layout",
+    "q_dedup_clusters",
+    "q_bm25_topk",
+    "q_gif_decode",
 ]
 
 

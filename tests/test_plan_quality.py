@@ -234,3 +234,13 @@ def test_zorder_straddle_rescan_pushes_key_ranges(spark):
         pushed = plan.split("PushedFilters: ")[1].splitlines()[0]
         assert "l_partkey" in pushed or "l_suppkey" in pushed
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_clusters_single_pass_no_iteration(spark):
+    # block-local union-find: ONE FlatMapGroupsInPandas over the sparse
+    # pair frame, no checkpointed-label RDD scans (the iterative path's
+    # signature), no cartesian products
+    plan = plan_of(spark, "q_dedup_clusters")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Scan ExistingRDD" not in plan
+    assert "CartesianProduct" not in plan
