@@ -706,11 +706,19 @@ def decode_gif(data: bytes) -> tuple[int, int, "np.ndarray"]:
 
     if data[:6] not in (b"GIF89a", b"GIF87a"):
         raise ValueError("not a GIF: bad signature")
+    if len(data) < 13:
+        raise ValueError("truncated GIF: incomplete logical screen descriptor")
     w, h, packed, _bg, _ar = _s.unpack_from("<HHBBB", data, 6)
     pos = 13
+
+    def need(n: int, what: str) -> None:
+        if pos + n > len(data):
+            raise ValueError(f"truncated GIF: incomplete {what}")
+
     palette = None
     if packed & 0x80:
         size = 2 ** ((packed & 0x07) + 1)
+        need(3 * size, "global color table")
         palette = (
             np.frombuffer(data, dtype=np.uint8, count=3 * size, offset=pos)
             .reshape(size, 3)
@@ -721,29 +729,37 @@ def decode_gif(data: bytes) -> tuple[int, int, "np.ndarray"]:
         b = data[pos]
         if b == 0x21:  # extension: label + sub-blocks
             pos += 2
+            need(1, "extension block")
             while data[pos] != 0:
                 pos += 1 + data[pos]
+                need(1, "extension block")
             pos += 1
         elif b == 0x2C:  # image descriptor
+            need(10, "image descriptor")
             _x, _y, iw, ih, ipacked = _s.unpack_from("<HHHHB", data, pos + 1)
             pos += 10
             if ipacked & 0x40:
                 raise NotImplementedError("baseline GIF codec: no interlace")
             if ipacked & 0x80:  # local color table overrides global
                 size = 2 ** ((ipacked & 0x07) + 1)
+                need(3 * size, "local color table")
                 palette = (
                     np.frombuffer(data, dtype=np.uint8, count=3 * size, offset=pos)
                     .reshape(size, 3)
                     .astype(np.uint8)
                 )
                 pos += 3 * size
+            need(1, "LZW code size")
             min_code = data[pos]
             pos += 1
             lzw = bytearray()
+            need(1, "image data")
             while data[pos] != 0:
                 n = data[pos]
+                need(1 + n, "image sub-block")
                 lzw += data[pos + 1 : pos + 1 + n]
                 pos += 1 + n
+                need(1, "image data")
             pos += 1
             if palette is None:
                 raise ValueError("GIF image without a color table")

@@ -299,8 +299,9 @@ def _z_expr(qx: str, qy: str, dialect: str) -> str:
     return " + ".join(terms)
 
 
-_QX = "CAST(((l_partkey - min_pk) * 1024) {div} (max_pk - min_pk + 1) AS BIGINT)"
-_QY = "CAST(((l_suppkey - min_sk) * 1024) {div} (max_sk - min_sk + 1) AS BIGINT)"
+_Z_CELLS = 2**Z_BITS  # quantization cells per dimension
+_QX = f"CAST(((l_partkey - min_pk) * {_Z_CELLS}) {{div}} (max_pk - min_pk + 1) AS BIGINT)"
+_QY = f"CAST(((l_suppkey - min_sk) * {_Z_CELLS}) {{div}} (max_sk - min_sk + 1) AS BIGINT)"
 
 
 @query(
@@ -382,8 +383,8 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     min_pk, max_pk, min_sk, max_sk = b["min_pk"], b["max_pk"], b["min_sk"], b["max_sk"]
     pk_range, sk_range = max_pk - min_pk + 1, max_sk - min_sk + 1
-    qx_lit = f"CAST(((l_partkey - {min_pk}) * 1024) div {pk_range} AS BIGINT)"
-    qy_lit = f"CAST(((l_suppkey - {min_sk}) * 1024) div {sk_range} AS BIGINT)"
+    qx_lit = f"CAST(((l_partkey - {min_pk}) * {_Z_CELLS}) div {pk_range} AS BIGINT)"
+    qy_lit = f"CAST(((l_suppkey - {min_sk}) * {_Z_CELLS}) div {sk_range} AS BIGINT)"
     q = li.selectExpr(
         "l_orderkey",
         "l_linenumber",
@@ -425,23 +426,29 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = local.join(F.broadcast(offsets), "chunk").withColumn(
         "before", F.col("chunk_before") + F.col("local_before")
     )
-    # total row count as an in-plan broadcast scalar (sum of the per-cell
-    # counts already aggregated) — NOT a driver-side q.count(), which would
-    # cost a second full scan and an eager job before the real one
-    totals = zcells.agg(F.sum("zn").alias("total")).select(
-        "total",
-        F.expr(f"total div {Z_GROUPS}").alias("base"),
-        (F.col("total") % Z_GROUPS).alias("rem"),
+    # NTILE scalars, collected from the CHECKPOINTED bounded cell frame
+    # (≤2^domain rows — an O(1)-ish driver read like the quantization
+    # bounds, never a scan of the table). Literal scalars keep ONE
+    # closed-form bucket function for both the whole-cell spans and the
+    # straddle-row ranks — two column/literal twins of the same math
+    # would have to be kept in sync byte-for-byte.
+    base, rem, total = (
+        zcells.agg(
+            F.sum("zn").alias("total"),
+            F.expr(f"sum(zn) div {Z_GROUPS}").alias("base"),
+        )
+        .select("base", (F.col("total") % Z_GROUPS).alias("rem"), "total")
+        .first()
     )
+    big = rem * (base + 1)
 
     # NTILE semantics: first `rem` buckets get base+1 rows, the rest base.
-    # bucket_of(global rank r), closed-form on the broadcast scalars:
-    def bucket_of(r):
-        big = F.col("rem") * (F.col("base") + 1)
+    def bucket_of_lit(r):
+        if base == 0:  # fewer rows than groups: every rank sits in a big bucket
+            return (r - 1).cast("long") + 1
         return (
-            F.when(r <= big, (r - 1) / (F.col("base") + 1))
-            .when(F.col("base") > 0, F.col("rem") + (r - big - 1) / F.col("base"))
-            .otherwise(F.col("rem"))
+            F.when(r <= big, (r - 1) / (base + 1))
+            .otherwise(rem + (r - big - 1) / base)
             .cast("long")
             + 1
         )
@@ -451,25 +458,21 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # WHOLESALE to one bucket, so the per-row tiebreak window and the
     # row-level cell join run over ~15 cells' rows, not the whole table.
     #
-    # localCheckpoint: `cells` feeds three consumers (the whole-cell agg,
-    # the straddle list, the totals scalars); without materialization
-    # Catalyst inlines the scan+shuffle+window pipeline once PER consumer
-    # (measured: a ~160-node plan re-scanning lineitem 6×). The frame is
-    # bounded — ≤2^20 rows whatever the data size — so materializing it is
+    # localCheckpoint: `cells` feeds two consumers (the whole-cell agg and
+    # the straddle list); without materialization Catalyst inlines the
+    # scan+shuffle+window pipeline once PER consumer (measured: a
+    # ~160-node plan re-scanning lineitem 6×). The frame is bounded —
+    # ≤2^20 rows whatever the data size — so materializing it is
     # O(domain), and everything after reads the checkpoint.
-    cells = (
-        prefix.crossJoin(F.broadcast(totals))
-        .select(
-            "zval",
-            "qx",
-            "qy",
-            "zn",
-            "before",
-            bucket_of(F.col("before") + 1).alias("b_lo"),
-            bucket_of(F.col("before") + F.col("zn")).alias("b_hi"),
-        )
-        .localCheckpoint()
-    )
+    cells = prefix.select(
+        "zval",
+        "qx",
+        "qy",
+        "zn",
+        "before",
+        bucket_of_lit(F.col("before") + 1).alias("b_lo"),
+        bucket_of_lit(F.col("before") + F.col("zn")).alias("b_hi"),
+    ).localCheckpoint()
     whole = cells.filter(F.col("b_lo") == F.col("b_hi")).groupBy(
         F.col("b_lo").alias("file_group")
     ).agg(
@@ -484,38 +487,22 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddle_rows = cells.filter(F.col("b_lo") != F.col("b_hi")).select(
         "zval", "qx", "qy", "before"
     ).collect()
-    base, rem, total = (
-        cells.agg(
-            F.sum("zn").alias("total"),
-            F.expr(f"sum(zn) div {Z_GROUPS}").alias("base"),
-        )
-        .select("base", (F.col("total") % Z_GROUPS).alias("rem"), "total")
-        .first()
-    )
-    big = rem * (base + 1)
-
-    def bucket_of_lit(r):
-        if base == 0:  # fewer rows than groups: every rank sits in a big bucket
-            return (r - 1).cast("long") + 1
-        return (
-            F.when(r <= big, (r - 1) / (base + 1))
-            .otherwise(rem + (r - big - 1) / base)
-            .cast("long")
-            + 1
-        )
 
     if straddle_rows:
         zmap = {row["zval"]: row["before"] for row in straddle_rows}
 
         # invert each straddle cell's (qx, qy) back to base-column ranges:
-        # qx == g  ⇔  l_partkey ∈ [min_pk + ceil(g·R/1024),
-        #                          min_pk + floor(((g+1)·R - 1)/1024)].
-        # These are plain l_partkey/l_suppkey range predicates — parquet
-        # row-group stats prune the rescan to the (z-localized!) files
-        # holding boundary cells, the z-order skipping story applied to
-        # the layout computation itself. The exact zval isin stays on top.
+        # qx == g  ⇔  l_partkey ∈ [min_pk + ceil(g·R/C),
+        #                          min_pk + floor(((g+1)·R - 1)/C)],
+        # C = cells per dimension. These are plain l_partkey/l_suppkey
+        # range predicates — parquet row-group stats prune the rescan to
+        # the (z-localized!) files holding boundary cells, the z-order
+        # skipping story applied to the layout computation itself. The
+        # exact zval isin stays on top.
         def dim_range(g, lo0, rng):
-            return lo0 + (g * rng + 1023) // 1024, lo0 + ((g + 1) * rng - 1) // 1024
+            lo = lo0 + (g * rng + _Z_CELLS - 1) // _Z_CELLS
+            hi = lo0 + ((g + 1) * rng - 1) // _Z_CELLS
+            return lo, hi
 
         pred = None
         for row in straddle_rows:

@@ -100,3 +100,19 @@ def test_gif_rejects_unsupported():
 
     with _pytest.raises(ValueError, match="signature"):
         decode_gif(b"notagif")
+
+
+def test_gif_truncation_raises_value_error():
+    """Every truncation point must surface as ValueError (the codec's
+    documented error contract), never IndexError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_json_spark.operators.multimodal import decode_gif, encode_gif
+
+    idx = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    full = encode_gif(idx, pal)
+    for cut in range(6, len(full) - 1):
+        with _pytest.raises((ValueError, NotImplementedError)):
+            decode_gif(full[:cut])
