@@ -1154,3 +1154,71 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+# --- skyline / Pareto frontier (preference query) ----------------------------
+
+@query(
+    "q_pareto_skyline",
+    """
+    WITH pts AS (
+      SELECT l_extendedprice AS price, l_quantity AS qty FROM lineitem),
+    d AS (SELECT price, MAX(qty) AS qmax FROM pts GROUP BY price),
+    s AS (SELECT price, qmax,
+                 MAX(qmax) OVER (ORDER BY price DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev
+          FROM d)
+    SELECT p.price, p.qty, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pts p JOIN s ON p.price = s.price AND p.qty = s.qmax
+    WHERE s.prev IS NULL OR s.qmax > s.prev
+    GROUP BY p.price, p.qty
+    """,
+)
+def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) over (price, quantity), maximizing both:
+    the rows no other row beats in one dimension without losing the other
+    — the classic preference-query operator (Börzsönyi et al., ICDE'01
+    'The Skyline Operator'), here with per-point multiplicity counts.
+
+    Scale shape — skylines are DISTRIBUTIVE (skyline(A∪B) =
+    skyline(skyline(A)∪skyline(B))), so the plan is two-phase like the
+    heavy-hitters query: phase 1 computes a per-hash-bucket skyline
+    (per-bucket max-qty per price, then a window over each bucket's
+    price order — fully parallel, candidates only survive), phase 2 runs
+    the same elimination over the tiny candidate union, and the final
+    broadcast join counts multiplicities without shuffling the fact
+    table. A naive formulation is the quadratic NOT-EXISTS self-join;
+    the oracle uses the sorted-walk form (independent engine, same
+    algorithm class) because the quadratic one is infeasible even at
+    oracle scale. Exact double equality joins are safe: values come
+    unmodified from the same parquet."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_extendedprice").alias("price"), F.col("l_quantity").alias("qty")
+    )
+    # phase 1: per-bucket local skylines (any global skyline point is
+    # locally non-dominated, so candidates form a superset)
+    b = pts.withColumn("bkt", F.pmod(F.hash("price", "qty"), F.lit(64)))
+    d1 = b.groupBy("bkt", "price").agg(F.max("qty").alias("qmax"))
+    w1 = (
+        Window.partitionBy("bkt")
+        .orderBy(F.desc("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cand = d1.withColumn("prev", F.max("qmax").over(w1)).filter(
+        F.col("prev").isNull() | (F.col("qmax") > F.col("prev"))
+    )
+    # phase 2: exact skyline over the candidate union (tiny by now)
+    d2 = cand.groupBy("price").agg(F.max("qmax").alias("qmax"))
+    w2 = Window.orderBy(F.desc("price")).rowsBetween(Window.unboundedPreceding, -1)
+    sky = (
+        d2.withColumn("prev", F.max("qmax").over(w2))
+        .filter(F.col("prev").isNull() | (F.col("qmax") > F.col("prev")))
+        .select("price", F.col("qmax").alias("qty"))
+    )
+    return (
+        pts.join(F.broadcast(sky), ["price", "qty"])
+        .groupBy("price", "qty")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
