@@ -119,6 +119,8 @@ PERTURB_QUERIES = [
     "q_unigram_logloss",
     "q_tfidf_topk",
     "q_bm25_topk",
+    "q_mad_outliers",
+    "q_pareto_skyline",
 ]
 
 
