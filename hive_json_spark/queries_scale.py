@@ -549,3 +549,71 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("min_qy").cast("bigint").alias("min_qy"),
         F.max("max_qy").cast("bigint").alias("max_qy"),
     )
+
+
+# --- compaction planning (small-file bin packing) ----------------------------
+
+COMPACT_TARGET_ROWS = 1024  # rows per compacted output file
+
+
+@query(
+    "q_compaction_plan",
+    f"""
+    WITH files AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+    seq AS (
+      SELECT day, n_rows,
+             CAST(COALESCE(SUM(n_rows) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM files)
+    SELECT cum_before // {COMPACT_TARGET_ROWS} AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           MIN(day) AS from_day, MAX(day) AS to_day
+    FROM seq GROUP BY cum_before // {COMPACT_TARGET_ROWS}
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: pack the per-day file inventory into
+    contiguous output bins of ~{target} rows by cumulative-sum bucketing —
+    the deterministic core of a lakehouse OPTIMIZE/rewrite step. Keeping
+    bins contiguous in day order preserves the table's sort/cluster key
+    (the q_zorder_layout invariant), so data-skipping min/max ranges stay
+    tight after compaction.
+
+    Determinism: greedy-by-cumsum is a pure function of the sorted
+    inventory (exact integer row counts, integer division) — no floats
+    anywhere.
+
+    Scale: the window runs over the FILE INVENTORY (metadata: one row per
+    file/partition — ~10^6 rows for 100 TB of 100 MB files), never the
+    data; at that size the single-range window sorts in one task, and a
+    per-table-partition plan (Window.partitionBy(partition_col)) removes
+    even that. The data movement the plan implies is executed as one
+    partitioned rewrite elsewhere; planning itself is O(files · log files).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    seq = files.withColumn(
+        "cum_before", F.coalesce(F.sum("n_rows").over(w), F.lit(0)).cast("long")
+    )
+    return (
+        seq.withColumn("bin", F.expr(f"cum_before DIV {COMPACT_TARGET_ROWS}"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.min("day").alias("from_day"),
+            F.max("day").alias("to_day"),
+        )
+    )
+
+
+q_compaction_plan.__doc__ = q_compaction_plan.__doc__.format(
+    target=COMPACT_TARGET_ROWS
+)

@@ -121,6 +121,11 @@ PERTURB_QUERIES = [
     "q_bm25_topk",
     "q_mad_outliers",
     "q_pareto_skyline",
+    # exact-integer-moment statistics: normal equations / contingency terms
+    # / sequential folds must all be partition-order-free
+    "q_group_regression",
+    "q_chi_square",
+    "q_ewma_daily",
 ]
 
 
