@@ -98,3 +98,81 @@ def heavy_hitters(
             F.expr(f"(n * 1000000) div {total}").cast("bigint").alias("freq_ppm"),
         )
     )
+
+
+def _cms_bucket(key_str, j: int, width: int):
+    """Row hash for CMS depth ``j``: engine-portable md5 arithmetic (the
+    [[cross-engine-float-determinism]] family's integer cousin) — the same
+    bytes hash identically in Spark, DuckDB, or any engine with md5, so
+    the sketch CONTENT is deterministic, not just its estimates."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), key_str)), 1, 8), 16, 10
+        ).cast("long")
+        % width
+    )
+
+
+def count_min_sketch(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Count-min sketch of a key stream as a ``(j, bucket, n)`` frame —
+    ``depth x width`` cells regardless of stream size.
+
+    The sketch is MERGEABLE state: cells are plain counts, so partial
+    sketches from any partitioning (or day, or shard) sum cell-wise —
+    exactly what the one map-side-combinable groupBy below exploits. At
+    100 TB the shuffle carries at most ``partitions x depth x width``
+    partial cells, never keys; estimate error is the classic
+    ``<= e/width * N`` overcount with probability ``1 - e^-depth``.
+    """
+    k = F.col(key_col).cast("string")
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"), _cms_bucket(k, j, width).alias("bucket")
+                )
+                for j in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(cells.alias("c"))
+        .groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-query the sketch: per probe key, ``min`` over its ``depth``
+    cells. Probe keys should come from the sketched stream (the usual
+    top-k verification flow); an unseen key would inner-join onto only
+    the cells other keys populated. The probe frame is small by usage, so
+    it explodes to ``|probes| x depth`` rows and joins the broadcast
+    ``depth x width`` sketch without shuffling anything."""
+    k = F.col(key_col).cast("string")
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"), _cms_bucket(k, j, width).alias("bucket")
+                )
+                for j in range(depth)
+            ]
+        )
+    )
+    pr = probes.select(F.col(key_col), cells.alias("c")).select(
+        key_col, F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket")
+    )
+    return (
+        pr.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("n").cast("bigint").alias("cms_n"))
+    )

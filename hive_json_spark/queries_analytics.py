@@ -200,6 +200,56 @@ def q_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_seasonal_profile",
+    """
+    WITH cell AS (
+      SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT dow, hod, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share,
+           ROUND(CAST(n * COUNT(*) OVER () AS DOUBLE) / SUM(n) OVER (), 4)
+             AS intensity_index
+    FROM cell
+    """,
+)
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day seasonal intensity profile — the
+    periodicity fingerprint behind seasonal-naive forecasting, staffing
+    curves, and "is this drop real or just Sunday 3am" anomaly triage.
+    intensity_index is the cell's traffic relative to a uniform calendar
+    (1.0 = flat; 2.0 = twice the average cell).
+
+    Determinism: counts are exact integers; share and index are single
+    divisions of exact integer products (no float accumulation to
+    reorder). Spark's dayofweek is 1=Sunday..7 vs DuckDB's 0..6, so the
+    Spark side shifts by one to align engines.
+
+    Scale shape: one map-side-combinable count on a 168-value key — the
+    profile frame is O(1) regardless of corpus size, and the closing
+    window functions run over those <=168 rows (single tiny partition by
+    construction, not a data-sized global window).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    return cell.select(
+        "dow",
+        "hod",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("share"),
+        F.round(
+            (F.col("n") * F.count("*").over(w)).cast("double") / F.sum("n").over(w),
+            4,
+        ).alias("intensity_index"),
+    )
+
+
 # --- sampling / scale-path operators ----------------------------------------
 
 @query(
@@ -1304,6 +1354,80 @@ def q_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("intercept"),
         F.round((num_d * num_d) / (denx_d * deny_d), 6).alias("r2"),
+    )
+
+
+@query(
+    "q_spearman_corr",
+    """
+    WITH r AS (
+      SELECT l_returnflag AS returnflag,
+             2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx,
+             2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry
+      FROM lineitem),
+    s AS (
+      SELECT returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(rx) AS sx, SUM(ry) AS sy,
+             SUM(rx * ry) AS sxy, SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+      FROM r GROUP BY returnflag)
+    SELECT returnflag, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman_rho
+    FROM s
+    """,
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Spearman rank correlation of extendedprice vs quantity —
+    the robust (monotone, outlier-immune) companion to the Pearson
+    q_corr_quantity_price. Ties get textbook average ranks, carried as
+    DOUBLED integer ranks (2*avg_rank = 2*min_rank + tie_count - 1) so
+    every moment stays an exact integer: Pearson-on-ranks is invariant to
+    the x2 scaling, and the decimal(38,0)/HUGEINT moment sums make the
+    closing float tree bit-identical across engines (the q11 rule — never
+    an order-dependent double sum).
+
+    Scale shape: two rank windows partitioned BY GROUP (shuffle on the
+    group key, per-group sort — no global single-partition window), then
+    one map-side-combinable moment aggregation on the same key. Doubled
+    ranks reach ~2n/group; the long products inside the decimal sums are
+    safe to ~1e9-row groups, past which the operands themselves cast to
+    decimal first (same plan, wider lanes) — or ranks come from the
+    distributed exact-rank decomposition used by q_zorder_layout.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    flag = F.col("l_returnflag")
+    rx = (
+        F.lit(2) * F.rank().over(Window.partitionBy(flag).orderBy("l_quantity"))
+        + F.count("*").over(Window.partitionBy(flag, F.col("l_quantity")))
+        - F.lit(1)
+    ).cast("long")
+    ry = (
+        F.lit(2) * F.rank().over(Window.partitionBy(flag).orderBy("l_extendedprice"))
+        + F.count("*").over(Window.partitionBy(flag, F.col("l_extendedprice")))
+        - F.lit(1)
+    ).cast("long")
+    ranked = li.select(flag.alias("returnflag"), rx.alias("rx"), ry.alias("ry"))
+    dec = "decimal(38,0)"
+    s = ranked.groupBy("returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("rx").cast(dec)).alias("sx"),
+        F.sum(F.col("ry").cast(dec)).alias("sy"),
+        F.sum((F.col("rx") * F.col("ry")).cast(dec)).alias("sxy"),
+        F.sum((F.col("rx") * F.col("rx")).cast(dec)).alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast(dec)).alias("syy"),
+    )
+    nd = F.col("n").cast(dec)
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "returnflag",
+        "n",
+        F.round(num / F.sqrt(dx * dy), 6).alias("spearman_rho"),
     )
 
 

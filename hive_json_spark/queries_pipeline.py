@@ -13,6 +13,7 @@ from hive_json_spark.operators.dedup import (
     embedding_near_dup_pairs,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
+    prefix_filter_jaccard_pairs,
     simhash_near_dup_pairs,
 )
 from hive_json_spark.operators.multimodal import (
@@ -72,6 +73,57 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", ["lang", "source"], 0.5)
+
+
+@query(
+    "q_setsim_prefix_join",
+    """
+    WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+               FROM documents),
+         t AS (SELECT doc_id, len(toks) AS sz, unnest(toks) AS tok FROM d),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          CAST(COUNT(*) AS BIGINT) AS i,
+                          MIN(a.sz) AS sa, MIN(b.sz) AS sb
+                   FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+         pairs AS (
+           SELECT id_a, id_b,
+                  CAST(FLOOR((2 * i * 10000 + (sa + sb - i))
+                             / (2.0 * (sa + sb - i))) AS DOUBLE) / 10000
+                    AS jaccard
+           FROM inter
+           WHERE CAST(i AS DOUBLE) >= 0.9 * (sa + sb - i))
+    SELECT id_b AS dup_id, id_a AS canonical_id, jaccard
+    FROM (SELECT id_a, id_b, jaccard,
+                 ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+          FROM pairs)
+    WHERE rn = 1
+    """,
+)
+def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.9 similarity join over ALL documents — no
+    blocking attribute — via AllPairs/PPJoin prefix filtering, closed into
+    a dedup assignment: every non-canonical document maps to its lowest-id
+    near-duplicate partner. The oracle computes the identical answer from
+    unpruned token-join intersection counts; prefix filtering is lossless,
+    so the two must match row-for-row. Rounding happens in integer space
+    on both sides (floor((2*i*10^4+u)/(2u)) = round-half-up), keeping the
+    hash immune to banker's-rounding and float-sum flips. The synthetic
+    corpus is heavily templated (~1M qualifying pairs at sf0.1), so the
+    graded result is the per-doc assignment (<= |docs| rows), not the raw
+    pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = prefix_filter_jaccard_pairs(docs, "doc_id", "text", 0.9)
+    w = Window.partitionBy("id_b").orderBy("id_a")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id_b").alias("dup_id"),
+            F.col("id_a").alias("canonical_id"),
+            "jaccard",
+        )
+    )
 
 
 @query("q_minhash_dedup_pairs")  # hash-dependent → rows-only check
@@ -260,6 +312,57 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@query("q_ann_recall")  # grades the approximate paths → rows-only by nature
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: recall@k of the two approximate search paths
+    (hyperplane-LSH multiprobe, IVF) against the exact brute-force top-k,
+    per query point — the acceptance gate a production pipeline runs
+    before swapping brute-force for an index. Output one row per
+    (method, query): hits / k.
+
+    Scale shape: ground truth is the linear-scan baseline over the SAME
+    query set (small by definition), so the eval joins three top-k
+    frames of |queries| x k rows each — eval cost is independent of
+    corpus size; only the searches themselves touch the corpus, each
+    with its own documented plan. Recall is hits/k in exact integer
+    space (single division) — deterministic given the seeded planes/
+    centroids; rows-only because the hash family is impl-specific.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    k = 5
+    truth = brute_force_topk(emb, queries_df, k=k).select(
+        F.col("query_id").alias("t_qid"), F.col("vec_id").alias("true_id")
+    )
+    out = []
+    for method, res in (
+        ("lsh", lsh_topk(emb, queries_df, k=k)),
+        ("ivf", ivf_topk(emb, queries_df, k=k)),
+    ):
+        hits = (
+            res.select("query_id", "vec_id")
+            .join(
+                truth,
+                (F.col("query_id") == F.col("t_qid"))
+                & (F.col("vec_id") == F.col("true_id")),
+            )
+            .groupBy("query_id")
+            .agg(F.count("*").alias("hits"))
+        )
+        out.append(
+            truth.select(F.col("t_qid").alias("query_id"))
+            .distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+                (F.coalesce("hits", F.lit(0)) / F.lit(float(k))).alias("recall"),
+            )
+        )
+    return out[0].unionByName(out[1])
 
 
 # --- multimodal plumbing -----------------------------------------------------

@@ -910,6 +910,46 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_l_diversity",
+    """
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+                  AS BIGINT) AS l_div
+      FROM customer GROUP BY 1, 2)
+    SELECT c_nationkey, c_mktsegment, class_size, l_div
+    FROM cls WHERE l_div < 3
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the companion check to q_k_anonymity: a class
+    can be large (k-anonymous) yet still leak if every member shares the
+    same sensitive value. Per quasi-identifier class (nation x market
+    segment), l = distinct sensitive values (coarse balance band); emit
+    the classes below l=3 — the ones where an attacker who pins a person
+    to the class learns their balance band with high confidence.
+
+    Scale shape: one hash aggregate with a distinct-count on the QI tuple
+    (Spark plans COUNT(DISTINCT) as a two-phase expand/agg — partial
+    per-partition distincts, then the final merge; no row-level data
+    leaves the agg). At a 100 TB row count the same plan holds;
+    approx_count_distinct is the declared fallback when the sensitive
+    domain per class stops fitting the exact path.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("class_size"),
+            F.count_distinct(band).alias("l_div"),
+        )
+        .filter(F.col("l_div") < 3)
+    )
+
+
 # --- Benford first-digit audit -----------------------------------------------
 
 @query(

@@ -222,6 +222,69 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(docs, "text", freq_threshold=HH_FREQ)
 
 
+@query(
+    "q_cms_topk",
+    """
+    WITH depths AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    cell AS (
+      SELECT d.j,
+             CAST('0x' || substr(md5(CAST(d.j AS VARCHAR) || ':'
+                                     || CAST(e.user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 512 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events e CROSS JOIN depths d
+      GROUP BY 1, 2),
+    top AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY user_id
+      ORDER BY exact_n DESC, user_id LIMIT 10),
+    probe AS (
+      SELECT t.user_id, t.exact_n, d.j,
+             CAST('0x' || substr(md5(CAST(d.j AS VARCHAR) || ':'
+                                     || CAST(t.user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 512 AS bucket
+      FROM top t CROSS JOIN depths d)
+    SELECT p.user_id, p.exact_n,
+           CAST(MIN(c.n) AS BIGINT) AS cms_n,
+           CAST(MIN(c.n) - p.exact_n AS BIGINT) AS overcount
+    FROM probe p JOIN cell c ON p.j = c.j AND p.bucket = c.bucket
+    GROUP BY p.user_id, p.exact_n
+    """,
+)
+def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch audit: build a 4x512 CMS over the event stream's
+    user ids, point-query it for the exact top-10 users, and report the
+    estimate next to the truth (overcount >= 0 always — CMS never
+    undercounts). The md5-arithmetic hash family makes the sketch CELLS
+    engine-deterministic, so unlike native approx sketches this one is
+    fully DuckDB-oracled, hash check included.
+
+    Scale shape: the sketch build is one combinable groupBy over an
+    explode(depth) — shuffle carries <= partitions x 2048 partial cells,
+    never user ids; the probe joins the broadcast 2048-row sketch. This
+    is the bounded-memory path when even q_heavy_hitters' candidate set
+    outgrows memory: sketch size is a CONSTANT, mergeable across shards
+    and days (cells sum), at the price of a quantified overcount.
+    """
+    from hive_json_spark.operators.sketch import cms_estimate, count_min_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = count_min_sketch(ev, "user_id", depth=4, width=512)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(10)
+    )
+    est = cms_estimate(sketch, top, "user_id", depth=4, width=512)
+    return top.join(est, "user_id").select(
+        "user_id",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).cast("bigint").alias("overcount"),
+    )
+
+
 # --- per-document token entropy ----------------------------------------------
 
 @query(

@@ -426,6 +426,45 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_hll_intersect")  # rows-only: sketch estimates are impl-specific
+def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from sketches alone: per event type,
+    one HLL sketch of its user set; pairwise overlap via
+    inclusion-exclusion (|A ∩ B| = est(A) + est(B) − est(A ∪ B)) on the
+    MERGED sketch — no re-scan, no join of the raw streams. This is how a
+    100 TB pipeline answers "how many users did both X and Y" from
+    KB-sized per-segment state maintained incrementally; the raw-stream
+    alternative is a distinct-shuffle of every (user, type) pair.
+    Estimates are implementation-defined → rows-only; the exact-overlap
+    error bound is pinned in tests/test_pipeline_ops.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12)).alias("sk"),
+    )
+    a, b = per_type.alias("a"), per_type.alias("b")
+    pairs = a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.hll_sketch_estimate("a.sk").cast("bigint").alias("est_a"),
+        F.hll_sketch_estimate("b.sk").cast("bigint").alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union("a.sk", "b.sk"))
+        .cast("bigint")
+        .alias("est_union"),
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "est_a",
+        "est_b",
+        "est_union",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).cast("bigint"),
+        ).alias("est_intersect"),
+    )
+
+
 # --- collection-function surface: maps, HOFs, URLs ---------------------------
 
 @query(

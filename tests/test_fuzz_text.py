@@ -24,6 +24,7 @@ FUZZED = [
     "q_tfidf_topk",
     "q_bm25_topk",
     "q_inverted_index",
+    "q_setsim_prefix_join",
 ]
 
 ALPHABET = [

@@ -126,6 +126,9 @@ PERTURB_QUERIES = [
     "q_group_regression",
     "q_chi_square",
     "q_ewma_daily",
+    "q_spearman_corr",
+    # integer-space rounding in the similarity join verify step
+    "q_setsim_prefix_join",
 ]
 
 

@@ -460,6 +460,70 @@ def test_hll_sketch_union_tracks_exact(spark, sf_dir):
     assert abs(row.est_distinct_texts - one_shot) / max(one_shot, 1) < 0.02
 
 
+def test_hll_intersect_tracks_exact_overlap(spark, sf_dir):
+    """q_hll_intersect estimates pairwise user-set overlap between event
+    types by inclusion-exclusion on merged sketches. Per pair, the
+    estimate must land within 5% of the exact overlap plus the absolute
+    slack inclusion-exclusion accumulates (3 estimates, each ±~1.6% at
+    lgK=12 — use 5% of the union as the absolute floor)."""
+    from hive_json_spark.queries_training import q_hll_intersect
+    from hive_json_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = q_hll_intersect(spark, sf_dir).collect()
+    assert rows, "expected at least one event-type pair"
+    users = {
+        r.event_type: set(x.user_id for x in ev.filter(F.col("event_type") == r.event_type)
+                          .select("user_id").distinct().collect())
+        for r in ev.select("event_type").distinct().collect()
+    }
+    for r in rows:
+        exact = len(users[r.type_a] & users[r.type_b])
+        slack = max(0.05 * exact, 0.05 * r.est_union, 3.0)
+        assert abs(r.est_intersect - exact) <= slack, (
+            r.type_a, r.type_b, r.est_intersect, exact, slack
+        )
+
+
+def test_ann_recall_harness_shape_and_bounds(spark, sf_dir):
+    """q_ann_recall emits one row per (method, query) with recall = hits/k
+    in [0,1]. The harness REPORTS recall, it does not promise one — at
+    sf0.001 the corpus is so small that 8-plane buckets hold few
+    candidates — so the gate is structural: full coverage of (method,
+    query), bounded values, and at least one method finding something."""
+    from hive_json_spark.queries_pipeline import q_ann_recall
+
+    rows = q_ann_recall(spark, sf_dir).collect()
+    methods = {r.method for r in rows}
+    assert methods == {"lsh", "ivf"}
+    per_method = {m: [r for r in rows if r.method == m] for m in methods}
+    for m, rs in per_method.items():
+        assert len(rs) == 5, m  # one row per query point
+        for r in rs:
+            assert 0 <= r.hits <= 5 and 0.0 <= r.recall <= 1.0, (m, r)
+    best = max(sum(r.recall for r in rs) / 5 for rs in per_method.values())
+    assert best > 0.0, per_method
+
+
+def test_cms_never_undercounts_and_bounds_error(spark, sf_dir):
+    """The CMS estimate must dominate the exact count for every probed key
+    (structural property of count-min) and overcount by at most the
+    classic e/width * stream_size bound with depth-4 confidence —
+    deterministic here because the hash family is fixed."""
+    import math
+
+    from hive_json_spark.queries_scale import q_cms_topk
+    from hive_json_spark.sources import load_table
+
+    rows = q_cms_topk(spark, sf_dir).collect()
+    assert rows
+    n_stream = load_table(spark, sf_dir, "events").count()
+    bound = math.e / 512 * n_stream
+    for r in rows:
+        assert r.cms_n >= r.exact_n, r
+        assert r.overcount <= max(bound * 3, 10), (r, bound)
+
+
 def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
     """q_pagerank_events (DataFrame loop) must equal the dense power
     iteration it distributes: build the same row-normalized transition
