@@ -228,6 +228,57 @@ def decode_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, schema=MEDIA_FEATURES_SCHEMA)
 
 
+AUDIO_PITCH_SCHEMA = (
+    "media_id bigint, n_samples bigint, best_lag bigint, r_best bigint, zcr bigint"
+)
+
+
+def audio_pitch_features(
+    media: DataFrame, lags: tuple[int, ...] = (64, 128, 192, 256, 320)
+) -> DataFrame:
+    """Pitch/periodicity detection over WAV rows by autocorrelation on a
+    candidate-lag grid, plus zero-crossing count — entirely in EXACT
+    integer arithmetic (int64 dot products of int16 samples), so the
+    result is a pure function of the bytes: no float accumulation, no
+    FFT library variance, and a SQL oracle can recompute it term-for-term.
+    best_lag = argmax_lag sum(s[i]*s[i+lag]) (ties -> smallest lag);
+    non-WAV rows are skipped; lags >= n_samples are skipped per clip.
+
+    Arrow-batched mapInPandas; per-clip cost is |lags| numpy dots — the
+    same columnar decode-once shape as decode_media_features.
+    """
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "n_samples", "best_lag", "r_best", "zcr")}
+            for mid, content, fmt in zip(
+                pdf["media_id"], pdf["content"], pdf["format"]
+            ):
+                if fmt != "wav":
+                    continue
+                _, samples = decode_wav(bytes(content))
+                s = samples.astype(np.int64)
+                n = len(s)
+                best = None  # (r, lag); ascending lag scan keeps smallest on ties
+                for lag in lags:
+                    if lag >= n:
+                        continue
+                    r = int(np.dot(s[:-lag], s[lag:]))
+                    if best is None or r > best[0]:
+                        best = (r, lag)
+                if best is None:
+                    continue
+                out["media_id"].append(int(mid))
+                out["n_samples"].append(n)
+                out["best_lag"].append(best[1])
+                out["r_best"].append(best[0])
+                out["zcr"].append(int(np.count_nonzero(s[:-1] * s[1:] < 0)))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=AUDIO_PITCH_SCHEMA)
+
+
 def synthetic_media_binary(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL binaries from an id column: even ids become
     uncompressed BMPs (channel value ``(id*(17+c) + y) % 256`` constant

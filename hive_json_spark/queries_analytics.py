@@ -99,6 +99,80 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_funnel",
+    """
+    WITH s AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+         c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+               JOIN s ON e.user_id = s.user_id
+               WHERE e.event_type = 'click' AND e.ts > s.t1
+                 AND e.ts <= s.t1 + INTERVAL '7 days'
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+               JOIN c ON e.user_id = c.user_id
+               JOIN s ON e.user_id = s.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                 AND e.ts <= s.t1 + INTERVAL '7 days'
+               GROUP BY e.user_id)
+    SELECT CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM s LEFT JOIN c ON s.user_id = c.user_id
+           LEFT JOIN p ON s.user_id = p.user_id
+    GROUP BY 1
+    """,
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel (the windowFunnel shape): per user, the deepest
+    ordered signup -> click -> purchase chain whose later stages all land
+    within 7 days of the FIRST stage — unlike q_funnel_conversion, a
+    conversion only counts inside the attribution window, the form
+    marketing/product funnels actually use. Output: users per max level.
+
+    Plan shape: each stage is a filtered pre-aggregation (<= one row per
+    funnel user) rejoined onto the pushed-down event scan; the windowed
+    bound is a plain timestamp comparison against the broadcast stage
+    frame, so the events table never shuffles on anything but the final
+    per-stage groupBy. At 100 TB stage frames stay proportional to
+    |users in stage|, shrinking down the funnel.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    week = F.expr("INTERVAL 7 DAYS")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t1") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    levels = (
+        s.join(c.select(F.col("user_id").alias("c_uid")), s["user_id"] == F.col("c_uid"), "left")
+        .join(p.select(F.col("user_id").alias("p_uid")), s["user_id"] == F.col("p_uid"), "left")
+        .select(
+            F.when(F.col("p_uid").isNotNull(), 3)
+            .when(F.col("c_uid").isNotNull(), 2)
+            .otherwise(1)
+            .cast("bigint")
+            .alias("level")
+        )
+    )
+    return levels.groupBy("level").agg(F.count("*").alias("n_users"))
+
+
+@query(
     "q_cohort_retention",
     """
     WITH f AS (SELECT user_id,

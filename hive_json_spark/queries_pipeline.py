@@ -492,6 +492,57 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_audio_pitch",
+    """
+    WITH m AS (SELECT doc_id AS media_id,
+                      CAST((doc_id % 10 + 1) * 200 AS BIGINT) AS ns
+               FROM documents WHERE doc_id % 2 != 0),
+         s AS (SELECT media_id, ns,
+                      list_transform(range(ns),
+                        i -> CAST((((media_id * 13 + i) % 256) - 128) * 256
+                                  AS DOUBLE)) AS l
+               FROM m),
+         r AS (SELECT media_id, lag.lag,
+                      CAST(list_dot_product(list_slice(l, 1, ns - lag.lag),
+                                            list_slice(l, lag.lag + 1, ns))
+                           AS BIGINT) AS r
+               FROM s CROSS JOIN (SELECT unnest([64, 128, 192, 256, 320]) AS lag) lag
+               WHERE lag.lag < ns),
+         zc AS (SELECT media_id,
+                       CAST(list_sum(list_transform(range(ns - 1),
+                            i -> CASE WHEN l[i + 1] * l[i + 2] < 0
+                                      THEN 1 ELSE 0 END)) AS BIGINT) AS zcr
+                FROM s),
+         best AS (SELECT media_id, lag, r,
+                         ROW_NUMBER() OVER (PARTITION BY media_id
+                                            ORDER BY r DESC, lag) AS rn
+                  FROM r)
+    SELECT m.media_id, m.ns AS n_samples,
+           CAST(best.lag AS BIGINT) AS best_lag, best.r AS r_best, zc.zcr
+    FROM m JOIN best ON best.media_id = m.media_id AND best.rn = 1
+           JOIN zc ON zc.media_id = m.media_id
+    """,
+)
+def q_audio_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSP on REAL decoded audio bytes: periodicity detection by integer
+    autocorrelation over a candidate-lag grid, plus zero-crossing count.
+    The synthetic WAVs are sawtooth-like with period 256, so clips long
+    enough to cover lag 256 must elect it — and the oracle recomputes
+    every dot product term-for-term from the closed-form samples, so a
+    codec misread, an off-by-one in the lag slice, or a float-accumulated
+    autocorr all break the hash. Exact int64 arithmetic on the Spark
+    side; the oracle's list_dot_product accumulates the same integer
+    products in doubles, which stays EXACT because every partial sum is
+    < 2^53 (max |r| ~ 2e12) — the FFT-free formulation is what makes a
+    cross-engine bit-match possible.
+    """
+    from hive_json_spark.operators.multimodal import audio_pitch_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_pitch_features(synthetic_media_binary(docs))
+
+
+@query(
     "q_frame_sample",
     """
     WITH media AS (

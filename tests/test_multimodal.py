@@ -116,3 +116,35 @@ def test_gif_truncation_raises_value_error():
     for cut in range(6, len(full) - 1):
         with _pytest.raises((ValueError, NotImplementedError)):
             decode_gif(full[:cut])
+
+
+def test_audio_pitch_elects_planted_period(spark):
+    """A planted square wave of period 128 must elect lag 128 from the
+    candidate grid (autocorrelation at the true period is the global max:
+    r(128) = +sum(s^2) while misaligned lags go negative), and a
+    sawtooth of period 256 must elect 256 when the clip covers it."""
+    import numpy as np
+    import pandas as pd
+
+    from hive_json_spark.operators.multimodal import (
+        audio_pitch_features,
+        encode_wav,
+    )
+
+    i = np.arange(1024)
+    square = np.where((i // 64) % 2 == 0, 8000, -8000).astype("<i2")
+    saw = ((((7 * 13 + i) % 256) - 128) * 256).astype("<i2")
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "content": [encode_wav(square), encode_wav(saw)],
+                "format": ["wav", "wav"],
+            }
+        )
+    )
+    rows = {r.media_id: r for r in audio_pitch_features(media).collect()}
+    assert rows[1].best_lag == 128, rows[1]
+    assert rows[2].best_lag == 256, rows[2]
+    # square wave crosses zero every 64 samples (1024/64 - 1 boundaries)
+    assert rows[1].zcr == 15, rows[1]
