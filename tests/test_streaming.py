@@ -594,3 +594,47 @@ def test_streaming_psi_migrates_pre_protocol_state(spark, sf_dir, tmp_path):
     got = {r["category"]: r["n"] for r in spark.read.parquet(f"{out}/counts").collect()}
     batch_clicks = cur.filter(F.col("event_type") == "click").count()
     assert got["click"] == 1000 + batch_clicks  # accumulated, not reset
+
+
+def test_streaming_cms_matches_batch_sketch_and_replay(spark, sf_dir, tmp_path):
+    """The streamed CMS cell table over two micro-batches must equal the
+    batch count_min_sketch over all data cell-for-cell (mergeability is
+    the whole point), and a full re-delivery (fresh checkpoint, same
+    batch ids) must not double-count."""
+    from hive_json_spark.operators.sketch import count_min_sketch
+    from hive_json_spark.sources import load_table
+    from hive_json_spark.streaming import streaming_cms
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    src = str(tmp_path / "src")
+    events.filter(F.dayofmonth("ts") <= 15).coalesce(1).write.parquet(src)
+    events.filter(F.dayofmonth("ts") > 15).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "cms")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = streaming_cms(stream, "user_id", out, str(tmp_path / ckpt), depth=4, width=64)
+        q.awaitTermination(120)
+
+    expected = sorted(
+        (r.j, r.bucket, r.n)
+        for r in count_min_sketch(events, "user_id", depth=4, width=64).collect()
+    )
+
+    run("ckpt1")
+    got = sorted(
+        (r.j, r.bucket, r.n)
+        for r in spark.read.parquet(out).select("j", "bucket", "n").collect()
+    )
+    assert got == expected
+
+    run("ckpt2")  # replay with same batch ids must be a no-op
+    again = sorted(
+        (r.j, r.bucket, r.n)
+        for r in spark.read.parquet(out).select("j", "bucket", "n").collect()
+    )
+    assert again == expected
