@@ -50,6 +50,11 @@ HEADLINE = [
     "q_dedup_clusters",
     "q_bm25_topk",
     "q_gif_decode",
+    # round-2 second-wave flagships
+    "q_setsim_prefix_join",
+    "q_cms_topk",
+    "q_audio_pitch",
+    "q_doc_novelty",
 ]
 
 

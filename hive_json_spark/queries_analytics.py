@@ -990,6 +990,143 @@ def q_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_block_fanout_audit",
+    """
+    WITH b AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang, source)
+    SELECT lang, source, n_docs,
+           CAST(n_docs * (n_docs - 1) / 2 AS BIGINT) AS n_pairs,
+           ROUND(CAST(n_docs * (n_docs - 1) AS DOUBLE)
+                 / SUM(n_docs * (n_docs - 1)) OVER (), 6) AS pair_share
+    FROM b
+    """,
+)
+def q_block_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key fanout audit — run this before any block-quadratic
+    operator (q_ngram_jaccard_pairs, blocked fuzzy matching): per block,
+    the document count and the pair count the block will generate, plus
+    its share of total pairwise work. A block owning most of the pair
+    mass is the signal to sub-shard (add a length bucket / hash salt to
+    the key) BEFORE launching the quadratic stage — the planning query
+    for the documented block-fits-a-task bound.
+
+    One combinable groupBy on the block key; the window runs over the
+    |blocks|-row frame. Integer pair arithmetic; pair_share is a single
+    division of exact integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy()
+    work = F.col("n_docs") * (F.col("n_docs") - 1)
+    return b.select(
+        "lang",
+        "source",
+        "n_docs",
+        (work / 2).cast("bigint").alias("n_pairs"),
+        F.round(work.cast("double") / F.sum(work).over(w), 6).alias("pair_share"),
+    )
+
+
+@query(
+    "q_dq_freshness",
+    """
+    WITH g AS (SELECT MAX(ts) AS max_ts FROM events),
+         s AS (SELECT event_type, MAX(ts) AS src_max,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY event_type)
+    SELECT s.event_type, s.n, s.src_max,
+           CAST(date_diff('second', s.src_max, g.max_ts) AS BIGINT)
+             AS lag_seconds
+    FROM s CROSS JOIN g
+    """,
+)
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness audit: per stream partition (event type), how far
+    its newest record lags the newest record anywhere — the staleness
+    check a pipeline runs before declaring a snapshot consistent (a
+    source whose lag exceeds its delivery SLA blocks the downstream
+    train/serve cut). Two tiny aggregates; the 1-row global watermark
+    broadcasts back (scalar cross join, same pattern as q6). Lag is
+    exact integer seconds.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("max_ts"))
+    s = ev.groupBy("event_type").agg(
+        F.max("ts").alias("src_max"), F.count("*").alias("n")
+    )
+    return s.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n",
+        "src_max",
+        (F.unix_timestamp("max_ts") - F.unix_timestamp("src_max"))
+        .cast("bigint")
+        .alias("lag_seconds"),
+    )
+
+
+@query(
+    "q_funnel_ttc",
+    """
+    WITH s AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+         c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+               JOIN s ON e.user_id = s.user_id
+               WHERE e.event_type = 'click' AND e.ts > s.t1
+               GROUP BY e.user_id),
+         d AS (SELECT s.user_id,
+                      CAST(date_diff('second', s.t1, c.t2) AS BIGINT) AS ttc
+               FROM s JOIN c ON s.user_id = c.user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(quantile_disc(ttc, 0.5) AS BIGINT) AS p50_seconds,
+           CAST(quantile_disc(ttc, 0.9) AS BIGINT) AS p90_seconds,
+           CAST(MAX(ttc) AS BIGINT) AS max_seconds
+    FROM d
+    """,
+)
+def q_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the signup -> click stage: exact
+    discrete percentiles of the per-user delay between first signup and
+    first subsequent click — the funnel's latency readout (conversion
+    RATE is q_funnel_conversion's job; this is how LONG conversion
+    takes). Delays are exact integer seconds; percentile_disc is
+    type-preserving on both engines, so no interpolation float enters
+    the hash.
+
+    Scale shape: both stage frames are <= one row per user; the delay
+    frame joins them on the user key and the closing percentile runs
+    over |converted users| rows — proportional to users, never events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    d = s.join(c, "user_id").select(
+        (F.unix_timestamp("t2") - F.unix_timestamp("t1"))
+        .cast("bigint")
+        .alias("ttc")
+    )
+    return d.agg(
+        F.count("*").alias("n_converted"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ttc)")
+        .cast("bigint")
+        .alias("p50_seconds"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY ttc)")
+        .cast("bigint")
+        .alias("p90_seconds"),
+        F.max("ttc").alias("max_seconds"),
+    )
+
+
+@query(
     "q_skew_profile",
     """
     WITH freq AS (

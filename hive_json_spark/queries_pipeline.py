@@ -563,6 +563,148 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- vocabulary building -----------------------------------------------------
 
 @query(
+    "q_doc_novelty",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> coalesce(array_to_string(list_slice(toks, i, i + 2), ' '),
+                             '')))) AS shingle
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t != '')
+                     AS toks
+            FROM documents)),
+    first_seen AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh
+                   GROUP BY shingle)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS novelty
+    FROM sh JOIN first_seen f ON sh.shingle = f.shingle
+    GROUP BY sh.doc_id
+    """,
+)
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty score: the fraction of a doc's distinct
+    3-word shingles whose FIRST occurrence (by ingest order = doc id) is
+    this doc — the contribution-aware ranking a dedup-heavy pipeline
+    uses to pick which near-duplicate to keep and to downweight
+    boilerplate-heavy documents (novelty ~0 = the doc adds nothing the
+    corpus hasn't seen).
+
+    Scale shape: shingle -> min(doc_id) is ONE combinable aggregation
+    (the shuffle carries (shingle, partial min) — shingle-vocabulary
+    sized); the ownership join back is shingle-keyed and the per-doc
+    ratio is exact integers with a single closing division. No pairwise
+    comparison anywhere — novelty is a linear-cost proxy for the
+    quadratic dedup question.
+    """
+    from hive_json_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
+    )
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            novel.alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count("*"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "q_vocab_drift",
+    """
+    WITH tok AS (
+      SELECT doc_id % 2 = 0 AS left_half,
+             unnest(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))
+               AS tok
+      FROM documents),
+    cp AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_p FROM tok
+           WHERE left_half GROUP BY tok),
+    cq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_q FROM tok
+           WHERE NOT left_half GROUP BY tok),
+    u AS (SELECT COALESCE(cp.tok, cq.tok) AS tok,
+                 COALESCE(c_p, 0) AS c_p, COALESCE(c_q, 0) AS c_q
+          FROM cp FULL OUTER JOIN cq ON cp.tok = cq.tok),
+    g AS (SELECT CAST(SUM(c_p) AS BIGINT) AS n_p,
+                 CAST(SUM(c_q) AS BIGINT) AS n_q,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM u),
+    t AS (SELECT u.tok, u.c_p, u.c_q,
+                 (u.c_p + 1) / CAST(g.n_p + g.v AS DOUBLE) AS p,
+                 (u.c_q + 1) / CAST(g.n_q + g.v AS DOUBLE) AS q
+          FROM u CROSS JOIN g)
+    SELECT tok, c_p, c_q, ROUND((p - q) * ln(p / q), 6) AS drift_term
+    FROM t
+    ORDER BY (p - q) * ln(p / q) DESC, tok
+    LIMIT 10
+    """,
+)
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two corpus halves (stand-ins for two
+    crawl dumps): Laplace-smoothed per-term PSI contributions
+    (p - q) * ln(p / q), top-10 most-drifted terms — the token-level
+    monitor that catches a scraper change, language shift, or template
+    leak between training-data snapshots before it reaches a model.
+
+    Determinism: c/N/V are exact integers; p and q are single divisions
+    of exact-int operands, and the (p - q) * ln(p / q) tree is mirrored
+    verbatim in the oracle (the PSI precedent, q_distribution_drift) —
+    no float SUM enters the result; ordering is on the identical double
+    with the term as tiebreak, compiled to TakeOrderedAndProject.
+
+    Scale shape: explode -> two combinable counts (shuffle carries
+    (token, partial count) — vocabulary-sized), one full-outer join of
+    the two vocab frames on the token, and the 1-row scalar frame
+    broadcasts back (the q6 pattern).
+    """
+    from hive_json_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("left_half"),
+        F.explode(tokens("text")).alias("tok"),
+    )
+    cp = tok.filter("left_half").groupBy("tok").agg(F.count("*").alias("c_p"))
+    cq = tok.filter("NOT left_half").groupBy("tok").agg(F.count("*").alias("c_q"))
+    u = (
+        cp.join(cq, "tok", "full_outer")
+        .select(
+            "tok",
+            F.coalesce("c_p", F.lit(0)).alias("c_p"),
+            F.coalesce("c_q", F.lit(0)).alias("c_q"),
+        )
+    )
+    g = u.agg(
+        F.sum("c_p").alias("n_p"), F.sum("c_q").alias("n_q"), F.count("*").alias("v")
+    )
+    p = (F.col("c_p") + 1) / (F.col("n_p") + F.col("v")).cast("double")
+    q = (F.col("c_q") + 1) / (F.col("n_q") + F.col("v")).cast("double")
+    drift = (p - q) * F.log(p / q)
+    return (
+        u.crossJoin(F.broadcast(g))
+        .select("tok", "c_p", "c_q", drift.alias("_d"))
+        .orderBy(F.desc("_d"), "tok")
+        .limit(10)
+        .select("tok", "c_p", "c_q", F.round("_d", 6).alias("drift_term"))
+    )
+
+
+@query(
     "q_vocab_topk",
     """
     SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq

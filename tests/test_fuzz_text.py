@@ -25,6 +25,9 @@ FUZZED = [
     "q_bm25_topk",
     "q_inverted_index",
     "q_setsim_prefix_join",
+    "q_doc_novelty",
+    "q_vocab_drift",
+    "q_block_fanout_audit",
 ]
 
 ALPHABET = [

@@ -244,3 +244,24 @@ def test_dedup_clusters_single_pass_no_iteration(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "Scan ExistingRDD" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_sink_gets_dynamic_partition_pruning(spark, tmp_path):
+    """A date-partitioned fact sink joined to a filtered dimension on the
+    partition column must plan a dynamic-pruning subquery on the fact
+    scan (PartitionFilters: dynamicpruning...) — the mechanism that lets
+    a 100 TB date-partitioned table read only the days a selective dim
+    filter survives, decided at runtime. Pin it so a sink or session
+    regression can't silently degrade to full scans."""
+    from pyspark.sql import functions as F
+
+    from hive_json_spark.sources import load_table
+
+    ev = load_table(spark, SF_DIR, "events").withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "ev_parted")
+    ev.write.partitionBy("day").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = fact.select("day").distinct().filter(F.dayofmonth("day") <= 5)
+    joined = fact.join(F.broadcast(dim), "day").groupBy("event_type").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
