@@ -102,27 +102,30 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard >= 0.9 similarity join over ALL documents — no
-    blocking attribute — via AllPairs/PPJoin prefix filtering, closed into
-    a dedup assignment: every non-canonical document maps to its lowest-id
-    near-duplicate partner. The oracle computes the identical answer from
-    unpruned token-join intersection counts; prefix filtering is lossless,
+    blocking attribute — closed into a dedup assignment: every
+    non-canonical document maps to its lowest-id near-duplicate partner.
+    At t=0.9 a qualifying pair differs in at most 3 tokens, so the
+    deletion-neighborhood impl applies (identical-set collapse + FastSS
+    subset-hash join + exact verify — candidates 60 k vs 1.7 M for the
+    prefix index at sf0.1; the prefix/deletion paths are asserted equal in
+    tests). The oracle computes the identical answer from unpruned
+    token-join intersection counts; both candidate schemes are lossless,
     so the two must match row-for-row. Rounding happens in integer space
     on both sides (floor((2*i*10^4+u)/(2u)) = round-half-up), keeping the
     hash immune to banker's-rounding and float-sum flips. The synthetic
     corpus is heavily templated (~1M qualifying pairs at sf0.1), so the
-    graded result is the per-doc assignment (<= |docs| rows), not the raw
-    pair set."""
+    graded result is the per-doc assignment (<= |docs| rows) via one hash
+    aggregation (min_by beats a per-id_b sort window), not the raw pair
+    set."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = prefix_filter_jaccard_pairs(docs, "doc_id", "text", 0.9)
-    w = Window.partitionBy("id_b").orderBy("id_a")
+    pairs = prefix_filter_jaccard_pairs(docs, "doc_id", "text", 0.9, impl="deletion")
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("id_b").alias("dup_id"),
-            F.col("id_a").alias("canonical_id"),
-            "jaccard",
+        pairs.groupBy(F.col("id_b").alias("dup_id"))
+        .agg(
+            F.min("id_a").alias("canonical_id"),
+            F.min_by("jaccard", "id_a").alias("jaccard"),
         )
+        .select("dup_id", "canonical_id", "jaccard")
     )
 
 

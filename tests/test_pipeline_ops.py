@@ -669,3 +669,89 @@ def test_decode_media_features_unsupported_format_is_explicit(spark):
     )
     with _pytest.raises(Exception, match="baseline codec|NotImplemented"):
         decode_media_features(media).collect()
+
+
+def test_setsim_impls_agree_and_salt_is_lossless(spark):
+    """The three candidate schemes of the exact Jaccard join — prefix
+    filtering, grid-salted prefix filtering, and the deletion-neighborhood
+    (FastSS) subset-hash join — must produce the IDENTICAL pair set: all
+    are lossless candidate generators over the same exact verifier. Seeded
+    random corpus with planted near-identical pairs, template duplicates,
+    empty and single-token docs."""
+    import random
+
+    from hive_json_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    rnd = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    doc_id = 0
+    for _ in range(40):
+        n = rnd.randint(1, 20)
+        toks = rnd.sample(vocab, n)
+        rows.append((doc_id, " ".join(toks)))
+        doc_id += 1
+        if rnd.random() < 0.5:  # near-duplicate: drop/swap one token
+            mut = list(toks)
+            if len(mut) > 2 and rnd.random() < 0.5:
+                mut.pop(rnd.randrange(len(mut)))
+            else:
+                mut[rnd.randrange(len(mut))] = rnd.choice(vocab)
+            rows.append((doc_id, " ".join(mut)))
+            doc_id += 1
+        if rnd.random() < 0.3:  # exact duplicate (identical-set collapse)
+            rows.append((doc_id, " ".join(toks)))
+            doc_id += 1
+    rows.append((doc_id, ""))  # empty doc
+    rows.append((doc_id + 1, "w0"))  # single token
+    rows.append((doc_id + 2, "w0"))  # duplicate single token
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    for t in (0.7, 0.9):
+        ref = sorted(
+            map(
+                tuple,
+                prefix_filter_jaccard_pairs(docs, "doc_id", "text", t).collect(),
+            )
+        )
+        assert ref, "corpus should contain qualifying pairs"
+        salted = sorted(
+            map(
+                tuple,
+                prefix_filter_jaccard_pairs(
+                    docs, "doc_id", "text", t, salt_grid=4
+                ).collect(),
+            )
+        )
+        assert salted == ref
+        if t >= 0.9:  # deletion neighborhoods are bounded only for high t
+            deletion = sorted(
+                map(
+                    tuple,
+                    prefix_filter_jaccard_pairs(
+                        docs, "doc_id", "text", t, impl="deletion", max_tokens=21
+                    ).collect(),
+                )
+            )
+            assert deletion == ref
+
+
+def test_setsim_deletion_guards(spark):
+    """The deletion impl refuses parameters whose neighborhoods explode
+    (plan-time) and corpora that break the static size bound (run-time)."""
+    import pytest as _pytest
+
+    from hive_json_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="impl='prefix'"):
+        prefix_filter_jaccard_pairs(docs, "doc_id", "text", 0.5, impl="deletion")
+
+    long_doc = " ".join(f"t{i}" for i in range(40))
+    docs2 = spark.createDataFrame(
+        [(1, long_doc), (2, long_doc + " extra")], "doc_id bigint, text string"
+    )
+    with _pytest.raises(Exception, match="max_tokens"):
+        prefix_filter_jaccard_pairs(
+            docs2, "doc_id", "text", 0.9, impl="deletion"
+        ).collect()
