@@ -31,6 +31,7 @@ from typing import Iterator
 import numpy as np
 
 from pyspark.sql import DataFrame, functions as F
+from hive_json_spark.operators.util import ensure_parallelism
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -312,7 +313,7 @@ def synthetic_media_binary(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows["format"].append(fmt)
             yield pd.DataFrame(rows)
 
-    return df.select(id_col).mapInPandas(
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
         gen, schema="media_id bigint, content binary, media_type string, format string"
     )
 
@@ -605,7 +606,7 @@ def synthetic_png_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["mean_c2"].append(float(means[2]))
             yield pd.DataFrame(out)
 
-    return df.select(id_col).mapInPandas(
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
         kernel,
         schema=(
             "media_id bigint, width int, height int, raw_len bigint, "
@@ -866,7 +867,7 @@ def synthetic_gif_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["mean_c2"].append(float(means[2]))
             yield pd.DataFrame(out)
 
-    return df.select(id_col).mapInPandas(
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
         kernel,
         schema=(
             "media_id bigint, width int, height int, n_pixels bigint, "

@@ -20,6 +20,8 @@ from typing import Optional
 
 import numpy as np
 
+from hive_json_spark.operators.util import ensure_parallelism
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from hive_json_spark.functions.vectors import cosine_similarity, dot_product, l2_norm
@@ -41,7 +43,7 @@ def brute_force_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
     scored = (
-        corpus.select(F.col(id_col), F.col(vec_col))
+        ensure_parallelism(corpus.select(F.col(id_col), F.col(vec_col)))
         .join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
@@ -103,7 +105,9 @@ def lsh_topk(
     the full cross product.
     """
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(id_col, vec_col).withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    c = ensure_parallelism(corpus.select(id_col, vec_col)).withColumn(
+        "bucket", lsh_bucket(F.col(vec_col), planes)
+    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")).withColumn(
         "bucket0", lsh_bucket(F.col("q_vec"), planes)
     )
@@ -169,8 +173,6 @@ def ivf_index(
     from pyspark.sql import types as T
 
     import pandas as pd
-
-    from hive_json_spark.operators.util import ensure_parallelism
 
     bcast = corpus.sparkSession.sparkContext.broadcast(cents)
     out_schema = T.StructType(

@@ -12,6 +12,7 @@ import re
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from hive_json_spark.operators.util import ensure_parallelism
 from hive_json_spark.functions.text import (
     bpe_ish_token_count,
     char_count,
@@ -35,6 +36,7 @@ _LANG_MARKERS = {
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document stats: token/char/distinct counts, BPE-ish token count,
     stopword ratio, quality score. One narrow projection, pure codegen."""
+    df = ensure_parallelism(df)
     return df.select(
         F.col(id_col),
         token_count(text_col).alias("n_tokens"),
@@ -49,6 +51,7 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic language ID: argmax of marker-word hit counts, 'und' when
     no marker hits. JVM-side: one array expr per language, no UDF."""
+    df = ensure_parallelism(df)
     toks = tokens(text_col)
     scores = []
     for lang, markers in _LANG_MARKERS.items():
@@ -79,6 +82,7 @@ def repetition_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     oracle (Python ``round`` is banker's rounding). ``re.ASCII`` keeps
     ``\\s`` identical to Java's default ASCII character class.
     """
+    df = ensure_parallelism(df)
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -112,6 +116,7 @@ def distinct_ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFr
     nothing shuffles here. ``re.ASCII`` keeps ``\\s`` identical to Java's
     default character class. Documents shorter than n tokens emit
     nothing (full windows only, the decontam convention)."""
+    df = ensure_parallelism(df)
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")
@@ -137,5 +142,6 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Order-insensitive document fingerprint: md5 over the sorted distinct
     token set. Deterministic across engines (SQL-expressible) — the cheap
     'same bag of words' key for clustering and incremental dedup."""
+    df = ensure_parallelism(df)
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col))))
     return df.select(F.col(id_col), F.md5(canon).alias("fingerprint"))
