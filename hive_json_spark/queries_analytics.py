@@ -275,6 +275,79 @@ def q_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, day),
+    tot AS (
+      SELECT event_type, SUM(n) AS t, COUNT(*) AS d
+      FROM daily GROUP BY event_type),
+    cus AS (
+      SELECT daily.event_type, day,
+             SUM(n * d - t) OVER (PARTITION BY daily.event_type ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS s
+      FROM daily JOIN tot ON daily.event_type = tot.event_type),
+    rk AS (
+      SELECT event_type, day, s,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY abs(s) DESC, day) AS r
+      FROM cus)
+    SELECT event_type, day AS cp_day, CAST(s AS BIGINT) AS cusum_scaled,
+           CASE WHEN s >= 0 THEN 'high-then-low' ELSE 'low-then-high' END
+             AS shift_shape
+    FROM rk WHERE r = 1
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type: the day where the cumulative
+    deviation of daily volume from the type's mean peaks — the standard
+    single-changepoint estimator (argmax |Σ(xᵢ − x̄)|) behind "when did
+    this metric's level shift" triage.
+
+    Determinism: the running statistic is kept in integers by scaling —
+    Σ(nᵢ·D − T) over observed days (D = day count, T = total) is D times
+    the textbook CUSUM, same argmax — so no float accumulation exists for
+    engine summation order to perturb; ties on |S| break to the earliest
+    day. Scale shape: the windowed scan runs over the aggregated
+    |types|×|days| daily frame, the per-type totals broadcast back, and
+    the argmax is a row_number over the same partitioning — the heavy
+    lifting stays in the first partial-agg-friendly count."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n").alias("t"), F.count("*").alias("d")
+    )
+    j = daily.join(F.broadcast(tot), "event_type")
+    ws = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cus = j.select(
+        "event_type",
+        "day",
+        F.sum(F.col("n") * F.col("d") - F.col("t")).over(ws).alias("s"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.abs("s").desc(), "day")
+    return (
+        cus.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("cp_day"),
+            F.col("s").cast("bigint").alias("cusum_scaled"),
+            F.when(F.col("s") >= 0, "high-then-low")
+            .otherwise("low-then-high")
+            .alias("shift_shape"),
+        )
+    )
+
+
+@query(
     "q_seasonal_profile",
     """
     WITH cell AS (

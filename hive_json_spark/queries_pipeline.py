@@ -1715,11 +1715,19 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     to integer micro-units per posting before the per-doc sum, so neither
     summation order nor ln() ulp differences can flip a score or the
     ranking (SCALE.md integer-unit rule)."""
-    from hive_json_spark.functions.text import tokens
     from hive_json_spark.operators.relational import top_k
 
+    agg = _bm25_scores(spark, sf_dir, ["vector", "filter", "merge"])
+    return top_k(agg, [F.col("score").desc(), F.col("doc_id")], 20)
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str, query_terms: list) -> DataFrame:
+    """(doc_id, score) BM25 frame shared by q_bm25_topk and q_rrf_fusion —
+    integer-micro-unit per-posting rounding per the SCALE.md determinism
+    rule (see q_bm25_topk docstring for the full plan notes)."""
+    from hive_json_spark.functions.text import tokens
+
     k1, b = 1.2, 0.75
-    query_terms = ["vector", "filter", "merge"]
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = (
@@ -1755,10 +1763,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         + k1 * (1 - b + b * F.col("len").cast("double") / F.col("avgdl"))
     )
     term_units = F.round(F.lit(1000000) * idf * sat).cast("long")
-    agg = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.round(F.sum(term_units) / F.lit(1000000.0), 6).alias("score")
     )
-    return top_k(agg, [F.col("score").desc(), F.col("doc_id")], 20)
 
 
 # --- GIF decode (LZW) --------------------------------------------------------
@@ -1804,3 +1811,158 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return synthetic_gif_features(docs)
+
+
+# --- reciprocal-rank fusion (hybrid retrieval) -------------------------------
+
+@query(
+    "q_rrf_fusion",
+    """
+    WITH terms AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS f
+           FROM terms GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len FROM terms GROUP BY doc_id),
+    df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dfreq
+           FROM terms GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM documents),
+    a AS (SELECT CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    bm AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(CAST(ROUND(1000000 *
+                     ln(1 + (n.total - df.dfreq + 0.5) / (df.dfreq + 0.5))
+                     * (tf.f * 2.2)
+                     / (tf.f + 1.2 * (0.25 + 0.75 * CAST(dl.len AS DOUBLE) / a.avgdl)))
+                   AS BIGINT)) / 1000000.0, 6) AS score
+      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+              JOIN df ON tf.term = df.term
+              CROSS JOIN n CROSS JOIN a
+      WHERE tf.term IN ('vector', 'filter', 'merge')
+      GROUP BY tf.doc_id),
+    bmr AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM bm) WHERE r <= 50),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+    cs AS (
+      SELECT vec_id AS doc_id,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv.q), 6) AS sim
+      FROM embeddings CROSS JOIN qv WHERE vec_id != 0),
+    vr AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS r
+        FROM cs) WHERE r <= 50),
+    fused AS (
+      SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0/(60 + b.r), 0) + COALESCE(1.0/(60 + v.r), 0), 6)
+               AS rrf_score,
+             CAST(b.r AS BIGINT) AS bm25_rank,
+             CAST(v.r AS BIGINT) AS vec_rank
+      FROM bmr b FULL JOIN vr v ON b.doc_id = v.doc_id)
+    SELECT doc_id, rrf_score, bm25_rank, vec_rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a dense retriever — the
+    standard hybrid-search combiner (Cormack et al. '09): BM25 top-50 for
+    a bag-of-words query and cosine top-50 against a query embedding
+    (vec_id 0) fuse as Σ 1/(60+rank), which rewards agreement without
+    comparing incommensurable scores.
+
+    Scale shape: both arms end in TakeOrderedAndProject top-50 (never a
+    global sort); the rank row_numbers and the full-outer fuse run on two
+    ≤50-row frames, so the single-partition windows are bounded by k, not
+    the corpus. The fused score is a two-term sum of exactly-derived
+    doubles (1/(60+r) from integer ranks) — IEEE addition of two terms is
+    commutative, so no ordering hazard; ties break on doc_id."""
+    from hive_json_spark.functions.vectors import cosine_similarity
+    from hive_json_spark.operators.relational import top_k
+
+    bm = _bm25_scores(spark, sf_dir, ["vector", "filter", "merge"])
+    bm50 = top_k(bm, [F.col("score").desc(), F.col("doc_id")], 50)
+    bmr = bm50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .alias("bm_r"),
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    cs = (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("v_doc"),
+            F.round(cosine_similarity("embedding", "q_vec"), 6).alias("sim"),
+        )
+    )
+    v50 = top_k(cs, [F.col("sim").desc(), F.col("v_doc")], 50)
+    vr = v50.select(
+        "v_doc",
+        F.row_number()
+        .over(Window.orderBy(F.col("sim").desc(), F.col("v_doc")))
+        .alias("v_r"),
+    )
+
+    fused = bmr.join(vr, F.col("doc_id") == F.col("v_doc"), "full").select(
+        F.coalesce("doc_id", "v_doc").alias("doc_id"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("bm_r")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("v_r")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+        F.col("bm_r").cast("bigint").alias("bm25_rank"),
+        F.col("v_r").cast("bigint").alias("vec_rank"),
+    )
+    return top_k(fused, [F.col("rrf_score").desc(), F.col("doc_id")], 20)
+
+
+# --- sorted-neighborhood linkage ---------------------------------------------
+
+@query(
+    "q_sorted_neighborhood",
+    """
+    WITH s AS (SELECT p_partkey AS id, p_name AS name FROM part),
+    o AS (SELECT id, name,
+            LEAD(id, 1) OVER w AS i1, LEAD(name, 1) OVER w AS m1,
+            LEAD(id, 2) OVER w AS i2, LEAD(name, 2) OVER w AS m2,
+            LEAD(id, 3) OVER w AS i3, LEAD(name, 3) OVER w AS m3,
+            LEAD(id, 4) OVER w AS i4, LEAD(name, 4) OVER w AS m4,
+            LEAD(id, 5) OVER w AS i5, LEAD(name, 5) OVER w AS m5
+          FROM s WINDOW w AS (ORDER BY name, id)),
+    pairs AS (
+      SELECT id AS id_a, name AS na, i1 AS id_b, m1 AS nb, 1 AS g FROM o WHERE i1 IS NOT NULL
+      UNION ALL SELECT id, name, i2, m2, 2 FROM o WHERE i2 IS NOT NULL
+      UNION ALL SELECT id, name, i3, m3, 3 FROM o WHERE i3 IS NOT NULL
+      UNION ALL SELECT id, name, i4, m4, 4 FROM o WHERE i4 IS NOT NULL
+      UNION ALL SELECT id, name, i5, m5, 5 FROM o WHERE i5 IS NOT NULL)
+    SELECT id_a, id_b, CAST(g AS INT) AS rank_gap,
+           CAST(levenshtein(na, nb) AS INT) AS lev
+    FROM pairs WHERE levenshtein(na, nb) <= 4
+    """,
+)
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage on part names: every pair within
+    5 positions of the sorted name order, kept when edit distance ≤ 4 —
+    the sort-based blocking complement to q_fuzzy_name_match's
+    equality-blocked join (typos that survive sorting but break hash
+    blocks land here; production linkage unions both candidate sets).
+
+    Runs through operators.dedup.sorted_neighborhood_pairs: two-phase
+    exact global rank (per-first-letter-block row_number + driver-folded
+    block offsets — the z-order rank mechanism) then a stripe equi-join,
+    so the oracle's single-ordering LEAD cascade is reproduced without
+    ever sorting the table into one partition. Verification uses the
+    thresholded 3-arg levenshtein (bails early per pair; same kept set)."""
+    from hive_json_spark.operators.dedup import sorted_neighborhood_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    cand = sorted_neighborhood_pairs(part, "p_name", "p_partkey", window=5)
+    return (
+        cand.withColumn("lev", F.levenshtein("key_a", "key_b", 4).cast("int"))
+        .filter(F.col("lev") >= 0)
+        .select("id_a", "id_b", "rank_gap", "lev")
+    )

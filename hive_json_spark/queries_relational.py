@@ -789,6 +789,71 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- interval-overlap join (interval × interval) -----------------------------
+
+@query(
+    "q_interval_overlap",
+    """
+    WITH o AS (
+      SELECT o_custkey AS ck, o_orderkey AS ok,
+             date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS s,
+             date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+               + 15 + o_orderkey % 30 AS e
+      FROM orders),
+    p AS (
+      SELECT a.ck, least(a.e, b.e) - greatest(a.s, b.s) AS ov
+      FROM o a JOIN o b
+        ON a.ck = b.ck AND a.ok < b.ok AND a.s < b.e AND b.s < a.e)
+    SELECT ck AS o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(ov) AS BIGINT) AS total_overlap_days,
+           CAST(MAX(ov) AS BIGINT) AS max_overlap_days
+    FROM p GROUP BY ck
+    """,
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fulfillment windows per customer: each order opens a
+    15–44-day interval (length keyed off the orderkey so intervals vary);
+    pairs of the same customer's orders whose windows intersect are
+    counted and their overlap summed — the interval×interval counterpart
+    of q_range_join's point∈interval.
+
+    Runs through operators.relational.interval_overlap_join: intervals
+    explode into 32-day chunks, candidates meet in an equi-join on
+    (chunk), each pair kept only in the first chunk both share — exact,
+    emitted once, never a nested loop (the oracle's inequality join is
+    the naive plan this replaces). Overlap lengths are integer day
+    arithmetic end-to-end, so every aggregate is order-free exact."""
+    from hive_json_spark.operators.relational import interval_overlap_join
+
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.lit("1970-01-01").cast("timestamp")
+    s = F.datediff(F.col("o_orderdate"), epoch).cast("long")
+    base = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ok"),
+        s.alias("s"),
+        (s + 15 + F.col("o_orderkey") % 30).alias("e"),
+    )
+    a = base.select(
+        F.col("ck").alias("ck_a"), F.col("ok").alias("ok_a"),
+        F.col("s").alias("s_a"), F.col("e").alias("e_a"),
+    )
+    b = base.select(
+        F.col("ck").alias("ck_b"), F.col("ok").alias("ok_b"),
+        F.col("s").alias("s_b"), F.col("e").alias("e_b"),
+    )
+    pairs = interval_overlap_join(
+        a, b, "s_a", "e_a", "s_b", "e_b", chunk=32, keys=[("ck_a", "ck_b")]
+    ).filter(F.col("ok_a") < F.col("ok_b"))
+    ov = F.least("e_a", "e_b") - F.greatest("s_a", "s_b")
+    return pairs.groupBy(F.col("ck_a").alias("o_custkey")).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(ov).alias("total_overlap_days"),
+        F.max(ov).alias("max_overlap_days"),
+    )
+
+
 # --- pivot (wide conditional aggregation) ------------------------------------
 
 @query(

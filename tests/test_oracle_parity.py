@@ -129,6 +129,10 @@ PERTURB_QUERIES = [
     "q_spearman_corr",
     # integer-space rounding in the similarity join verify step
     "q_setsim_prefix_join",
+    # rank-derived doubles (1/(60+r)) + ln-sum BM25 arm must be layout-free
+    "q_rrf_fusion",
+    # integer-scaled CUSUM argmax with |S| ties broken on day
+    "q_cusum_changepoint",
 ]
 
 

@@ -755,3 +755,82 @@ def test_setsim_deletion_guards(spark):
         prefix_filter_jaccard_pairs(
             docs2, "doc_id", "text", 0.9, impl="deletion"
         ).collect()
+
+
+# --- interval-overlap join vs naive inequality join --------------------------
+
+def test_interval_overlap_join_matches_naive(spark):
+    from hive_json_spark.operators.relational import interval_overlap_join
+
+    # deterministic pseudo-random intervals, several per key, varied widths
+    n = 400
+    rows = [
+        (
+            i,
+            i % 7,                              # key
+            (i * 37) % 500,                     # start
+            (i * 37) % 500 + 1 + (i * 13) % 90, # end (width 1..90)
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, k bigint, s long, e long")
+    a = df.select(
+        F.col("id").alias("id_a"), F.col("k").alias("k_a"),
+        F.col("s").alias("s_a"), F.col("e").alias("e_a"),
+    )
+    b = df.select(
+        F.col("id").alias("id_b"), F.col("k").alias("k_b"),
+        F.col("s").alias("s_b"), F.col("e").alias("e_b"),
+    )
+    for chunk in (16, 64, 1000):  # narrower / near-median / wider than any interval
+        got = (
+            interval_overlap_join(
+                a, b, "s_a", "e_a", "s_b", "e_b", chunk=chunk, keys=[("k_a", "k_b")]
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .collect()
+        )
+        got_pairs = {(r["id_a"], r["id_b"]) for r in got}
+        assert len(got) == len(got_pairs), f"chunk={chunk}: duplicate pairs emitted"
+        naive = {
+            (ia, ib)
+            for ia, ka, sa, ea in rows
+            for ib, kb, sb, eb in rows
+            if ia < ib and ka == kb and sa < eb and sb < ea
+        }
+        assert got_pairs == naive, f"chunk={chunk}"
+
+
+def test_interval_overlap_join_half_open_boundary(spark):
+    from hive_json_spark.operators.relational import interval_overlap_join
+
+    # [0,10) and [10,20) touch but do NOT overlap; [0,11) and [10,20) do
+    left = spark.createDataFrame([(1, 0, 10), (2, 0, 11)], "id_a bigint, s_a long, e_a long")
+    right = spark.createDataFrame([(9, 10, 20)], "id_b bigint, s_b long, e_b long")
+    out = interval_overlap_join(left, right, "s_a", "e_a", "s_b", "e_b", chunk=10).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(2, 9)]
+
+
+# --- sorted-neighborhood pairs vs single-sort reference ----------------------
+
+def test_sorted_neighborhood_matches_single_sort(spark):
+    from hive_json_spark.operators.dedup import sorted_neighborhood_pairs
+
+    # keys engineered so blocks are very uneven (many 'a', few 'z'), with
+    # duplicates to exercise the id tiebreak
+    words = ["apple", "apricot", "avocado", "banana", "blueberry", "cherry", "zucchini"]
+    rows = [(i, words[(i * i) % len(words)] + str(i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "rid bigint, name string")
+    for w in (1, 4, 9):
+        got = {
+            (r["id_a"], r["id_b"], r["rank_gap"])
+            for r in sorted_neighborhood_pairs(df, "name", "rid", window=w).collect()
+        }
+        ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+        want = {
+            (ordered[i][0], ordered[j][0], j - i)
+            for i in range(len(ordered))
+            for j in range(i + 1, min(i + w + 1, len(ordered)))
+        }
+        assert got == want, f"window={w}"
