@@ -133,6 +133,9 @@ PERTURB_QUERIES = [
     "q_rrf_fusion",
     # integer-scaled CUSUM argmax with |S| ties broken on day
     "q_cusum_changepoint",
+    # holistic-turned-distributive: running integer weight sums over the
+    # distinct-value frame must be layout-free
+    "q_weighted_median",
 ]
 
 
