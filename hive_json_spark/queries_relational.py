@@ -546,6 +546,53 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_session_window_native",
+    """
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - COALESCE(LAG(ts) OVER w, ts - INTERVAL 1 HOUR)
+                       >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      FROM seq)
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, seq
+    """,
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through Spark's NATIVE ``session_window`` aggregate
+    (the same merging-session-state operator Structured Streaming uses)
+    rather than the lag/gap-cumsum rewrite of q_sessionize_events — and
+    pinned to that classic rewrite as the oracle, which proves the two
+    formulations define identical sessions. One boundary subtlety the
+    oracle encodes: a session window's end is last-event + gap and an
+    event landing EXACTLY on it starts a NEW session, so the island
+    break is `gap >= 30min`, not `>` (the 1h-gap query uses strict `>`
+    on a lag *difference* — a different, also-valid convention).
+
+    Scale shape: one shuffle on user_id into the merging-session
+    aggregation; no window function pass at all — the session assignment
+    happens inside the aggregate operator, which is exactly why the
+    native form is the streaming-state-compatible one."""
+    e = load_table(spark, sf_dir, "events")
+    out = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count("*").alias("n_events"))
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
+
+
 # --- scalar function pack (date / string / math passthroughs) ----------------
 
 @query(
@@ -755,6 +802,52 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = asof_join(left, right, ["user_id"], "ts", "ts", ["pv"])
     return out.select("event_id", "user_id", F.round("pv", 4).alias("last_purchase"))
+
+
+@query(
+    "q_asof_nearest",
+    """
+    WITH p AS (SELECT user_id, ts, MAX(value) AS pv
+               FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+    c AS (
+      SELECT e.event_id, e.user_id,
+             ABS(epoch_us(e.ts) - epoch_us(p.ts)) AS gap_us, p.pv, p.ts AS pts,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY ABS(epoch_us(e.ts) - epoch_us(p.ts)), p.ts)
+               AS rn
+      FROM events e JOIN p ON e.user_id = p.user_id)
+    SELECT event_id, user_id, CAST(gap_us // 1000000 AS BIGINT) AS delta_s,
+           ROUND(pv, 4) AS nearest_purchase
+    FROM c WHERE rn = 1
+    """,
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event annotated with the user's CLOSEST purchase in either
+    time direction (ties to the earlier one) — the sensor-alignment
+    variant of the backward-only q_asof_join, via
+    operators.relational.asof_nearest_join: one tag+union shuffle on the
+    key, one window pass carrying the latest-behind and next-ahead right
+    rows, and a codegen gap comparison — while the oracle pays the naive
+    per-event ROW_NUMBER over every (event × purchase) pair of the key
+    group. Events of users with no purchases drop (inner semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_id", "user_id", "ts")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(F.max("value").alias("pv"))
+    )
+    from hive_json_spark.operators.relational import asof_nearest_join
+
+    out = asof_nearest_join(e, p, ["user_id"], "ts", "pts", ["pv"])
+    return out.filter(F.col("_near_ts").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.expr("abs(unix_micros(ts) - unix_micros(_near_ts)) div 1000000")
+        .cast("bigint")
+        .alias("delta_s"),
+        F.round("pv", 4).alias("nearest_purchase"),
+    )
 
 
 # --- range join (interval containment) ---------------------------------------

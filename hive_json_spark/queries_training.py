@@ -491,6 +491,105 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Markov absorption probability (attribution) -----------------------------
+
+MK_STEPS = 4
+MK_TARGET = "purchase"
+_MK_UNIT = 10**12  # micro-unit scale for the per-step probability fold
+
+
+def _markov_oracle(steps: int) -> str:
+    head = f"""
+    WITH seq AS (
+      SELECT event_type AS u,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v
+      FROM events),
+    edges AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS c
+              FROM seq WHERE v IS NOT NULL GROUP BY u, v),
+    nodes AS (SELECT DISTINCT u AS node FROM edges
+              UNION SELECT DISTINCT v FROM edges),
+    p AS (SELECT u, v, CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY u) AS p
+          FROM edges),
+    a0 AS (SELECT node, CASE WHEN node = '{MK_TARGET}'
+                             THEN CAST({_MK_UNIT} AS BIGINT)
+                             ELSE CAST(0 AS BIGINT) END AS a
+           FROM nodes)"""
+    steps_sql = []
+    for k in range(1, steps + 1):
+        steps_sql.append(f"""
+    a{k} AS (
+      SELECT n.node,
+             CASE WHEN n.node = '{MK_TARGET}' THEN CAST({_MK_UNIT} AS BIGINT)
+                  ELSE COALESCE(CAST(SUM(CAST(ROUND(p.p * q.a) AS BIGINT)) AS BIGINT), 0)
+             END AS a
+      FROM nodes n
+      LEFT JOIN p ON p.u = n.node
+      LEFT JOIN a{k - 1} q ON q.node = p.v
+      GROUP BY n.node)""")
+    return head + "," + ",".join(steps_sql) + f"""
+    SELECT node, ROUND(a / {_MK_UNIT}.0, 6) AS absorb_prob
+    FROM a{steps}
+    """
+
+
+@query("q_markov_absorption", _markov_oracle(MK_STEPS))
+def q_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain absorption probability: chance a user starting in each
+    state reaches MK_TARGET ('purchase') within MK_STEPS transitions,
+    with the target absorbing — the quantity behind Markov (removal-
+    effect) attribution and "how convertible is this entry state"
+    triage. Third iterative fixpoint pinned to an unrolled-CTE oracle
+    (PageRank: weighted push; BFS: integer min-relax; this: probability
+    fold with an absorbing boundary).
+
+    Determinism: the k-step value lives in integer micro-units (1e-12).
+    Each step computes Σ_v p(s→v)·a(v) by rounding every TERM to a long
+    before the sum (the BM25 rule) — transition probabilities are exact
+    single divisions of bigint counts, so both engines produce the
+    identical double term, the same rounded long, and an order-free
+    exact sum; the absorbing state is pinned to exactly 1.0. Scale
+    shape: identical to PageRank — the |types|² probability matrix and
+    the rank vector are tiny aggregates of one windowed pass; each step
+    is one join + agg, pure lineage at this depth."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("u"), F.lead("event_type").over(w).alias("v")
+    ).filter(F.col("v").isNotNull())
+    # checkpoint the tiny |types|² edge frame ONCE: nodes, p, and every
+    # iteration's plan all hang off it — without the truncation the
+    # windowed corpus pass embeds (and re-executes) once per consumer
+    edges = seq.groupBy("u", "v").agg(F.count("*").alias("c")).localCheckpoint()
+    nodes = (
+        edges.select(F.col("u").alias("node")).union(edges.select("v")).distinct()
+    )
+    p = edges.select(
+        "u",
+        "v",
+        (F.col("c").cast("double") / F.sum("c").over(Window.partitionBy("u"))).alias("p"),
+    )
+    unit = F.lit(_MK_UNIT).cast("bigint")
+    a = nodes.select(
+        "node",
+        F.when(F.col("node") == MK_TARGET, unit).otherwise(F.lit(0).cast("bigint")).alias("a"),
+    )
+    for _ in range(MK_STEPS):
+        folded = (
+            p.join(a, p.v == a.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum(F.round(F.col("p") * F.col("a")).cast("bigint")).alias("fa"))
+        )
+        a = nodes.join(folded, "node", "left").select(
+            "node",
+            F.when(F.col("node") == MK_TARGET, unit)
+            .otherwise(F.coalesce("fa", F.lit(0)).cast("bigint"))
+            .alias("a"),
+        )
+    return a.select(
+        "node", F.round(F.col("a") / float(_MK_UNIT), 6).alias("absorb_prob")
+    )
+
+
 # --- mergeable HLL sketches (datasketches) -----------------------------------
 
 @query("q_hll_sketch")  # rows-only: sketch estimates are impl-specific

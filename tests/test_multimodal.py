@@ -148,3 +148,90 @@ def test_audio_pitch_elects_planted_period(spark):
     assert rows[2].best_lag == 256, rows[2]
     # square wave crosses zero every 64 samples (1024/64 - 1 boundaries)
     assert rows[1].zcr == 15, rows[1]
+
+
+def test_jpeg_roundtrip_matches_transform_reference():
+    """decode(encode(x)) must equal the pure DCT→quantize→IDCT reference
+    bit-for-bit: pins zigzag, DC prediction, category/amplitude coding,
+    canonical in-stream Huffman tables, bit packing, and byte stuffing as
+    LOSSLESS around the lossy transform — including the AC run-length path
+    (random images have dense ACs; ZRL runs appear with coarse quant)."""
+    import numpy as np
+
+    from hive_json_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        jpeg_roundtrip_reference,
+    )
+
+    rng = np.random.RandomState(42)
+    coarse = (np.arange(64).reshape(8, 8) % 16 + 1).astype(np.float64)
+    zrl = np.full((8, 8), 200.0)  # kills most ACs → exercises ZRL/EOB runs
+    for trial in range(6):
+        h, w = 8 * rng.randint(1, 6), 8 * rng.randint(1, 6)
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        for quant in (None, coarse, zrl):
+            w2, h2, got = decode_jpeg_gray(encode_jpeg_gray(img, quant))
+            assert (w2, h2) == (w, h)
+            assert np.array_equal(got, jpeg_roundtrip_reference(img, quant)), (
+                f"trial {trial}"
+            )
+
+
+def test_jpeg_constant_blocks_bit_exact():
+    import numpy as np
+
+    from hive_json_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    for mid in (0, 3, 17, 255):
+        bw_, bh_ = mid % 4 + 2, mid % 3 + 2
+        by = np.arange(bh_)[:, None]
+        bx = np.arange(bw_)[None, :]
+        blocks = ((mid * 37 + by * 5 + bx * 3) % 256).astype(np.uint8)
+        img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+        _, _, dec = decode_jpeg_gray(encode_jpeg_gray(img))
+        assert np.array_equal(dec, img), mid
+
+
+def test_jpeg_quantization_quality_tradeoff():
+    """Coarser tables must not catastrophically distort (PSNR floor) and
+    the all-ones table must beat them — sanity that quantization, not the
+    entropy coder, is the only loss source."""
+    import numpy as np
+
+    from hive_json_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    img = np.tile(np.arange(256, dtype=np.uint8), (32, 1))[:, :64]
+
+    def psnr(quant):
+        dec = decode_jpeg_gray(encode_jpeg_gray(img, quant))[2]
+        mse = float(np.mean((dec.astype(float) - img.astype(float)) ** 2))
+        return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+    fine = psnr(None)
+    coarse = psnr(np.full((8, 8), 16.0))
+    assert fine >= coarse
+    assert coarse > 30.0
+
+
+def test_jpeg_truncation_and_garbage_rejected():
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_json_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    data = encode_jpeg_gray(img)
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(b"\x00\x01" + data[2:])
+    with _pytest.raises((ValueError, IndexError)):
+        decode_jpeg_gray(data[:40])

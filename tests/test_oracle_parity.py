@@ -136,6 +136,9 @@ PERTURB_QUERIES = [
     # holistic-turned-distributive: running integer weight sums over the
     # distinct-value frame must be layout-free
     "q_weighted_median",
+    # iterative micro-unit probability fold: per-term rounding must make
+    # every step's sum order-free
+    "q_markov_absorption",
 ]
 
 

@@ -834,3 +834,30 @@ def test_sorted_neighborhood_matches_single_sort(spark):
             for j in range(i + 1, min(i + w + 1, len(ordered)))
         }
         assert got == want, f"window={w}"
+
+
+# --- Shapley attribution properties ------------------------------------------
+
+def test_shapley_efficiency_property(spark, sf_dir):
+    """Σφ_c must equal v(full coalition) − v(∅): total conversions with any
+    touched channel minus conversions with none (the efficiency axiom) —
+    an internal-consistency check independent of the DuckDB oracle."""
+    from hive_json_spark.registry import QUERIES
+
+    rows = QUERIES["q_shapley_attribution"](spark, sf_dir).collect()
+    assert {r["channel"] for r in rows} == {"click", "error", "signup", "view"}
+    total_scaled = sum(r["phi_scaled"] for r in rows)
+
+    from pyspark.sql import functions as F
+    from hive_json_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv"),
+        F.max(F.when(F.col("event_type") != "purchase", 1).otherwise(0)).alias("touched"),
+    )
+    v_full = per_user.filter((F.col("conv") == 1)).count()  # any mask ⊆ full set
+    v_empty = per_user.filter(
+        (F.col("conv") == 1) & (F.col("touched") == 0)
+    ).count()
+    assert total_scaled == 24 * (v_full - v_empty)
