@@ -90,6 +90,10 @@ def main() -> int:
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
+        # ~30 registry queries persist() intermediates; without this the
+        # cache accumulates across 186 queries and storage-memory churn
+        # taxes whichever heavy query runs late in the list
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     headline_total = round(sum(timings[q] for q in HEADLINE if q in timings), 3)

@@ -2021,3 +2021,129 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return synthetic_jpeg_features(docs)
+
+
+# --- MMR diversified reranking -----------------------------------------------
+
+MMR_K = 5
+MMR_POOL = 50  # candidate pool: vec_id 1..MMR_POOL (vec 0 is the query)
+
+
+def _mmr_oracle(k: int) -> str:
+    """Unrolled greedy MMR (λ=0.5): step i picks argmax of
+    2·rel_u − max_{s∈selected} sim_u over unselected candidates, all in
+    integer micro-units with vec_id tiebreaks."""
+    head = f"""
+    WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+    cands AS (
+      SELECT vec_id,
+             CAST(ROUND(1000000 * ROUND(list_cosine_similarity(
+                  CAST(embedding AS DOUBLE[]), qv.q), 6)) AS BIGINT) AS rel_u
+      FROM embeddings CROSS JOIN qv
+      WHERE vec_id >= 1 AND vec_id <= {MMR_POOL}),
+    sims AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(ROUND(1000000 * ROUND(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6))
+                  AS BIGINT) AS sim_u
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id >= 1 AND a.vec_id <= {MMR_POOL}
+       AND b.vec_id >= 1 AND b.vec_id <= {MMR_POOL}
+       AND a.vec_id != b.vec_id),
+    s1 AS (SELECT vec_id, 2 * rel_u AS score FROM cands
+           ORDER BY score DESC, vec_id LIMIT 1)"""
+    steps = []
+    for i in range(2, k + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, i)
+        )
+        steps.append(f"""
+    s{i} AS (
+      SELECT c.vec_id, 2 * c.rel_u - MAX(m.sim_u) AS score
+      FROM cands c JOIN sims m ON m.ia = c.vec_id
+      WHERE m.ib IN ({prev_union})
+        AND c.vec_id NOT IN ({prev_union})
+      GROUP BY c.vec_id, c.rel_u
+      ORDER BY score DESC, c.vec_id LIMIT 1)""")
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS mmr_rank, vec_id, ROUND(score / 2000000.0, 6) AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return head + "," + ",".join(steps) + f"""
+    SELECT CAST(mmr_rank AS INT) AS mmr_rank, vec_id, mmr_score FROM ({finals})
+    """
+
+
+@query("q_mmr_rerank", _mmr_oracle(MMR_K))
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein '98):
+    greedily pick k results maximizing λ·relevance − (1−λ)·max-similarity
+    to the already-picked set (λ=0.5) — the diversity-aware final stage
+    of a retrieval pipeline (RAG context assembly wants coverage, not
+    five near-duplicates of the best hit).
+
+    The greedy recurrence is inherently sequential in k, so the loop runs
+    on the driver — but each step touches only the CANDIDATE POOL
+    (top-50, k·|pool| rows total), never the corpus; pool selection is
+    the distributed part (same TakeOrderedAndProject arm as q_rrf_fusion)
+    and the pairwise sim matrix is one broadcast self-join of 50 rows.
+    Determinism: rel and sims round to 6dp then scale to integer
+    micro-units; every argmax is on integers with vec_id tiebreaks, so
+    the unrolled-CTE oracle (same integer fold) matches exactly."""
+    from hive_json_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    cand = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= MMR_POOL))
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(F.round(cosine_similarity("embedding", "q_vec"), 6) * 1_000_000)
+            .cast("bigint")
+            .alias("rel_u"),
+        )
+        .localCheckpoint()
+    )
+    b = cand.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("emb_b")
+    )
+    sims = (
+        cand.select(F.col("vec_id").alias("ia"), "embedding")
+        .join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(F.round(cosine_similarity("embedding", "emb_b"), 6) * 1_000_000)
+            .cast("bigint")
+            .alias("sim_u"),
+        )
+        .localCheckpoint()
+    )
+    picked: list[tuple[int, int, int]] = []  # (rank, vec_id, score_units)
+    for rank in range(1, MMR_K + 1):
+        remaining = cand.filter(
+            ~F.col("vec_id").isin([p[1] for p in picked]) if picked else F.lit(True)
+        )
+        if picked:
+            penal = (
+                sims.filter(F.col("ib").isin([p[1] for p in picked]))
+                .groupBy(F.col("ia").alias("vec_id"))
+                .agg(F.max("sim_u").alias("pen_u"))
+            )
+            scored = remaining.join(penal, "vec_id").select(
+                "vec_id", (2 * F.col("rel_u") - F.col("pen_u")).alias("score")
+            )
+        else:
+            scored = remaining.select("vec_id", (2 * F.col("rel_u")).alias("score"))
+        top = scored.orderBy(F.col("score").desc(), "vec_id").first()
+        if top is None:
+            break
+        picked.append((rank, int(top["vec_id"]), int(top["score"])))
+    if not picked:
+        return spark.createDataFrame([], "mmr_rank int, vec_id bigint, mmr_score double")
+    return spark.createDataFrame(
+        [(r, v, s / 2_000_000.0) for r, v, s in picked],
+        "mmr_rank int, vec_id bigint, mmr_score double",
+    ).select("mmr_rank", "vec_id", F.round("mmr_score", 6).alias("mmr_score"))

@@ -1320,3 +1320,66 @@ def q_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rk") <= 3).select(
         "doc_id", "term", F.round(F.col("w") / F.lit(1000000.0), 6).alias("weight")
     )
+
+
+# --- weight-of-evidence feature binning --------------------------------------
+
+@query(
+    "q_woe_bins",
+    """
+    WITH base AS (
+      SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bin,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+      FROM lineitem),
+    bins AS (
+      SELECT bin,
+             CAST(SUM(1 - bad) AS BIGINT) AS n_good,
+             CAST(SUM(bad) AS BIGINT) AS n_bad
+      FROM base GROUP BY bin),
+    tot AS (SELECT SUM(n_good) AS g, SUM(n_bad) AS b FROM bins)
+    SELECT bin, n_good, n_bad,
+           ROUND(ln(CAST(n_good * t.b AS DOUBLE) / (n_bad * t.g)), 6) AS woe
+    FROM bins CROSS JOIN tot t
+    WHERE n_good > 0 AND n_bad > 0
+    """,
+)
+def q_woe_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence feature binning: price bucketed into fixed $10k
+    bins, each bin scored WOE = ln((good_i/G)/(bad_i/B)) against the
+    'returned' outcome — the credit-scoring / feature-prep transform that
+    turns a continuous column into a monotone risk encoding (and the
+    input to information-value feature ranking).
+
+    Determinism: the ln argument is ONE division of two exact integer
+    products (n_good·B and n_bad·G, both < 2^53) — identical double both
+    engines, one correctly-rounded ln, rounded at 6; no float
+    accumulation anywhere (zero-count bins are excluded rather than
+    smoothed, keeping the oracle exact). Scale shape: one combinable
+    groupBy(bin) over the scan, totals broadcast back — the fact table
+    never shuffles twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_extendedprice") / 10000).cast("bigint").alias("bin"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
+    )
+    bins = base.groupBy("bin").agg(
+        F.sum(1 - F.col("bad")).alias("n_good"),
+        F.sum("bad").alias("n_bad"),
+    )
+    tot = bins.agg(F.sum("n_good").alias("g"), F.sum("n_bad").alias("b"))
+    return (
+        bins.join(F.broadcast(tot))
+        .filter((F.col("n_good") > 0) & (F.col("n_bad") > 0))
+        .select(
+            "bin",
+            F.col("n_good").cast("bigint").alias("n_good"),
+            F.col("n_bad").cast("bigint").alias("n_bad"),
+            F.round(
+                F.log(
+                    (F.col("n_good") * F.col("b")).cast("double")
+                    / (F.col("n_bad") * F.col("g"))
+                ),
+                6,
+            ).alias("woe"),
+        )
+    )

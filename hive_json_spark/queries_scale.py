@@ -680,3 +680,88 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_compaction_plan.__doc__ = q_compaction_plan.__doc__.format(
     target=COMPACT_TARGET_ROWS
 )
+
+
+# --- sketch-based join cardinality estimation --------------------------------
+
+@query(
+    "q_join_size_sketch",
+    """
+    WITH depths AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+    b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+    ca AS (
+      SELECT d.j,
+             CAST('0x' || substr(md5(CAST(d.j AS VARCHAR) || ':'
+                                     || CAST(a.user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 512 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM a CROSS JOIN depths d GROUP BY 1, 2),
+    cb AS (
+      SELECT d.j,
+             CAST('0x' || substr(md5(CAST(d.j AS VARCHAR) || ':'
+                                     || CAST(b.user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 512 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM b CROSS JOIN depths d GROUP BY 1, 2),
+    ip AS (
+      SELECT ca.j, SUM(ca.n * cb.n) AS est
+      FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
+      GROUP BY ca.j),
+    exact AS (
+      SELECT COALESCE(SUM(na.n * nb.n), 0) AS pairs FROM
+        (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY user_id) na
+        JOIN
+        (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY user_id) nb
+        USING (user_id))
+    SELECT CAST(exact.pairs AS BIGINT) AS exact_pairs,
+           CAST((SELECT MIN(est) FROM ip) AS BIGINT) AS cms_pairs,
+           CAST((SELECT MIN(est) FROM ip) - exact.pairs AS BIGINT) AS overcount
+    FROM exact
+    """,
+)
+def q_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two count-min sketches: |A ⋈ B|
+    on a key is estimated as min_j Σ_bucket cA(j,b)·cB(j,b) (the CM
+    inner-product estimator — never an undercount), reported next to the
+    exact pair count — the optimizer-statistics primitive that answers
+    "will clicks ⋈ purchases explode" WITHOUT touching either table
+    again: sketches are constant-size, mergeable, and maintainable per
+    shard/day. Like q_cms_topk, the md5-arithmetic hash family makes the
+    sketch cells themselves engine-portable, so even this estimator is
+    fully DuckDB-oracled.
+
+    Scale shape: each sketch build is one combinable groupBy over an
+    explode(depth) (shuffle ≤ partitions × depth·width partial cells);
+    the inner product joins two broadcast-size 2048-cell frames. The
+    exact side (for the audit) pays the real per-key join — which is the
+    point: at 100 TB you run the sketch path and skip the exact one.
+    All-integer arithmetic end to end."""
+    from hive_json_spark.operators.sketch import count_min_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    ca = count_min_sketch(a, "user_id", depth=4, width=512)
+    cb = count_min_sketch(b, "user_id", depth=4, width=512).select(
+        F.col("j").alias("jb"), F.col("bucket").alias("bb"), F.col("n").alias("nb")
+    )
+    ip = (
+        ca.join(cb, (F.col("j") == F.col("jb")) & (F.col("bucket") == F.col("bb")))
+        .groupBy("j")
+        .agg(F.sum(F.col("n") * F.col("nb")).alias("est"))
+    )
+    est = ip.agg(F.min("est").alias("cms_pairs"))
+    na = a.groupBy("user_id").agg(F.count("*").alias("n_a"))
+    nb = b.groupBy("user_id").agg(F.count("*").alias("n_b"))
+    exact = na.join(nb, "user_id").agg(
+        F.coalesce(F.sum(F.col("n_a") * F.col("n_b")), F.lit(0)).alias("exact_pairs")
+    )
+    return (
+        exact.join(F.broadcast(est))
+        .select(
+            F.col("exact_pairs").cast("bigint").alias("exact_pairs"),
+            F.col("cms_pairs").cast("bigint").alias("cms_pairs"),
+            (F.col("cms_pairs") - F.col("exact_pairs")).cast("bigint").alias("overcount"),
+        )
+    )

@@ -861,3 +861,78 @@ def test_shapley_efficiency_property(spark, sf_dir):
         (F.col("conv") == 1) & (F.col("touched") == 0)
     ).count()
     assert total_scaled == 24 * (v_full - v_empty)
+
+
+# --- median2_from_counts vs expanded-sort reference --------------------------
+
+def test_median2_from_counts_matches_expansion(spark):
+    """Random (group, value, count) frames — including single-row groups,
+    even/odd totals, duplicate and negative values, counts spanning
+    buckets — must reproduce lo+hi of the expanded sorted multiset for
+    several bucket widths (incl. width 1 and wider-than-domain)."""
+    import random
+
+    from hive_json_spark.operators.relational import median2_from_counts
+
+    rng = random.Random(1234)
+    for trial in range(5):
+        rows = []
+        expect = {}
+        for g in range(6):
+            n_vals = rng.randint(1, 12)
+            vals = sorted(rng.sample(range(-500, 500), n_vals))
+            counts = [rng.randint(1, 4) for _ in vals]
+            rows += [(f"g{g}", v, c) for v, c in zip(vals, counts)]
+            expanded = [v for v, c in zip(vals, counts) for _ in range(c)]
+            n = len(expanded)
+            expect[f"g{g}"] = expanded[(n + 1) // 2 - 1] + expanded[n // 2]
+        df = spark.createDataFrame(rows, "grp string, v long, cnt long")
+        for bw in (1, 7, 100, 10_000):
+            got = {
+                r["grp"]: r["med2"]
+                for r in median2_from_counts(df, "grp", "v", "cnt", bucket_width=bw).collect()
+            }
+            assert got == expect, f"trial {trial} bw {bw}"
+
+
+# --- nearest as-of join vs brute-force reference -----------------------------
+
+def test_asof_nearest_matches_bruteforce(spark):
+    import random
+
+    from hive_json_spark.operators.relational import asof_nearest_join
+
+    rng = random.Random(99)
+    left_rows, right_rows = [], []
+    for k in range(5):  # key 4 has no right rows at all
+        for i in range(12):
+            left_rows.append((k * 100 + i, k, rng.randint(0, 1000)))
+        if k < 4:
+            for j in range(rng.randint(1, 6)):
+                right_rows.append((k, rng.randint(0, 1000), float(k * 10 + j)))
+    # plant exact-tie and equidistant cases on key 0
+    left_rows.append((9001, 0, 500))
+    right_rows += [(0, 500, 111.0), (0, 490, 222.0), (0, 510, 333.0)]
+    left = spark.createDataFrame(left_rows, "lid bigint, k bigint, t long").select(
+        "lid", "k", F.timestamp_seconds("t").alias("lts")
+    )
+    right = (
+        spark.createDataFrame(right_rows, "k bigint, t long, val double")
+        .groupBy("k", "t")
+        .agg(F.max("val").alias("val"))
+        .select("k", F.timestamp_seconds("t").alias("rts"), "val")
+    )
+    got = {
+        r["lid"]: (r["_near_ts"], r["val"])
+        for r in asof_nearest_join(left, right, ["k"], "lts", "rts", ["val"]).collect()
+    }
+    rmap = {}
+    for r in right.collect():
+        rmap.setdefault(r["k"], []).append((r["rts"], r["val"]))
+    for l in left.collect():
+        cands = rmap.get(l["k"], [])
+        if not cands:
+            assert got[l["lid"]] == (None, None), l
+            continue
+        best = min(cands, key=lambda c: (abs((c[0] - l["lts"]).total_seconds()), c[0]))
+        assert got[l["lid"]] == best, (l, best, got[l["lid"]])

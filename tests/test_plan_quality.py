@@ -265,3 +265,44 @@ def test_partitioned_sink_gets_dynamic_partition_pruning(spark, tmp_path):
     joined = fact.join(F.broadcast(dim), "day").groupBy("event_type").count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned parquet layout: a filter on the partition
+    column must prune directories at PLANNING time (PartitionFilters with
+    a 1-of-N partition count), never scan-and-filter."""
+    from pyspark.sql import functions as F
+
+    from hive_json_spark.sources import load_table
+
+    out = str(tmp_path / "events_by_type")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the equality predicate lands in PartitionFilters (planning-time dir
+    # pruning), NOT PushedFilters (row-level filtering after reading)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters: ")[1].splitlines()[0]
+    assert "purchase" in pf, f"partition filter missing: {pf}"
+    assert back.count() == ev.filter(F.col("event_type") == "purchase").count()
+
+
+def test_new_iterative_queries_have_truncated_plans(spark):
+    """The localCheckpoint mechanism must keep iterative plans linear:
+    the audited plan is the executed one (no 2^rounds lineage blowup)."""
+    for name, bound in (("q_bfs_hops", 6), ("q_markov_absorption", 16), ("q_mad_outliers", 14)):
+        plan = plan_of(spark, name)
+        n = plan.count("Exchange hashpartitioning")
+        assert n <= bound, f"{name}: {n} exchanges — lineage not truncated?"
+
+
+def test_interval_overlap_is_hash_join_not_nested_loop(spark):
+    plan = plan_of(spark, "q_interval_overlap")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_rrf_arms_use_topk_short_circuit(spark):
+    plan = plan_of(spark, "q_rrf_fusion")
+    assert plan.count("TakeOrderedAndProject") >= 2
