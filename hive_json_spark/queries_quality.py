@@ -1383,3 +1383,97 @@ def q_woe_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("woe"),
         )
     )
+
+
+# --- missing-value imputation ------------------------------------------------
+
+@query(
+    "q_impute_missing",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE CAST(ROUND(value * 100) AS BIGINT) END AS cents
+      FROM events),
+    known AS (
+      SELECT user_id, cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cents, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM (SELECT user_id, event_id, cents FROM base WHERE cents IS NOT NULL)),
+    umed AS (SELECT user_id, cents AS u_med FROM known WHERE rn = (n + 1) // 2),
+    gfb AS (
+      SELECT CAST(ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*)) AS BIGINT) AS g_fb
+      FROM base WHERE cents IS NOT NULL)
+    SELECT b.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN b.cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_imputed,
+           CAST(SUM(COALESCE(b.cents, u.u_med, g.g_fb)) AS BIGINT) AS checksum_cents
+    FROM base b
+    LEFT JOIN umed u ON b.user_id = u.user_id
+    CROSS JOIN gfb g
+    GROUP BY b.event_type
+    """,
+)
+def q_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation: rows whose value is semantically missing
+    (error events) are filled with the USER's lower-median value, falling
+    back to the rounded corpus mean for users with no valid observations
+    — the data-repair step that precedes any aggregate over a column
+    with structural nulls, audited per event type by row/imputed counts
+    and an exact checksum of the repaired column.
+
+    Determinism: values live in integer cents; the lower median (rank
+    ⌈n/2⌉, event_id tiebreak inside equal values) avoids interpolation
+    entirely, so the repaired column is integer end-to-end and the
+    checksum is an order-free long sum; the fallback is the rounded mean
+    — one exact integer sum + one correctly-rounded division — chosen
+    over a global median precisely because a corpus-wide rank needs a
+    global sort while the mean is order-free. Scale shape: one shuffle
+    on user_id computes all per-user medians (rank window over the
+    user's own rows, bounded per key); the fallback is a 1-row
+    broadcast; the repair itself is a map-side coalesce."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(int_units("value"))
+        .alias("cents"),
+    )
+    known = base.filter(F.col("cents").isNotNull()).select(
+        "user_id", "event_id", "cents"
+    )
+    wu = Window.partitionBy("user_id").orderBy("cents", "event_id")
+    umed = (
+        known.select(
+            "user_id",
+            "cents",
+            F.row_number().over(wu).alias("rn"),
+            F.count("*").over(Window.partitionBy("user_id")).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("user_id", F.col("cents").alias("u_med"))
+    )
+    gfb = known.agg(
+        F.round(F.sum("cents").cast("double") / F.count("*"))
+        .cast("bigint")
+        .alias("g_fb")
+    )
+    repaired = (
+        base.join(umed, "user_id", "left")
+        .join(F.broadcast(gfb))
+        .select(
+            "event_type",
+            "cents",
+            F.coalesce("cents", "u_med", "g_fb").alias("filled"),
+        )
+    )
+    return repaired.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("cents").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_imputed"),
+        F.sum("filled").cast("bigint").alias("checksum_cents"),
+    )

@@ -963,3 +963,133 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("d2u") / F.lit(1000000.0), 6).alias("dist2"),
         F.col("n_members").cast("bigint").alias("n_members"),
     )
+
+
+# --- full Lloyd's k-means (iterative, integer lattice) -----------------------
+
+KM_ITERS = 3
+KM_K = 4
+_KM_SCALE = 64        # float -> lattice: xq = round(x * 64)
+_KM_UNIT = 1_000_000  # lattice -> centroid micro-units
+
+
+def _kmeans_oracle(iters: int) -> str:
+    head = f"""
+    WITH xq AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {_KM_SCALE}) AS BIGINT) AS xu
+      FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cid, ord, xu * {_KM_UNIT} AS cu
+      FROM xq WHERE vec_id < {KM_K})"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    a{k} AS (
+      SELECT vec_id, cid FROM (
+        SELECT x.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY SUM((x.xu * {_KM_UNIT} - c.cu) * (x.xu * {_KM_UNIT} - c.cu)),
+                          c.cid) AS rn
+        FROM xq x JOIN c{k - 1} c ON x.ord = c.ord
+        GROUP BY x.vec_id, c.cid)
+      WHERE rn = 1),
+    c{k} AS (
+      SELECT a.cid, x.ord,
+             CAST(ROUND({_KM_UNIT}.0 * AVG(x.xu)) AS BIGINT) AS cu
+      FROM a{k} a JOIN xq x ON a.vec_id = x.vec_id
+      GROUP BY a.cid, x.ord)""")
+    last = iters
+    return head + "," + ",".join(steps) + f"""
+    SELECT a.cid,
+           CAST(COUNT(DISTINCT a.vec_id) AS BIGINT) AS n_assigned,
+           CAST((SELECT SUM(c.cu) FROM c{last} c WHERE c.cid = a.cid) AS BIGINT)
+             AS cent_checksum
+    FROM a{last} a GROUP BY a.cid
+    """
+
+
+@query("q_kmeans_lloyd", _kmeans_oracle(KM_ITERS))
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL Lloyd's k-means — k=4, 3 assignment+update rounds, seeded
+    from vectors 0..3 — not just the single E-step of q_kmeans_assign.
+    The fourth iterative fixpoint pinned to an unrolled-CTE oracle
+    (PageRank / BFS / Markov absorption are the graph trio; this is the
+    clustering loop every embedding pipeline runs).
+
+    Determinism across engines AND iterations: floats quantize ONCE onto
+    an integer lattice (round(x·64)); every distance is an exact long
+    (Σ(xu·1e6 − cu)², bounded < 2⁶³), every argmin ties on centroid id,
+    and each M-step re-quantizes the mean to integer micro-units with a
+    single correctly-rounded operation — so no float accumulates across
+    rounds and the 3-deep recurrence cannot diverge by an ulp (the
+    un-quantized version WOULD: an argmin flip in round 1 cascades).
+
+    Scale shape: assignments broadcast the k×d centroid frame and fold
+    distances in codegen (zip_with+aggregate, no explode of the vector
+    side); the M-step is the posexplode partial-agg whose reducer state
+    is k×d cells regardless of corpus size (q_embedding_centroids
+    mechanics); each round localCheckpoints the k×d centroid frame so
+    the plan stays linear in rounds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xq = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * _KM_SCALE).cast("long"),
+        ).alias("xu"),
+    ).localCheckpoint()
+    cent = (
+        xq.filter(F.col("vec_id") < KM_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform(F.col("xu"), lambda v: v * _KM_UNIT).alias("cu"),
+        )
+        .localCheckpoint()
+    )
+    assigned = None
+    for _ in range(KM_ITERS):
+        d2 = F.aggregate(
+            F.zip_with(
+                "xu", "cu", lambda x, c: (x * _KM_UNIT - c) * (x * _KM_UNIT - c)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        assigned = (
+            xq.join(F.broadcast(cent))
+            .select("vec_id", "xu", "cid", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "xu", "cid")
+            .localCheckpoint()
+        )
+        cent = (
+            assigned.select("cid", F.posexplode("xu").alias("ord", "x"))
+            .groupBy("cid", "ord")
+            .agg(
+                F.round(F.lit(float(_KM_UNIT)) * F.avg("x")).cast("long").alias("cu")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "cu"))),
+                    lambda s: s.cu,
+                ).alias("cu")
+            )
+            .localCheckpoint()
+        )
+    checksum = cent.select(
+        "cid",
+        F.aggregate("cu", F.lit(0).cast("long"), lambda a, v: a + v).alias(
+            "cent_checksum"
+        ),
+    )
+    counts = assigned.groupBy("cid").agg(
+        F.countDistinct("vec_id").alias("n_assigned")
+    )
+    return counts.join(checksum, "cid").select(
+        "cid", "n_assigned", F.col("cent_checksum").cast("bigint").alias("cent_checksum")
+    )

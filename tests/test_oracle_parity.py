@@ -139,6 +139,8 @@ PERTURB_QUERIES = [
     # iterative micro-unit probability fold: per-term rounding must make
     # every step's sum order-free
     "q_markov_absorption",
+    # 3-round integer-lattice Lloyd: argmin/update cascade must be layout-free
+    "q_kmeans_lloyd",
 ]
 
 
