@@ -2327,3 +2327,188 @@ def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n_match"), F.lit(0)).cast("bigint").alias("matching_rows"),
         )
     )
+
+
+# --- Kaplan-Meier survival curve ---------------------------------------------
+
+@query(
+    "q_kaplan_meier",
+    """
+    WITH u AS (
+      SELECT user_id,
+             date_diff('day', MIN(ts), MAX(ts)) AS dur,
+             MAX(ts) AS last_ts
+      FROM events GROUP BY user_id),
+    horizon AS (SELECT MAX(ts) AS m FROM events),
+    obs AS (
+      SELECT dur, CASE WHEN u.last_ts < h.m - INTERVAL 7 DAY THEN 1 ELSE 0 END AS churned
+      FROM u CROSS JOIN horizon h),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM obs),
+    at_t AS (
+      SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_at,
+             CAST(SUM(churned) AS BIGINT) AS d
+      FROM obs GROUP BY dur),
+    risk AS (
+      SELECT dur, d,
+             t.n_total - (SUM(n_at) OVER (ORDER BY dur
+                          ROWS UNBOUNDED PRECEDING) - n_at) AS n_risk
+      FROM at_t CROSS JOIN tot t),
+    steps AS (
+      SELECT dur, d, n_risk,
+             CASE WHEN d = n_risk THEN NULL
+                  ELSE CAST(ROUND(1000000000 * ln(1.0 - CAST(d AS DOUBLE) / n_risk))
+                       AS BIGINT) END AS lf
+      FROM risk WHERE d > 0),
+    curve AS (
+      SELECT dur, d, n_risk,
+             SUM(lf) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS cum,
+             MAX(CASE WHEN lf IS NULL THEN 1 ELSE 0 END)
+               OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS dead
+      FROM steps)
+    SELECT CAST(dur AS BIGINT) AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_events,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE ROUND(exp(cum / 1000000000.0), 6) END AS survival
+    FROM curve
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of user lifetime (days between first
+    and last event), with users still active near the horizon treated as
+    CENSORED — the product-limit estimator behind churn/retention curves
+    that naive "average lifetime" mis-states when observation windows
+    truncate.
+
+    Determinism for a PRODUCT of rationals: each factor ln(1 − d/n) is
+    one exact-integer division (identical double both engines) rounded
+    to integer nano-nats, the cumulative sum is an order-free long, and
+    S(t) = exp(cum/1e9) is one correctly-rounded exp — the BM25 ln-sum
+    rule applied to a running product. A time where everyone at risk
+    dies (d = n) sends the curve exactly to 0 via a carried flag rather
+    than ln(0). Scale shape: per-user min/max is one combinable agg; the
+    curve windows run over the DISTINCT-duration frame (bounded domain,
+    days), never per user."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).cast("long").alias("dur"),
+        F.max("ts").alias("last_ts"),
+    )
+    horizon = ev.agg(F.max("ts").alias("m"))
+    obs = u.join(F.broadcast(horizon)).select(
+        "dur",
+        F.when(
+            F.col("last_ts") < F.col("m") - F.expr("INTERVAL 7 DAYS"), 1
+        ).otherwise(0).alias("churned"),
+    )
+    tot = obs.agg(F.count("*").alias("n_total"))
+    at_t = obs.groupBy("dur").agg(
+        F.count("*").alias("n_at"), F.sum("churned").alias("d")
+    )
+    wc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = at_t.join(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        (F.col("n_total") - (F.sum("n_at").over(wc) - F.col("n_at"))).alias("n_risk"),
+    )
+    lf = F.when(F.col("d") == F.col("n_risk"), F.lit(None)).otherwise(
+        F.round(
+            F.lit(1_000_000_000)
+            * F.log(1.0 - F.col("d").cast("double") / F.col("n_risk"))
+        ).cast("bigint")
+    )
+    steps = risk.filter(F.col("d") > 0).select("dur", "d", "n_risk", lf.alias("lf"))
+    curve = steps.select(
+        "dur",
+        "d",
+        "n_risk",
+        F.sum("lf").over(wc).alias("cum"),
+        F.max(F.when(F.col("lf").isNull(), 1).otherwise(0)).over(wc).alias("dead"),
+    )
+    return curve.select(
+        F.col("dur").cast("bigint").alias("duration_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.when(F.col("dead") == 1, 0.0)
+        .otherwise(F.round(F.exp(F.col("cum") / 1_000_000_000.0), 6))
+        .alias("survival"),
+    )
+
+
+# --- Gini coefficient (revenue concentration) --------------------------------
+
+@query(
+    "q_gini_revenue",
+    """
+    WITH r AS (
+      SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+      FROM r),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS t,
+             CAST(SUM(i * cents) AS BIGINT) AS s1
+      FROM ranked)
+    SELECT n AS n_customers, t AS total_cents,
+           ROUND(CAST(2 * s1 AS DOUBLE) / (n * t) - CAST(n + 1 AS DOUBLE) / n, 6)
+             AS gini
+    FROM agg
+    """,
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the inequality/concentration
+    audit ("do 1% of customers carry 60% of revenue") via the exact
+    rank formula G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over ascending revenue.
+
+    The oracle pays the naive global-sort ROW_NUMBER; the Spark plan
+    computes the SAME exact rank distributively (the z-order / SNM
+    two-phase mechanism): revenues bucket into fixed ranges, per-bucket
+    (count, sum) aggregate combinably, a tiny window over the bucket
+    frame yields each bucket's global rank offset, and Σi·xᵢ decomposes
+    into offset·bucket_sum + the in-bucket rank term — windows bounded
+    per bucket, no single-partition sort of the customer frame. Ties in
+    revenue make the rank choice arbitrary but Σi·xᵢ invariant (equal
+    values swap equal contributions), so custkey tiebreaks on both sides
+    keep engines aligned without affecting the statistic. All integer
+    until the two closing divisions (int64 bounds noted: Σi·xᵢ ≲ n²·x̄ —
+    decimal(38) territory past ~10⁸ customers)."""
+    o = load_table(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(int_units("o_totalprice")).alias("cents")
+    )
+    bucket_w = 10_000_000  # $100k per bucket
+    b = r.select(
+        "o_custkey",
+        "cents",
+        (F.col("cents") / bucket_w).cast("bigint").alias("bkt"),
+    )
+    per_b = b.groupBy("bkt").agg(
+        F.count("*").alias("bn"), F.sum("cents").alias("bs")
+    )
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offs = per_b.select(
+        "bkt", "bs", (F.sum("bn").over(wb) - F.col("bn")).alias("off")
+    )
+    wi = Window.partitionBy("bkt").orderBy("cents", "o_custkey")
+    local = b.withColumn("j", F.row_number().over(wi))
+    s1_terms = local.join(F.broadcast(offs), "bkt").select(
+        ((F.col("off") + F.col("j")) * F.col("cents")).alias("term"), "cents"
+    )
+    agg = s1_terms.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("t"),
+        F.sum("term").alias("s1"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("t").cast("bigint").alias("total_cents"),
+        F.round(
+            (2 * F.col("s1")).cast("double") / (F.col("n") * F.col("t"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

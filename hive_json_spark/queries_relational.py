@@ -1836,3 +1836,80 @@ def q_corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regr_slope(l_extendedprice, l_quantity)"), 4
         ).alias("slope_price_per_qty"),
     )
+
+
+# --- temporal (SCD2 effective-dated) dimension join --------------------------
+
+@query(
+    "q_temporal_join",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events WHERE event_type != 'purchase'),
+    dim AS (
+      SELECT user_id, event_type AS status, ts AS eff_from,
+             COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      TIMESTAMP '9999-01-01 00:00:00') AS eff_to
+      FROM marked WHERE prev_type IS NULL OR event_type != prev_type),
+    fact AS (
+      SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase')
+    SELECT d.status,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(f.cents) AS BIGINT) AS revenue_cents
+    FROM fact f JOIN dim d
+      ON f.user_id = d.user_id AND f.ts >= d.eff_from AND f.ts < d.eff_to
+    GROUP BY d.status
+    """,
+)
+def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-dated (SCD2) dimension join: non-purchase events collapse
+    into per-user STATUS PERIODS (a new version only when the status
+    actually changes — the SCD2 build), and each purchase joins to the
+    version in effect at its timestamp — the point-in-time dimension
+    lookup every warehouse does against slowly-changing dimensions.
+
+    Spark-first plan: because versions are non-overlapping per user, the
+    interval-containment join IS a backward as-of join — one tag+union
+    shuffle on the key via operators.relational.asof_join, no range
+    predicate ever reaching a join operator — while the oracle pays the
+    naive inequality join. Purchases before the first version drop on
+    both sides (inner semantics); revenue is exact integer cents."""
+    from hive_json_spark.operators.relational import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nonp = ev.filter(F.col("event_type") != "purchase")
+    marked = nonp.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = marked.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    )
+    # two status changes at the same instant: the earlier (lower event_id)
+    # version is zero-length in the oracle's [eff_from, next_eff_from)
+    # build and never matches — keep only the surviving one so the as-of
+    # carry can't tie on equal timestamps
+    wv = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    dim = (
+        changes.withColumn("_vrn", F.row_number().over(wv))
+        .filter(F.col("_vrn") == 1)
+        .select(
+            "user_id", F.col("event_type").alias("status"), F.col("ts").alias("eff_from")
+        )
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", int_units("value").alias("cents")
+    )
+    joined = asof_join(fact, dim, ["user_id"], "ts", "eff_from", ["status"])
+    return (
+        joined.filter(F.col("status").isNotNull())
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )

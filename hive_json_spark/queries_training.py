@@ -1093,3 +1093,65 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(checksum, "cid").select(
         "cid", "n_assigned", F.col("cent_checksum").cast("bigint").alias("cent_checksum")
     )
+
+
+# --- deterministic negative sampling (contrastive pairs) ---------------------
+
+@query(
+    "q_negative_sampling",
+    """
+    WITH pool AS (SELECT vec_id AS nid, label AS nlabel
+                  FROM embeddings WHERE vec_id < 32),
+    cand AS (
+      SELECT e.vec_id AS anchor_id, p.nid,
+             md5(CAST(e.vec_id AS VARCHAR) || ':' || CAST(p.nid AS VARCHAR)) AS h
+      FROM embeddings e JOIN pool p
+        ON e.label != p.nlabel AND e.vec_id != p.nid),
+    r AS (SELECT anchor_id, nid,
+                 ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY h, nid) AS rk
+          FROM cand)
+    SELECT anchor_id, CAST(rk AS INT) AS neg_rank, nid AS negative_id
+    FROM r WHERE rk <= 2
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    each anchor draws 2 negatives (different label) from a fixed
+    candidate pool, ordered by an md5 of the (anchor, candidate) pair —
+    the reproducible replacement for `rand()`-based samplers that a
+    lineage-audited training corpus requires (re-runs and engine swaps
+    pick the SAME negatives; changing the pool or k is an explicit,
+    diffable config change).
+
+    Scale shape: the pool is a broadcast constant (32 rows), so the
+    candidate join is map-side with fanout |pool| and the per-anchor
+    rank window is bounded by the pool size — no corpus-sized shuffle,
+    no n² pairing. The md5 hash family is the engine-portable one every
+    sketch in this repo uses, so the draw itself is oracle-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pool = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("nid"), F.col("label").alias("nlabel")
+    )
+    cand = (
+        emb.select("vec_id", "label")
+        .join(
+            F.broadcast(pool),
+            (F.col("label") != F.col("nlabel")) & (F.col("vec_id") != F.col("nid")),
+        )
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            "nid",
+            F.md5(
+                F.concat(
+                    F.col("vec_id").cast("string"), F.lit(":"), F.col("nid").cast("string")
+                )
+            ).alias("h"),
+        )
+    )
+    wr = Window.partitionBy("anchor_id").orderBy("h", "nid")
+    return (
+        cand.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 2)
+        .select("anchor_id", F.col("rk").cast("int").alias("neg_rank"),
+                F.col("nid").alias("negative_id"))
+    )

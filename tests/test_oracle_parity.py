@@ -141,6 +141,10 @@ PERTURB_QUERIES = [
     "q_markov_absorption",
     # 3-round integer-lattice Lloyd: argmin/update cascade must be layout-free
     "q_kmeans_lloyd",
+    # nano-nat ln-sum running product (the BM25 rule on a survival curve)
+    "q_kaplan_meier",
+    # two-phase exact rank decomposition of Σi·xi must be layout-free
+    "q_gini_revenue",
 ]
 
 
