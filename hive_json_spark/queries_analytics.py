@@ -2512,3 +2512,81 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --- cohort LTV curve --------------------------------------------------------
+
+@query(
+    "q_ltv_curve",
+    """
+    WITH first_seen AS (
+      SELECT user_id,
+             MIN(year(ts) * 12 + month(ts)) AS cohort_m
+      FROM events GROUP BY user_id),
+    cohort_size AS (
+      SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM first_seen GROUP BY cohort_m),
+    rev AS (
+      SELECT f.cohort_m,
+             (year(e.ts) * 12 + month(e.ts)) - f.cohort_m AS age_m,
+             CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort_m, age_m,
+             SUM(cents) OVER (PARTITION BY cohort_m ORDER BY age_m
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents
+      FROM rev)
+    SELECT CAST(c.cohort_m AS BIGINT) AS cohort_m,
+           CAST(c.age_m AS BIGINT) AS age_m,
+           s.n_users,
+           CAST(c.cum_cents AS BIGINT) AS cum_revenue_cents,
+           ROUND(CAST(c.cum_cents AS DOUBLE) / (100.0 * s.n_users), 4)
+             AS ltv_per_user
+    FROM cum c JOIN cohort_size s ON c.cohort_m = s.cohort_m
+    """,
+)
+def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users cohorted by first-seen month,
+    purchase revenue accumulated by cohort age (months since cohort),
+    normalized per cohort member — the LTV trajectory that payback-period
+    and acquisition-budget decisions read off (q_cohort_retention's
+    revenue twin).
+
+    Determinism: cohort and age are integer month arithmetic, revenue is
+    exact integer cents, the cumulative is a running LONG sum over the
+    |cohorts|×|ages| aggregate (order-free), and per-user LTV is one
+    closing division. Scale shape: one user_id shuffle builds first-seen
+    and the purchase scan co-partitions onto it (|users| rows is NOT
+    broadcastable at 100 TB — only the cohort-size frame is); the curve
+    windows run on the tiny cohort×age frame."""
+    ev = load_table(spark, sf_dir, "events")
+    month_idx = F.year("ts") * 12 + F.month("ts")
+    first_seen = ev.groupBy("user_id").agg(F.min(month_idx).alias("cohort_m"))
+    cohort_size = first_seen.groupBy("cohort_m").agg(F.count("*").alias("n_users"))
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_m", (month_idx - F.col("cohort_m")).alias("age_m")
+        )
+        .agg(F.sum(int_units("value")).alias("cents"))
+    )
+    wc = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.select(
+        "cohort_m", "age_m", F.sum("cents").over(wc).alias("cum_cents")
+    )
+    return cum.join(F.broadcast(cohort_size), "cohort_m").select(
+        F.col("cohort_m").cast("bigint").alias("cohort_m"),
+        F.col("age_m").cast("bigint").alias("age_m"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("cum_cents").cast("bigint").alias("cum_revenue_cents"),
+        F.round(
+            F.col("cum_cents").cast("double") / (100.0 * F.col("n_users")), 4
+        ).alias("ltv_per_user"),
+    )
