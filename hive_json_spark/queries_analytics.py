@@ -1204,7 +1204,7 @@ _CALENDAR_FILL_SQL = """
     daily AS (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              CAST(COUNT(*) AS BIGINT) AS n,
-             ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2) AS total
+             ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total
       FROM events WHERE event_type = 'purchase' GROUP BY 1
     )
     SELECT cal.day, COALESCE(daily.n, 0) AS n,

@@ -367,7 +367,7 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
-           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS total_price
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_price
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
@@ -379,7 +379,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
                COALESCE(l_linestatus, 'ALL') AS linestatus,
-               ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS total_price
+               ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS total_price
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
@@ -976,7 +976,7 @@ def q_pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- pure-SQL interface (TPC-H Q6 shape over registered views) ---------------
 
 _Q6_SQL = """
-    SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) / 100.0, 2) AS revenue
+    SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -1758,7 +1758,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM events)
     SELECT day_start, hour_start,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 4) AS total_value
+           ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS total_value
     FROM e GROUP BY GROUPING SETS ((day_start), (day_start, hour_start))
     """,
 )
@@ -1778,7 +1778,7 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    FROM events)
         SELECT day_start, hour_start,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 4) AS total_value
+               ROUND(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 4) AS total_value
         FROM e GROUP BY GROUPING SETS ((day_start), (day_start, hour_start))
         """
     )

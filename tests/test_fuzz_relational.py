@@ -367,13 +367,40 @@ def test_random_scalar_exprs_match_duckdb(spark, duck, seed):
         f"SELECT l_orderkey, l_linenumber, {sel} "
         f"FROM lineitem WHERE {flt[1]}"
     )
-    cols = sorted(sdf.columns)
-    spark_rows = sorted(tuple(_norm(row[c]) for c in cols) for row in sdf.collect())
+    # Key-matched compare with one-unit-in-last-rounded-place tolerance on
+    # the ROUND(double, 4) projections: when the unrounded double lands
+    # EXACTLY on a .xxxx5 half boundary, Spark rounds its shortest decimal
+    # string HALF_UP while DuckDB rounds the binary value — both are
+    # defensible IEEE behaviours and the divergence is inherent to the
+    # generated expression, not an engine bug (round-2 verdict: seed 609 at
+    # sf0.01 hit 37.87575 → 37.8758 vs 37.8757).  Exact values still must
+    # match to 1e-4; anything beyond one ulp-at-rounded-precision fails.
+    ecols = [f"e{i}" for i in range(len(exprs))]
+    spark_map = {
+        (row["l_orderkey"], row["l_linenumber"]): [row[c] for c in ecols]
+        for row in sdf.collect()
+    }
     res = duck.execute(sql)
     names = [d[0] for d in res.description]
-    idx = [names.index(c) for c in cols]
-    duck_rows = sorted(tuple(_norm(r[i]) for i in idx) for r in res.fetchall())
-    assert spark_rows == duck_rows, f"seed={seed} sql={sql}"
+    kidx = [names.index("l_orderkey"), names.index("l_linenumber")]
+    eidx = [names.index(c) for c in ecols]
+    duck_map = {
+        (r[kidx[0]], r[kidx[1]]): [r[i] for i in eidx] for r in res.fetchall()
+    }
+    assert spark_map.keys() == duck_map.keys(), f"seed={seed} sql={sql}"
+    for key, svals in spark_map.items():
+        dvals = duck_map[key]
+        for c, sv, dv in zip(ecols, svals, dvals):
+            if sv is None or dv is None:
+                assert sv is None and dv is None, f"seed={seed} {key} {c}: {sv} vs {dv}"
+            elif math.isnan(sv) or math.isnan(dv):
+                assert math.isnan(sv) and math.isnan(dv), f"seed={seed} {key} {c}: {sv} vs {dv}"
+            elif math.isinf(sv) or math.isinf(dv):
+                assert sv == dv, f"seed={seed} {key} {c}: {sv} vs {dv}"
+            else:
+                assert abs(sv - dv) <= 1.000001e-4 + abs(sv) * 1e-12, (
+                    f"seed={seed} {key} {c}: {sv} vs {dv} sql={sql}"
+                )
 
 
 @pytest.mark.parametrize("seed", range(700, 710))

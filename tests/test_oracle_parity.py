@@ -11,14 +11,13 @@ the driver — every rounded aggregate must be summation-order-free
 """
 
 import math
-import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+from tests.conftest import SF_DIR
 
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
@@ -37,25 +36,52 @@ def duck():
 
 
 def normalize(rows, colnames):
-    """Rows → sorted list of tuples with floats rounded for comparison."""
+    """Rows → sorted list of tuples, each value tagged with its type KIND.
+
+    Type-strict (round-2 lesson): the old version coerced Decimal → float,
+    so a Spark decimal(26,4) column vs a DuckDB DOUBLE column compared
+    equal locally and then failed the driver's hash (q_time_rollup shipped
+    red exactly this way).  Now a value's kind (int / float / decimal /
+    bool / str / ...) is part of the comparison, so a cross-engine type
+    drift fails HERE first.  Decimal is normalized scale-insensitively
+    (Decimal('18829.9000') == Decimal('18829.90')) but never equals the
+    float form — registry queries must emit the SAME kind on both engines.
+    """
     out = []
     for row in rows:
         vals = []
         for v in row:
-            if isinstance(v, float):
+            if isinstance(v, bool):
+                vals.append(f"bool:{v}")
+            elif isinstance(v, float):
                 if math.isnan(v):
-                    vals.append("NaN")
+                    vals.append("f:NaN")
                 elif v == 0.0:
-                    vals.append("0")  # canonicalize -0.0 vs 0.0
+                    vals.append("f:0")  # canonicalize -0.0 vs 0.0
                 else:
-                    vals.append(f"{v:.17g}")
+                    vals.append(f"f:{v:.17g}")
+            elif isinstance(v, int):
+                vals.append(f"i:{v}")
             elif v.__class__.__name__ == "Decimal":
-                f = float(v)
-                vals.append("0" if f == 0.0 else f"{f:.17g}")
+                # scale-insensitive decimal repr; still distinct from float
+                norm = v.normalize()
+                vals.append("d:0" if norm == 0 else f"d:{norm}")
+            elif v is None:
+                vals.append("null")
             else:
-                vals.append(str(v))
+                vals.append(f"{type(v).__name__}:{v}")
         out.append(tuple(vals))
     return sorted(out)
+
+
+def decimal_columns(rows, colnames):
+    """Column names whose values include any Decimal (driver-hash hazard)."""
+    hit = set()
+    for row in rows:
+        for c, v in zip(colnames, row):
+            if v.__class__.__name__ == "Decimal":
+                hit.add(c)
+    return sorted(hit)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -76,7 +102,35 @@ def test_query_matches_oracle(spark, duck, name):
     assert len(spark_rows) == len(duck_rows), (
         f"row count: spark={len(spark_rows)} duck={len(duck_rows)}"
     )
+    # No registry query may emit a Decimal column from either engine: the
+    # driver's value-hash is repr-sensitive, and decimal scale/typing is the
+    # one place Spark and DuckDB legitimately diverge (Spark types
+    # `SUM(bigint)/100.0` as decimal(26,4); DuckDB as DOUBLE).  Any money/
+    # ratio output must be CAST ... AS DOUBLE on both sides.
+    spark_dec = decimal_columns(spark_rows, spark_cols)
+    duck_dec = decimal_columns(duck_rows, spark_cols)
+    assert not spark_dec and not duck_dec, (
+        f"Decimal output columns (driver-hash hazard): "
+        f"spark={spark_dec} duck={duck_dec} — cast to DOUBLE on both sides"
+    )
     assert normalize(spark_rows, spark_cols) == normalize(duck_rows, spark_cols)
+
+
+def test_gate_is_type_strict():
+    """The gate itself must reject the decimal-vs-double class that shipped
+    q_time_rollup red in round 2: same numeric value, different kind."""
+    from decimal import Decimal
+
+    dec_rows = [[Decimal("18829.9000")]]
+    dbl_rows = [[18829.9]]
+    assert normalize(dec_rows, ["v"]) != normalize(dbl_rows, ["v"])
+    # and the Decimal ban trips on either side
+    assert decimal_columns(dec_rows, ["v"]) == ["v"]
+    assert decimal_columns(dbl_rows, ["v"]) == []
+    # scale-insensitive within the decimal kind (not a false alarm source)
+    assert normalize([[Decimal("1.50")]], ["v"]) == normalize([[Decimal("1.5")]], ["v"])
+    # int vs float is also a kind mismatch now
+    assert normalize([[3]], ["v"]) != normalize([[3.0]], ["v"])
 
 
 def test_queries_without_oracle_run(spark):
