@@ -716,7 +716,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-    impl: str = "exact",
+    impl: str = "auto",
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
@@ -724,15 +724,20 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity.
 
+    impl="auto" (default): size-dispatched — the exact GEMM path while the
+    corpus fits under ``max_exact_rows`` (probed with a limit+count
+    early-out scan, not a full count), the LSH path above it. The operator
+    is scale-safe BY DEFAULT: at 100 TB the same call silently takes the
+    bucketed path instead of refusing or OOMing, trading boundary-pair
+    recall for a bounded shuffle.
+
     impl="exact": the oracle-able all-pairs baseline. The corpus matrix is
     normalized once, broadcast, and each partition computes its rows × all
     columns as one float64 GEMM — O(n²) work but BLAS throughput, never
     interpreted per-element expression eval. The broadcast bounds this
     variant to corpora that fit executor memory (~10⁷ × dim floats), so it
-    refuses corpora above ``max_exact_rows`` (checked with a limit+count
-    probe — an early-out scan, not a full count) instead of silently
-    materializing an unbounded corpus on the driver; past the bound, use
-    impl="lsh".
+    refuses corpora above ``max_exact_rows`` instead of silently
+    materializing an unbounded corpus on the driver.
 
     impl="lsh": random-hyperplane buckets prune candidates first — the
     100 TB path. The join becomes an equi-join on the bucket id (shuffle on
@@ -755,8 +760,14 @@ def embedding_near_dup_pairs(
             .filter(F.col("cos_sim") >= threshold)
         )
 
+    if impl not in ("auto", "exact"):
+        raise ValueError(f"embedding_near_dup_pairs: unknown impl={impl!r}")
     probe = df.select(id_col).limit(max_exact_rows + 1).count()
     if probe > max_exact_rows:
+        if impl == "auto":
+            return embedding_near_dup_pairs(
+                df, id_col, vec_col, threshold, "lsh", n_planes, dim, seed
+            )
         raise ValueError(
             f"embedding_near_dup_pairs(impl='exact'): corpus exceeds "
             f"max_exact_rows={max_exact_rows}; the exact all-pairs baseline "

@@ -1014,7 +1014,20 @@ def encode_jpeg_gray(img: "np.ndarray", quant: "np.ndarray | None" = None) -> by
     h, w = img.shape
     if h % 8 or w % 8:
         raise ValueError("encode_jpeg_gray: dimensions must be multiples of 8")
-    q = np.ones((8, 8), dtype=np.float64) if quant is None else quant.astype(np.float64)
+    if quant is None:
+        q = np.ones((8, 8), dtype=np.float64)
+    else:
+        q = np.asarray(quant, dtype=np.float64)
+        # the DQT segment stores 8-bit integers (Pq=0); a fractional or
+        # >255 entry would quantize with one table and ship another —
+        # silent corruption on decode — so refuse instead of wrapping
+        if q.shape != (8, 8):
+            raise ValueError("encode_jpeg_gray: quant table must be 8x8")
+        if not np.all((q >= 1) & (q <= 255) & (q == np.floor(q))):
+            raise ValueError(
+                "encode_jpeg_gray: quant table entries must be integers in "
+                "1..255 (8-bit DQT precision)"
+            )
     qz = q.reshape(64)[_JPEG_ZIGZAG].astype(np.uint8)
 
     def seg(marker: int, body: bytes) -> bytes:

@@ -412,11 +412,28 @@ def interval_overlap_join(
     emitted exactly once — no post-hoc ``distinct`` shuffle.
 
     Start/end columns must be integral (days, seconds, …); intervals are
-    half-open. Pick ``chunk`` near the median interval length: each
+    half-open and must be NON-EMPTY (start < end): an empty interval has
+    an empty intersection with everything, and the join condition encodes
+    that explicitly. Pick ``chunk`` near the median interval length: each
     interval then lands in ~2 chunks, so the exploded frame is ~2× the
     input — at 100 TB the cost is one bounded-fanout explode plus one
     equi-shuffle, never O(n²). All expressions stay in codegen.
+
+    Only ``how='inner'`` is supported: the chunk explode happens BEFORE
+    the join, so an outer variant would emit one null-extended row per
+    chunk of a non-matching interval and silently lose the rows the
+    first-shared-chunk predicate drops. Outer semantics would need a
+    second pass joining the candidate pairs back to the pre-explode
+    frames; no caller has needed it, so the operator refuses rather than
+    inviting silent misuse.
     """
+    if how != "inner":
+        raise ValueError(
+            "interval_overlap_join: only how='inner' is supported (the "
+            "chunk-explode construction is not outer-correct; join the "
+            "inner result back to the pre-explode frames for outer "
+            "semantics)"
+        )
     c = F.lit(int(chunk))
     lexp = left.withColumn(
         "_lc",
@@ -439,7 +456,16 @@ def interval_overlap_join(
     cond = F.col("_lc") == F.col("_rc")
     for lk, rk in keys:
         cond = cond & (F.col(lk) == F.col(rk))
-    overlap = (F.col(lstart) < F.col(rend)) & (F.col(rstart) < F.col(lend))
+    # non-empty guard: [5,5) must not "overlap" [0,10) — the naive
+    # ls<re AND rs<le predicate assumes non-empty operands, and the
+    # greatest() clamp above would otherwise keep an empty interval's
+    # start chunk in the explode
+    overlap = (
+        (F.col(lstart) < F.col(rend))
+        & (F.col(rstart) < F.col(lend))
+        & (F.col(lstart) < F.col(lend))
+        & (F.col(rstart) < F.col(rend))
+    )
     first_shared = F.col("_lc") == F.floor(
         F.greatest(F.col(lstart), F.col(rstart)) / c
     )

@@ -361,9 +361,11 @@ def q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector to the transition matrix — rank is |nodes| rows, broadcast; each
     step is one shuffle on the destination key. For graphs too big to
     broadcast the same loop co-partitions p and ranks on u (documented in
-    SCALE.md); per perf-lesson the loop would localCheckpoint per round —
-    at 3 iterations over a pre-aggregated graph the plan stays linear, so
-    this loop keeps pure lineage.
+    SCALE.md). The rank frame is localCheckpoint()ed each round (the BFS
+    lesson): with pure lineage the persisted p/nodes subplans embed once
+    per round and the STATIC plan audit counted 48 shuffles for 3 rounds;
+    checkpointing makes the audited plan equal the executed one (per-round
+    truth) at the cost of one tiny eager materialization per iteration.
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -396,7 +398,7 @@ def q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = nodes.join(contrib, "node", "left").select(
             "node",
             (F.lit(0.15) / F.lit(n) + F.lit(PR_DAMP) * F.coalesce("c", F.lit(0.0))).alias("pr"),
-        )
+        ).localCheckpoint(eager=True)
     return ranks.select("node", F.round("pr", 6).alias("pr"))
 
 

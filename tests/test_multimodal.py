@@ -196,6 +196,28 @@ def test_jpeg_constant_blocks_bit_exact():
         assert np.array_equal(dec, img), mid
 
 
+def test_jpeg_rejects_unrepresentable_quant_table():
+    """DQT stores 8-bit integers: a table with entries >255 or fractional
+    values would quantize with one table and ship another (silent decode
+    corruption) — the encoder must refuse instead."""
+    import numpy as np
+    import pytest
+
+    from hive_json_spark.operators.multimodal import encode_jpeg_gray
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    for bad in (
+        np.full((8, 8), 300.0),   # wraps mod 256 under uint8 cast
+        np.full((8, 8), 1.5),     # truncates under uint8 cast
+        np.full((8, 8), 0.0),     # zero divisor / out of 1..255
+        np.ones((4, 4)),          # wrong shape
+    ):
+        with pytest.raises(ValueError):
+            encode_jpeg_gray(img, bad)
+    # integral float tables in range stay accepted
+    assert encode_jpeg_gray(img, np.full((8, 8), 255.0))
+
+
 def test_jpeg_quantization_quality_tradeoff():
     """Coarser tables must not catastrophically distort (PSNR floor) and
     the all-ones table must beat them — sanity that quantization, not the

@@ -195,7 +195,36 @@ def test_embedding_near_dup_exact_refuses_oversized_corpus(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with _pytest.raises(ValueError, match="max_exact_rows"):
-        embedding_near_dup_pairs(emb, threshold=0.4, max_exact_rows=3)
+        embedding_near_dup_pairs(emb, threshold=0.4, impl="exact", max_exact_rows=3)
+
+
+def test_embedding_near_dup_auto_dispatches_to_lsh(spark, sf_dir):
+    # the DEFAULT must be scale-safe: over the exact-GEMM guard the auto
+    # path silently takes LSH (bucketed, no driver materialization) instead
+    # of raising — the 100 TB call site needs no kwarg
+    from hive_json_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.4, impl="lsh").collect()
+    }
+    auto_over_guard = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.4, max_exact_rows=3
+        ).collect()
+    }
+    assert auto_over_guard == lsh  # identical plan → identical pairs
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.4, impl="exact").collect()
+    }
+    auto_under_guard = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert auto_under_guard == exact  # under the guard auto == exact
 
 
 def test_salted_join_matches_plain_join(spark):
@@ -810,6 +839,21 @@ def test_interval_overlap_join_half_open_boundary(spark):
     right = spark.createDataFrame([(9, 10, 20)], "id_b bigint, s_b long, e_b long")
     out = interval_overlap_join(left, right, "s_a", "e_a", "s_b", "e_b", chunk=10).collect()
     assert [(r["id_a"], r["id_b"]) for r in out] == [(2, 9)]
+
+
+def test_interval_overlap_join_rejects_outer_and_empty_intervals(spark):
+    from hive_json_spark.operators.relational import interval_overlap_join
+
+    left = spark.createDataFrame([(1, 5, 5)], "id_a bigint, s_a long, e_a long")
+    right = spark.createDataFrame([(9, 0, 10)], "id_b bigint, s_b long, e_b long")
+    # an EMPTY interval [5,5) has empty intersection with everything
+    out = interval_overlap_join(left, right, "s_a", "e_a", "s_b", "e_b", chunk=10).collect()
+    assert out == []
+    # the chunk-explode construction is only inner-correct: refuse outer
+    with pytest.raises(ValueError, match="inner"):
+        interval_overlap_join(
+            left, right, "s_a", "e_a", "s_b", "e_b", chunk=10, how="left"
+        )
 
 
 # --- sorted-neighborhood pairs vs single-sort reference ----------------------
