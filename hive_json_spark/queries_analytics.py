@@ -1129,72 +1129,66 @@ def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (quantile) binning: decile boundaries + per-bin counts,
-    the feature-bucketization / histogram-equalization primitive. Output is
-    deterministic under price ties because only price-derived stats leave
-    the query.
+    the feature-bucketization / histogram-equalization primitive.
 
-    Distributed exact NTILE (no global per-row window): per-VALUE counts
-    roll up map-side, a prefix sum runs over the bounded distinct-price
-    domain (cents grid — ≤ ~10^7 cells regardless of row count), and each
-    value cell's global rank interval [prefix+1, prefix+cn] is intersected
-    with the closed-form NTILE bucket boundaries — a cell straddling a
-    boundary explodes into its ≤2 (generally ≤10) overlapping bins with
-    exact overlap counts. Tied rows are interchangeable, so interval math
-    reproduces row-level NTILE exactly (the oracle runs the literal
-    NTILE). Same pattern as q_zorder_layout's rank decomposition; the
-    approximate path for continuous domains is approx_percentile
-    boundaries + range join (q_approx_quantiles, SCALE.md).
+    Distributed exact NTILE with NO global per-row window: global rank =
+    coarse-bucket offset + within-bucket row_number, two-level exactly
+    like a distributed prefix sum. The $1000 price buckets aggregate to a
+    ~100-row frame (map-side combine does almost all the work) whose
+    global offset window is trivial; the per-row ranking window
+    partitions by bucket and runs parallel. NTILE bin membership is then
+    closed-form arithmetic on the rank, and the output is groupBy(bin).
+
+    Tie-order inside the ranking window is irrelevant to the OUTPUT:
+    rows with equal price are interchangeable, bin sizes are fixed by the
+    closed form, and a tie group straddling a bin boundary contributes
+    the same value to both bins' min/max — so arbitrary row_number tie
+    order reproduces the oracle's literal NTILE bit-for-bit. (History:
+    r1 used one global NTILE window = single task at any scale; r2 used
+    per-value counts + interval explode = a 583k-group shuffle that
+    tripled the runtime; this shape is both the fastest measured and the
+    one that survives 100 TB — bucket granularity is the only knob.)
     """
     li = load_table(spark, sf_dir, "lineitem")
     n_bins = 10
-    # ONE lineitem scan: the per-value cells frame is checkpointed (it is
-    # the bounded distinct-price domain) and the row total comes from its
-    # counts — the r2 shape paid a second full scan for li.count() and the
-    # prefix-sum window recomputed the agg from raw rows on top (the
-    # 0.55→1.85 s bench regression; this restores the single-scan cost)
-    cells = (
-        li.groupBy("l_extendedprice")
-        .agg(F.count("*").alias("cn"))
-        .localCheckpoint(eager=True)
+    bucket = F.floor(F.col("l_extendedprice") / 1000).cast("long")
+    rows = li.select(F.col("l_extendedprice"), bucket.alias("_b"))
+    bcounts = rows.groupBy("_b").agg(F.count("*").alias("_bn"))
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bcounts.select(
+        "_b",
+        F.coalesce(F.sum("_bn").over(wb), F.lit(0)).alias("_boff"),
+        F.sum("_bn").over(
+            Window.orderBy("_b").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_total"),
     )
-    total = cells.agg(F.sum("cn")).collect()[0][0] or 0
-    base, rem = total // n_bins, total % n_bins
+    wc = Window.partitionBy("_b").orderBy("l_extendedprice")
+    ranked = (
+        rows.withColumn("_rn", F.row_number().over(wc).cast("long"))
+        .join(F.broadcast(boff), "_b")
+        .select(
+            "l_extendedprice",
+            (F.col("_boff") + F.col("_rn")).alias("_rank"),
+            "_total",
+        )
+    )
+    base = F.floor(F.col("_total") / n_bins)
+    rem = F.col("_total") % n_bins
     big = rem * (base + 1)
-
-    def bin_of(r):
-        body = F.when(r <= big, (r - 1) / (base + 1))
-        body = body.otherwise(rem + (r - big - 1) / base if base else rem)
-        return body.cast("long") + 1
-
-    wp = Window.orderBy("l_extendedprice").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    ranked = cells.select(
-        "l_extendedprice",
-        "cn",
-        (F.coalesce(F.sum("cn").over(wp), F.lit(0)) + 1).alias("lo_rank"),
-    ).withColumn("hi_rank", F.col("lo_rank") + F.col("cn") - 1)
-    expanded = ranked.select(
-        "l_extendedprice",
-        "lo_rank",
-        "hi_rank",
-        F.explode(
-            F.sequence(bin_of(F.col("lo_rank")), bin_of(F.col("hi_rank")))
-        ).alias("bin"),
-    )
-    start_b = F.when(
-        F.col("bin") <= rem, (F.col("bin") - 1) * (base + 1) + 1
-    ).otherwise(big + (F.col("bin") - rem - 1) * base + 1)
-    size_b = F.when(F.col("bin") <= rem, base + 1).otherwise(base)
-    end_b = start_b + size_b - 1
-    overlap = (
-        F.least(F.col("hi_rank"), end_b) - F.greatest(F.col("lo_rank"), start_b) + 1
+    alt = F.when(base > 0, (F.col("_rank") - big - 1) / base).otherwise(F.lit(0.0))
+    bin_col = (
+        F.when(F.col("_rank") <= big, (F.col("_rank") - 1) / (base + 1))
+        .otherwise(rem + alt)
+        .cast("long")
+        + 1
     )
     return (
-        expanded.withColumn("k", overlap)
-        .groupBy(F.col("bin").cast("int").alias("bin"))
+        ranked.withColumn("bin", bin_col.cast("int"))
+        .groupBy("bin")
         .agg(
-            F.sum("k").alias("n"),
+            F.count("*").alias("n"),
             F.round(F.min("l_extendedprice"), 2).alias("lo"),
             F.round(F.max("l_extendedprice"), 2).alias("hi"),
         )
