@@ -2173,6 +2173,87 @@ def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_acf_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+      FROM events GROUP BY CAST(ts AS DATE)),
+    idx AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+            FROM daily),
+    pairs AS (SELECT l.lag, a.x AS xa, b.x AS xb
+              FROM idx a
+              CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+              JOIN idx b ON b.i = a.i - l.lag),
+    agg AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(xa) AS sx, SUM(xb) AS sy,
+                   SUM(xa * xa) AS sxx, SUM(xb * xb) AS syy,
+                   SUM(xa * xb) AS sxy
+            FROM pairs GROUP BY lag)
+    SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
+    FROM agg
+    """,
+)
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1..7 — the
+    seasonality detector (a weekly cycle shows as a lag-7 peak) that
+    feeds forecasting-model selection. Per-lag Pearson correlation of the
+    series against its L-shifted self.
+
+    Determinism: the five moment sums per lag are EXACT int64 sums of
+    cent values and their products (max daily total ~2·10⁷ cents at
+    sf0.1 → squares ~4·10¹⁴, ×30 days ≪ 2⁶³); the Pearson formula then
+    runs once on those exact integers, so the doubles are identical on
+    any partitioning and engine. At 100 TB daily cents can reach ~10¹⁰,
+    whose squares overflow int64 — the documented widening is casting the
+    product terms to decimal(38,0) before the sum (same plan shape).
+
+    Scale: the fact table reduces to |days| rows in one partial-agg
+    shuffle; everything after runs on the calendar-bounded series (the
+    q_ewma_daily argument), including the 7× lag fanout."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+    )
+    idx = daily.select(
+        "x", F.row_number().over(Window.orderBy("day")).cast("long").alias("i")
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = idx.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
+    b = idx.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("ib", F.col("ia") - F.col("lag"))
+        .join(b, "ib")
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(
+        (d("n") * d("sxx") - d("sx") * d("sx"))
+        * (d("n") * d("syy") - d("sy") * d("sy"))
+    )
+    return agg.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.round(num / den, 6).alias("acf"),
+    )
+
+
 # --- market-basket co-purchase lift ------------------------------------------
 
 @query(

@@ -407,6 +407,99 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- holistic aggregates: mode / ordered string agg / hypothetical rank ------
+
+@query(
+    "q_mode_per_group",
+    """
+    WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)),
+    r AS (SELECT l_returnflag, q, n,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                    ORDER BY n DESC, q) AS rn
+          FROM c)
+    SELECT l_returnflag, q AS mode_qty, n AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a deterministic tiebreak (smallest
+    value wins among equal counts) — the holistic aggregate engines
+    special-case, decomposed distributively: value counts roll up
+    map-side (partial agg), then a per-group row_number over the tiny
+    (group, value) frame picks the argmax. Never a per-row window; the
+    window partition is bounded by distinct values per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("n").desc(), F.col("q"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("q").alias("mode_qty"), F.col("n").alias("mode_count"))
+    )
+
+
+@query(
+    "q_listagg",
+    """
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): the
+    report-formatting aggregate. collect_set is partial-aggregable and
+    partition-order-free; the ORDER BY the SQL standard requires is
+    applied once per group via array_sort before joining — so the result
+    is deterministic under any shuffle layout (a bare collect_list +
+    concat_ws would not be). Distinct-set size is bounded by the status
+    domain, not the row count."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "q_hypothetical_rank",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(1 + COUNT(*) FILTER (WHERE o_totalprice < 150000.0) AS BIGINT)
+             AS hyp_rank,
+           CAST(1 + COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS BIGINT)
+             AS hyp_rank_desc,
+           ROUND(CAST(COUNT(*) FILTER (WHERE o_totalprice <= 150000.0) AS DOUBLE)
+                 / COUNT(*), 6) AS hyp_cume_dist
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_hypothetical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypothetical-set functions (the SQL-standard RANK(x) WITHIN GROUP
+    family): the rank / descending rank / cume_dist a $150k order WOULD
+    take inside each priority class. Decomposes to conditional counts —
+    one partial-aggregable shuffle, no sort, no window — which is exactly
+    why engines without WITHIN GROUP still expose the capability."""
+    o = load_table(spark, sf_dir, "orders")
+    v = F.lit(150000.0)
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        (1 + F.count_if(F.col("o_totalprice") < v)).cast("bigint").alias("hyp_rank"),
+        (1 + F.count_if(F.col("o_totalprice") > v)).cast("bigint").alias("hyp_rank_desc"),
+        F.round(
+            F.count_if(F.col("o_totalprice") <= v).cast("double") / F.count("*"), 6
+        ).alias("hyp_cume_dist"),
+    )
+
+
 # --- set operations ----------------------------------------------------------
 
 @query(

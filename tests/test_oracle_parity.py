@@ -199,6 +199,12 @@ PERTURB_QUERIES = [
     "q_kaplan_meier",
     # two-phase exact rank decomposition of Σi·xi must be layout-free
     "q_gini_revenue",
+    # exact int64 moment sums per lag feed one Pearson formula
+    "q_acf_daily",
+    # collect_set + array_sort must be layout-free (bare collect_list isn't)
+    "q_listagg",
+    # two-level rank decomposition (bucket offset + within-bucket row_number)
+    "q_equidepth_bins",
 ]
 
 
