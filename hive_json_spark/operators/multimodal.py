@@ -365,6 +365,149 @@ def resize_nearest(arr: "np.ndarray", h_out: int, w_out: int) -> "np.ndarray":
     return arr[ys][:, xs]
 
 
+_DCT_CACHE: dict = {}
+
+
+def _dct_matrix(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II matrix (the 2-D transform is D @ img @ D.T)."""
+    if n not in _DCT_CACHE:
+        k = np.arange(n, dtype=np.float64)[:, None]
+        m = np.arange(n, dtype=np.float64)[None, :]
+        D = np.cos(np.pi * (2 * m + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+        D[0] /= np.sqrt(2.0)
+        _DCT_CACHE[n] = D
+    return _DCT_CACHE[n]
+
+
+def box_downsample_gray(gray: "np.ndarray", n: int = 32) -> "np.ndarray":
+    """Box-average a 2-D grayscale array to n×n: each output cell is the
+    mean of its source bucket (y_src bucket = y*n//h). Averaging — not
+    nearest-neighbor sampling — is load-bearing for perceptual hashing:
+    zero-mean high-frequency noise cancels in the box mean instead of
+    passing straight into the low-frequency DCT block."""
+    h, w = gray.shape
+    yb = (np.arange(h, dtype=np.int64) * n) // h
+    xb = (np.arange(w, dtype=np.int64) * n) // w
+    g = gray.astype(np.float64)
+    rowsum = np.zeros((n, w), dtype=np.float64)
+    np.add.at(rowsum, yb, g)
+    cell = np.zeros((n, n), dtype=np.float64)
+    np.add.at(cell.T, xb, rowsum.T)
+    counts = np.outer(np.bincount(yb, minlength=n), np.bincount(xb, minlength=n))
+    return cell / np.maximum(counts, 1)
+
+
+def phash64(gray: "np.ndarray") -> int:
+    """64-bit perceptual hash (standard pHash construction): box-resize to
+    32×32, 2-D DCT-II, keep the top-left 8×8 low-frequency block,
+    threshold each coefficient against the median of the 63 non-DC
+    coefficients, pack the signs row-major. Fully deterministic numpy —
+    no library dependence."""
+    D = _dct_matrix(32)
+    C = D @ box_downsample_gray(gray, 32) @ D.T
+    block = C[:8, :8].reshape(64)
+    med = float(np.median(block[1:]))
+    bits = block > med
+    v = np.uint64(0)
+    for i in range(64):
+        if bits[i]:
+            v |= np.uint64(1) << np.uint64(i)
+    return int(v.astype(np.int64))
+
+
+def synthetic_image_phash(df: DataFrame, id_col: str = "doc_id", n_groups: int = 25) -> DataFrame:
+    """Per id: synthesize a 64×64 grayscale test pattern (base pattern
+    keyed by ``id % n_groups``, per-id high-frequency noise keyed by
+    ``id // n_groups`` — ids sharing a base are planted near-duplicates),
+    round-trip it through the REAL BMP codec, and emit the pHash of the
+    decoded pixels. Arrow-batched; returns (media_id, phash)."""
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        y = np.arange(64, dtype=np.float64)[:, None]
+        x = np.arange(64, dtype=np.float64)[None, :]
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                gid = mid % n_groups
+                fx = gid % 4 + 1
+                fy = gid // 4 % 4 + 1
+                base = (
+                    128
+                    + 60 * np.sin(2 * np.pi * fx * x / 64 + gid * 0.7)
+                    * np.cos(2 * np.pi * fy * y / 64)
+                    + 20 * np.sin(2 * np.pi * (gid % 7 + 1) * (x + y) / 128)
+                )
+                k = mid // n_groups
+                noise = (
+                    (mid * 2654435761 + x.astype(np.int64) * 97
+                     + y.astype(np.int64) * 57) % 7
+                ) - 3
+                img = np.clip(base + (k % 4) * noise, 0, 255).astype(np.uint8)
+                rgb = np.repeat(img[:, :, None], 3, axis=2)
+                _, _, back = decode_bmp(encode_bmp(rgb))
+                ids.append(mid)
+                hashes.append(phash64(back[:, :, 0]))
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
+        kernel, schema="media_id bigint, phash long"
+    )
+
+
+def phash_near_dup_pairs(
+    hashed: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Image near-dup pairs: hamming(phash) ≤ max_hamming via band
+    blocking — the 64-bit hash splits into equal bit bands and candidates
+    meet on (band index, band value); pigeonhole guarantees full recall
+    when #bands > max_hamming, so the band width adapts to the threshold
+    (≤3 → 4×16-bit, ≤7 → 8×8-bit, ≤15 → 16×4-bit). The verify step is
+    ``bit_count(xor)`` in codegen on candidates only — the O(n²) never
+    materializes; the shuffle key is the band value, exactly the SimHash
+    text path's shape (dedup.py simhash_near_dup_pairs)."""
+    if max_hamming <= 3:
+        n_bands = 4
+    elif max_hamming <= 7:
+        n_bands = 8
+    elif max_hamming <= 15:
+        n_bands = 16
+    else:
+        raise ValueError("phash_near_dup_pairs: max_hamming must be <= 15")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    h = hashed.select(id_col, hash_col).persist()
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col(hash_col), width * i).bitwiseAND(F.lit(mask))
+            for i in range(n_bands)
+        ]
+    )
+    blocked = h.select(id_col, hash_col, F.posexplode(bands).alias("band", "band_val"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
 RESIZED_FEATURES_SCHEMA = (
     "media_id bigint, media_type string, w_in int, h_in int, w_out int, "
     "h_out int, n_out bigint, n_bytes_out bigint, mean_c0 double, "

@@ -480,6 +480,31 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_features(synthetic_media_binary(docs))
 
 
+@query("q_phash_image_dup")
+def q_phash_image_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs — the IMAGE arm of the dedup
+    suite (MinHash/SimHash cover text; multimodal corpora dedup frames
+    and images by pHash). Synthetic 64×64 patterns round-trip the REAL
+    BMP codec, hash via box-resize → 32-point 2-D DCT → median-sign
+    (operators.multimodal.phash64), and pair via adaptive band blocking +
+    bit_count verify (phash_near_dup_pairs — pigeonhole-complete for the
+    threshold, candidates only, never O(n²)).
+
+    No DuckDB oracle by nature (a 32-point DCT has no reasonable SQL
+    form) — rows-only driver check; correctness is pinned by unit tests:
+    planted same-base pairs are retrieved with measured recall and zero
+    false positives at hamming ≤ 6, and blocking is verified complete
+    against a brute-force hamming scan of all hash pairs."""
+    from hive_json_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+        synthetic_image_phash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = synthetic_image_phash(docs, "doc_id")
+    return phash_near_dup_pairs(hashed, "media_id", "phash", max_hamming=6)
+
+
 @query(
     "q_media_resize",
     """

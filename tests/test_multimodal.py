@@ -196,6 +196,79 @@ def test_jpeg_constant_blocks_bit_exact():
         assert np.array_equal(dec, img), mid
 
 
+def test_phash_planted_near_dups(spark, sf_dir):
+    """pHash near-dup retrieval on the planted-structure corpus: ids
+    sharing `id % 25` are near-duplicates (same base pattern, per-id
+    high-frequency noise). At hamming ≤ 6 the pairs must be exactly the
+    same-base ones blocking can reach — zero false positives, recall
+    measured ≥ 0.5 — and identical-noise ids (k % 4 == 0 on both sides,
+    same base) must appear at hamming 0."""
+    from hive_json_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+        synthetic_image_phash,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hashed = synthetic_image_phash(docs, "doc_id").persist()
+    rows = hashed.collect()
+    ids = sorted(r.media_id for r in rows)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_dup_pairs(hashed, max_hamming=6).collect()
+    }
+    assert pairs
+    # precision: every returned pair shares the base pattern
+    assert all(a % 25 == b % 25 for a, b in pairs)
+    # deterministic anchor: same base + zero noise on both sides → hamming 0
+    zero_noise = [m for m in ids if (m // 25) % 4 == 0]
+    by_base = {}
+    for m in zero_noise:
+        by_base.setdefault(m % 25, []).append(m)
+    anchors = [
+        (a, b)
+        for ms in by_base.values()
+        for a in ms
+        for b in ms
+        if a < b
+    ]
+    assert anchors
+    assert all(pairs.get(p) == 0 for p in anchors)
+    # recall over all same-base pairs within the threshold
+    h = {r.media_id: r.phash for r in rows}
+    same_base = [
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if a % 25 == b % 25
+    ]
+    reachable = [
+        p
+        for p in same_base
+        if bin((h[p[0]] ^ h[p[1]]) & ((1 << 64) - 1)).count("1") <= 6
+    ]
+    # pigeonhole completeness: blocking found EVERY pair under the bound
+    assert set(pairs) == set(reachable)
+    assert len(reachable) / len(same_base) >= 0.5
+    hashed.unpersist()
+
+
+def test_phash_invariants():
+    import numpy as np
+
+    from hive_json_spark.operators.multimodal import box_downsample_gray, phash64
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (48, 80)).astype(np.uint8)
+    # deterministic; insensitive to zero-mean high-frequency dither
+    assert phash64(img) == phash64(img)
+    checker = ((np.indices((48, 80)).sum(axis=0) % 2) * 2 - 1).astype(np.int64)
+    dithered = np.clip(img.astype(np.int64) + checker, 0, 255).astype(np.uint8)
+    d = bin((phash64(img) ^ phash64(dithered)) & ((1 << 64) - 1)).count("1")
+    assert d <= 4
+    # box mean of a constant image is that constant
+    assert np.allclose(box_downsample_gray(np.full((50, 70), 99, np.uint8)), 99.0)
+
+
 def test_jpeg_rejects_unrepresentable_quant_table():
     """DQT stores 8-bit integers: a table with entries >255 or fractional
     values would quantize with one table and ship another (silent decode
