@@ -2254,6 +2254,99 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_trend_mann_kendall",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+      FROM events GROUP BY CAST(ts AS DATE)),
+    s AS (SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                               WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat
+          FROM daily a JOIN daily b ON a.day < b.day),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    tie AS (SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+              AS tie_term
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+                  FROM daily GROUP BY x) WHERE t > 1)
+    SELECT nn.n, s.s_stat,
+           ROUND((nn.n * (nn.n - 1) * (2 * nn.n + 5) - tie.tie_term) / 18.0, 6)
+             AS var_s,
+           ROUND(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                        / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                                - tie.tie_term) / 18.0)
+                      WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                        / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                                - tie.tie_term) / 18.0)
+                      ELSE 0.0 END, 6) AS z,
+           ROUND(s.s_stat / (nn.n * (nn.n - 1) / 2.0), 6) AS tau
+    FROM s, nn, tie
+    """,
+)
+def q_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test (with tie correction) + Kendall's tau-a on
+    daily revenue — the distribution-free monotone-trend detector used
+    where q_forecast_backtest's OLS slope assumes too much. The S
+    statistic, tie term, and pair counts are EXACT integers (cent-grid
+    day totals; sign comparisons); the variance/z/tau formulas run once
+    on those integers, so output doubles are engine- and layout-free.
+
+    Scale: the fact table collapses to |days| rows in one partial-agg
+    shuffle; the O(days²) sign pairs and the tie groupBy run on the
+    calendar-bounded series (the q_ewma_daily argument)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, F.col("da") < F.col("db"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.agg(F.count("*").cast("bigint").alias("n"))
+    tie = (
+        daily.groupBy("x")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    j = s.crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(tie))
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    ) / 18.0
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "n",
+        "s_stat",
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.round(F.col("s_stat") / (F.col("n") * (F.col("n") - 1) / 2.0), 6).alias(
+            "tau"
+        ),
+    )
+
+
 # --- market-basket co-purchase lift ------------------------------------------
 
 @query(

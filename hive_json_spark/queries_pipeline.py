@@ -317,6 +317,57 @@ def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_mutual_nn",
+    """
+    WITH s AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+                      ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                   CAST(b.embedding AS DOUBLE[])), 6)
+                        AS cs
+               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    best AS (SELECT qid, cid, cs FROM
+               (SELECT qid, cid, cs,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY cs DESC, cid) AS rn
+                FROM s)
+             WHERE rn = 1)
+    SELECT x.qid AS id_a, x.cid AS id_b, x.cs AS cos_sim
+    FROM best x JOIN best y ON x.cid = y.qid AND y.cid = x.qid AND x.qid < y.qid
+    """,
+)
+def q_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest neighbors (reciprocal best match): pairs where each
+    vector is the other's top-1 cosine neighbor — the high-precision
+    linkage rule for entity resolution and parallel-corpus mining (a
+    one-way top-1 is noisy; mutuality filters hub vectors that are
+    'nearest' to everything). Ranking uses the rounded-sim + id total
+    order so best-neighbor choice is engine/layout-free.
+
+    Scale shape: top-1 via brute_force_topk (broadcast GEMM — the exact
+    baseline; swap the LSH/IVF retriever above the broadcast budget),
+    then mutuality is a self-equi-join of the |corpus|-row best-neighbor
+    table on the (a,b)=(b,a) key pair — one hash join, no second scan of
+    the vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    best = brute_force_topk(emb, emb, k=1).select(
+        F.col("query_id").alias("qid"), F.col("vec_id").alias("cid"), "cos_sim"
+    )
+    x, y = best.alias("x"), best.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.cid") == F.col("y.qid"))
+            & (F.col("y.cid") == F.col("x.qid"))
+            & (F.col("x.qid") < F.col("y.qid")),
+        )
+        .select(
+            F.col("x.qid").alias("id_a"),
+            F.col("x.cid").alias("id_b"),
+            F.col("x.cos_sim").alias("cos_sim"),
+        )
+    )
+
+
+@query(
     "q_embedding_norms",
     """
     SELECT vec_id,

@@ -251,6 +251,72 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_embedding_outliers",
+    """
+    WITH e AS (SELECT label, unnest(embedding) AS x,
+                      generate_subscripts(embedding, 1) AS ord
+               FROM embeddings),
+    c AS (SELECT label, ord, AVG(CAST(x AS DOUBLE)) AS m
+          FROM e GROUP BY label, ord),
+    cent AS (SELECT label, list(m ORDER BY ord) AS cv FROM c GROUP BY label),
+    scored AS (
+      SELECT v.label, v.vec_id,
+             ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                          cent.cv), 6) AS cos_centroid
+      FROM embeddings v JOIN cent USING (label)),
+    ranked AS (
+      SELECT label, vec_id, cos_centroid,
+             CAST(ROW_NUMBER() OVER (PARTITION BY label
+                                     ORDER BY cos_centroid, vec_id) AS BIGINT)
+               AS rn
+      FROM scored)
+    SELECT label, vec_id, cos_centroid, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-outlier scrub: the 3 vectors per label FURTHEST (lowest
+    cosine) from their own class centroid — the "mislabeled or off-topic
+    sample" filter run before contrastive training (the complement of
+    q_semantic_dedup, which removes the too-close). Ranking is on the
+    ROUNDED cosine with a vec_id tiebreak so near-ties cannot flip
+    membership across engines or layouts.
+
+    Scale shape: centroids via posexplode + partial-agg (k×d final state,
+    the q_embedding_centroids argument), broadcast back; the cosine is a
+    per-row map-side fold over the dims; the bottom-k window partitions
+    by label with a rank-3 cutoff — never a global sort."""
+    from hive_json_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("ord", "x")
+    )
+    cent = (
+        ex.groupBy("label", "ord")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "m"))), lambda s: s.m
+            ).alias("cv")
+        )
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        F.round(
+            cosine_similarity(F.col("embedding").cast("array<double>"), F.col("cv")), 6
+        ).alias("cos_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy("cos_centroid", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_id", "cos_centroid", "rn")
+    )
+
+
+@query(
     "q_kmeans_assign",
     """
     WITH e AS (SELECT label, unnest(embedding) AS x,
