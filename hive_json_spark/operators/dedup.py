@@ -980,6 +980,85 @@ def substring_dup_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-token gram, slide a
+    w-hash window, keep the MINIMUM hash of each full window, emit the
+    distinct (id, fingerprint) set.
+
+    The winnowing guarantee: two documents sharing a verbatim run of at
+    least ``w + k - 1`` tokens share at least one fingerprint — detection
+    is certain above that length, while storage is ~2/(w+1) of the gram
+    count (vs keeping every gram hash). Taking the min VALUE (not the
+    min position) keeps the result a pure function of the token
+    sequence — no tie-break subtlety, identical in any engine.
+
+    Gram hashes are the portable md5-prefix 32-bit ints (the
+    q_weighted_sample idiom) so a DuckDB oracle can reproduce them.
+    Scale shape: gram explode is bounded fanout (≈ tokens/doc), the
+    window min partitions BY DOCUMENT (each partition is one doc's gram
+    list — parallel across the corpus, bounded within), and the distinct
+    collapses ~w× before anything shuffles further.
+    """
+    toks = tokens(text_col)
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_id"), toks.alias("_tk"))
+        .filter(F.size("_tk") >= k + w - 1)
+    )
+    grams = base.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_tk") - k),
+                lambda i: F.array_join(F.slice("_tk", i + 1, k), " "),
+            )
+        ).alias("_i", "_gram"),
+    )
+    hv = F.conv(F.substring(F.md5("_gram"), 1, 8), 16, 10).cast("bigint")
+    hashed = grams.select("_id", "_i", hv.alias("_hv"))
+    win = Window.partitionBy("_id").orderBy("_i").rowsBetween(0, w - 1)
+    fps = (
+        hashed.select(
+            "_id",
+            F.min("_hv").over(win).alias("fp"),
+            F.count("*").over(win).alias("_wn"),
+        )
+        .filter(F.col("_wn") == w)  # full windows only
+        .select(F.col("_id").alias(id_col), "fp")
+        .distinct()
+    )
+    return fps
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints: equi-join on the
+    fingerprint value, pair counts aggregated map-side. Same join shape
+    as substring_dup_pairs but over the ~2/(w+1)-sparsified fingerprint
+    set — the storage/recall trade the winnowing paper proves tight."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_fp"))
+    )
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     key_col: str,

@@ -108,6 +108,45 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_winnow_dup",
+    """
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS tk
+                  FROM documents),
+    g AS (SELECT doc_id, i, array_to_string(tk[i + 1:i + 5], ' ') AS gram
+          FROM toks,
+               LATERAL (SELECT unnest(range(greatest(len(tk) - 4, 0))) AS i)),
+    h AS (SELECT doc_id, i,
+                 CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) AS hv
+          FROM g),
+    wmin AS (SELECT doc_id,
+                    MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                    COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+             FROM h),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE wn = 4)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+    FROM fps a JOIN fps b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def q_winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint near-dup pairs — k=5-gram hashes,
+    w=4 window minima, detection GUARANTEED for any shared verbatim run
+    of ≥ w+k−1 = 8 tokens while storing ~2/(w+1) of the gram hashes.
+    The sparsified complement to q_substring_dup (which keeps every
+    window): same equi-join shape, ~60% fewer index rows. See
+    operators.dedup.winnow_fingerprints for the scale shape."""
+    from hive_json_spark.operators.dedup import winnow_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_dup_pairs(docs, "doc_id", "text", k=5, w=4)
+
+
+@query(
     "q_setsim_prefix_join",
     """
     WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks

@@ -896,6 +896,35 @@ def test_substring_dup_short_docs_drop(spark):
     assert out == {(3, 4): 2}
 
 
+def test_winnowing_guarantee_and_sparsification(spark):
+    from hive_json_spark.operators.dedup import (
+        winnow_dup_pairs,
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = w+k-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} one two three four five six"),
+            (2, f"nine ten eleven twelve {shared} thirteen"),
+            (3, "completely different words with no common run at all here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b) for r in winnow_dup_pairs(docs, k=5, w=4).collect()
+    }
+    # the winnowing guarantee: a shared verbatim run of >= w+k-1 tokens
+    # MUST produce a shared fingerprint; doc 3 shares nothing
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    # sparsification: fingerprints per doc << full gram count
+    fps = winnow_fingerprints(docs, k=5, w=4).groupBy("doc_id").count().collect()
+    n_grams = {r.doc_id: len(r.text.split()) - 4 for r in docs.collect()}
+    for r in fps:
+        assert r["count"] < n_grams[r.doc_id]
+
+
 def test_sorted_neighborhood_matches_single_sort(spark):
     from hive_json_spark.operators.dedup import sorted_neighborhood_pairs
 
