@@ -306,3 +306,44 @@ def test_interval_overlap_is_hash_join_not_nested_loop(spark):
 def test_rrf_arms_use_topk_short_circuit(spark):
     plan = plan_of(spark, "q_rrf_fusion")
     assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_pagerank_plan_is_truncated_per_round(spark):
+    # per-round localCheckpoint: the audited static plan must be the
+    # executed per-round one, not 3 rounds of embedded lineage (the r2
+    # audit counted 48 static shuffles here)
+    plan = plan_of(spark, "q_pagerank_events")
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_equidepth_ranking_window_is_partitioned(spark):
+    # the per-row ranking window must partition by the coarse bucket —
+    # a global (empty-partition) row_number would serialize at any scale
+    plan = plan_of(spark, "q_equidepth_bins")
+    import re
+
+    for m in re.finditer(r"row_number\(\).*?windowspecdefinition\(([^)]*)\)", plan):
+        assert "_b" in m.group(1), "row_number window lost its bucket partition"
+    assert "row_number()" in plan
+
+
+def test_substring_dup_is_equi_join_on_window_key(spark):
+    # hash/broadcast equi-join on the window key — never a nested loop
+    # (AQE may pick broadcast at test scale; shuffled hash at 100 TB)
+    plan = plan_of(spark, "q_substring_dup")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_winnow_window_partitions_by_doc(spark):
+    # the w-window min must partition by document: per-doc gram lists are
+    # bounded, so no task ever sees more than one doc's grams
+    plan = plan_of(spark, "q_winnow_dup")
+    import re
+
+    wins = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert wins and all("_id" in w for w in wins)
