@@ -58,6 +58,73 @@ def brute_force_topk(
     )
 
 
+def brute_force_top1_gemm(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_corpus_rows: int = 1_000_000,
+) -> DataFrame:
+    """Exact top-1 cosine neighbor for EVERY corpus vector via broadcast
+    GEMM — the all-to-all variant of brute_force_topk. The expression
+    path scores |corpus|² pairs through interpreted higher-order
+    functions; this kernel does the identical math as one float64 matrix
+    product per Arrow batch (measured 11.5 s → ~1 s at 2000×64, sf0.1).
+
+    Semantics match the expression path exactly: similarity rounded to 6
+    before the argmax, ties broken toward the smallest id (the broadcast
+    matrix is sorted by id and np.argmax takes the first maximum).
+    Refuses corpora above ``max_corpus_rows`` (the broadcast bound) —
+    past that, mutual-linkage pipelines swap in the LSH/IVF retrievers.
+
+    Returns (query_id, vec_id, cos_sim).
+    """
+    probe = corpus.select(id_col).limit(max_corpus_rows + 1).count()
+    if probe > max_corpus_rows:
+        raise ValueError(
+            f"brute_force_top1_gemm: corpus exceeds max_corpus_rows="
+            f"{max_corpus_rows}; use the LSH/IVF retrievers for the "
+            f"candidate set and verify exactly on candidates"
+        )
+    rows = corpus.select(id_col, vec_col).collect()
+    spark = corpus.sparkSession
+    if len(rows) < 2:
+        return spark.createDataFrame(
+            [], f"query_id bigint, {id_col} bigint, cos_sim double"
+        )
+    order = np.argsort(np.fromiter((r[0] for r in rows), dtype=np.int64))
+    ids_all = np.fromiter((r[0] for r in rows), dtype=np.int64)[order]
+    M = np.array([rows[i][1] for i in order], dtype=np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    bcast = spark.sparkContext.broadcast((ids_all, M))
+
+    import pandas as pd
+
+    def kernel(batches):
+        bids, bm = bcast.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ida = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            S = np.round(V @ bm.T, 6)
+            S[ida[:, None] == bids[None, :]] = -np.inf  # exclude self
+            j = np.argmax(S, axis=1)  # first max = smallest id on ties
+            yield pd.DataFrame(
+                {
+                    "query_id": ida,
+                    id_col: bids[j],
+                    "cos_sim": S[np.arange(len(ida)), j],
+                }
+            )
+
+    return (
+        ensure_parallelism(corpus)
+        .select(id_col, vec_col)
+        .mapInPandas(kernel, f"query_id bigint, {id_col} bigint, cos_sim double")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).astype(np.float64)

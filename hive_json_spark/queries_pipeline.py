@@ -381,13 +381,16 @@ def q_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     'nearest' to everything). Ranking uses the rounded-sim + id total
     order so best-neighbor choice is engine/layout-free.
 
-    Scale shape: top-1 via brute_force_topk (broadcast GEMM — the exact
-    baseline; swap the LSH/IVF retriever above the broadcast budget),
+    Scale shape: top-1 via brute_force_top1_gemm (one float64 GEMM per
+    Arrow batch against the broadcast corpus matrix — the exact baseline,
+    guarded at 1M rows; swap the LSH/IVF retriever above the budget),
     then mutuality is a self-equi-join of the |corpus|-row best-neighbor
     table on the (a,b)=(b,a) key pair — one hash join, no second scan of
     the vectors."""
+    from hive_json_spark.operators.similarity import brute_force_top1_gemm
+
     emb = load_table(spark, sf_dir, "embeddings")
-    best = brute_force_topk(emb, emb, k=1).select(
+    best = brute_force_top1_gemm(emb).select(
         F.col("query_id").alias("qid"), F.col("vec_id").alias("cid"), "cos_sim"
     )
     x, y = best.alias("x"), best.alias("y")

@@ -198,7 +198,7 @@ def test_jpeg_constant_blocks_bit_exact():
 
 def test_phash_planted_near_dups(spark, sf_dir):
     """pHash near-dup retrieval on the planted-structure corpus: ids
-    sharing `id % 25` are near-duplicates (same base pattern, per-id
+    sharing `id // 20` are near-duplicates (same base pattern, per-id
     high-frequency noise). At hamming ≤ 6 the pairs must be exactly the
     same-base ones blocking can reach — zero false positives, recall
     measured ≥ 0.5 — and identical-noise ids (k % 4 == 0 on both sides,
@@ -218,12 +218,12 @@ def test_phash_planted_near_dups(spark, sf_dir):
     }
     assert pairs
     # precision: every returned pair shares the base pattern
-    assert all(a % 25 == b % 25 for a, b in pairs)
+    assert all(a // 20 == b // 20 for a, b in pairs)
     # deterministic anchor: same base + zero noise on both sides → hamming 0
-    zero_noise = [m for m in ids if (m // 25) % 4 == 0]
+    zero_noise = [m for m in ids if (m % 20) % 4 == 0]
     by_base = {}
     for m in zero_noise:
-        by_base.setdefault(m % 25, []).append(m)
+        by_base.setdefault(m // 20, []).append(m)
     anchors = [
         (a, b)
         for ms in by_base.values()
@@ -239,7 +239,7 @@ def test_phash_planted_near_dups(spark, sf_dir):
         (a, b)
         for i, a in enumerate(ids)
         for b in ids[i + 1:]
-        if a % 25 == b % 25
+        if a // 20 == b // 20
     ]
     reachable = [
         p
