@@ -2347,6 +2347,78 @@ def q_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_seq_pattern",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'view' THEN 'v'
+                                        WHEN 'click' THEN 'c'
+                                        WHEN 'purchase' THEN 'p'
+                                        WHEN 'signup' THEN 's'
+                                        ELSE 'e' END,
+                        '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(s, 'v+c*p')) AS BIGINT) AS n_funnels,
+           CAST(len(regexp_extract_all(s, 'ee+')) AS BIGINT) AS n_error_bursts,
+           CAST(CASE WHEN regexp_matches(s, 'p[^p]*e') THEN 1 ELSE 0 END
+                AS BIGINT) AS purchase_then_error
+    FROM seq
+    """,
+)
+def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching (MATCH_RECOGNIZE-lite): each user's ordered
+    event stream becomes a compact symbol string and patterns run as
+    regexes over it — view⁺click*purchase funnels (non-overlapping,
+    leftmost — exactly MATCH_RECOGNIZE AFTER MATCH SKIP PAST LAST ROW),
+    error bursts (ee+), and a purchase-followed-by-error flag. The
+    per-user symbol string is the classic "sequence as string" encoding
+    that turns a per-row NFA into one vectorized regex scan.
+
+    Determinism: symbols sort by (ts, event_id) — a total order — so the
+    string is unique; collect_list + array_sort is layout-free.
+
+    Scale: one shuffle on user_id; the regex scans each user's string
+    once (bounded by events-per-user, the same bound any stateful
+    sessionizer carries). A 100 TB variant caps per-user history or
+    windows the stream by month first — both stay one agg."""
+    ev = load_table(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", sym.alias("sym")))
+                ),
+                lambda s: s.sym,
+            ),
+            "",
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("bigint").alias("n_events"),
+        F.size(F.regexp_extract_all("s", F.lit("v+c*p"), 0))
+        .cast("bigint")
+        .alias("n_funnels"),
+        F.size(F.regexp_extract_all("s", F.lit("ee+"), 0))
+        .cast("bigint")
+        .alias("n_error_bursts"),
+        F.when(F.col("s").rlike("p[^p]*e"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("purchase_then_error"),
+    )
+
+
 # --- market-basket co-purchase lift ------------------------------------------
 
 @query(
