@@ -2348,6 +2348,65 @@ def q_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_twap_user",
+    """
+    WITH seg AS (
+      SELECT user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dur_us
+      FROM events),
+    agg AS (
+      SELECT user_id,
+             SUM(cents * dur_us) AS sw,
+             SUM(dur_us) AS td,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM seg WHERE dur_us IS NOT NULL GROUP BY user_id)
+    SELECT user_id, n_events,
+           CAST(td AS BIGINT) AS span_us,
+           ROUND(CAST(sw AS DOUBLE) / (CAST(td AS DOUBLE) * 100.0), 6) AS twap
+    FROM agg WHERE td > 0
+    """,
+)
+def q_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (the TWAP / TimescaleDB
+    ``time_weight('LOCF')`` primitive): each observation holds until the
+    next one, so the mean weights each value by its holding duration —
+    the correct average for irregularly-sampled state (price, balance,
+    sensor reading), where the row-mean over-weights chatty periods.
+
+    Exactness: weights are integer MICROSECONDS (Spark timestamps carry
+    µs — the unix_micros lesson), values integer cents; Σ(cents·µs) and
+    Σµs are exact int64 sums (≤ ~2.6·10¹⁷ per user at sf0.1), and the
+    one division happens after. At 100 TB per-user spans push toward
+    int64 limits → the documented widening is decimal(38,0) partials,
+    same plan. One user_id shuffle shared by the window and the agg."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).alias(
+            "dur_us"
+        ),
+    ).filter(F.col("dur_us").isNotNull())
+    agg = seg.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("dur_us")).alias("sw"),
+        F.sum("dur_us").alias("td"),
+        F.count("*").alias("n_events"),
+    )
+    return agg.filter(F.col("td") > 0).select(
+        "user_id",
+        "n_events",
+        F.col("td").cast("bigint").alias("span_us"),
+        F.round(
+            F.col("sw").cast("double") / (F.col("td").cast("double") * 100.0), 6
+        ).alias("twap"),
+    )
+
+
+@query(
     "q_seq_pattern",
     """
     WITH seq AS (
