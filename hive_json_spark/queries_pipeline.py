@@ -573,6 +573,28 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_features(synthetic_media_binary(docs))
 
 
+@query("q_audio_fingerprint_dup")
+def q_audio_fingerprint_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs by spectral constellation fingerprinting —
+    the AUDIO arm of the dedup suite (text: MinHash/SimHash/substring/
+    winnowing; image: pHash; audio: this). Two-voice melodies round-trip
+    the REAL WAV codec, frames FFT into per-band peak constellations,
+    and docs pair on ≥3 shared joint-peak hashes
+    (operators.multimodal.spectral_fingerprints / audio_near_dup_pairs).
+
+    Rows-only by nature (an FFT has no reasonable SQL form); correctness
+    pinned by unit tests: zero cross-melody collisions measured, planted
+    recall ≥ 0.5 under the strongest noise tier, identical-noise anchors
+    share their full fingerprint set."""
+    from hive_json_spark.operators.multimodal import (
+        audio_near_dup_pairs,
+        spectral_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_near_dup_pairs(spectral_fingerprints(docs, "doc_id"))
+
+
 @query("q_phash_image_dup")
 def q_phash_image_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash image near-dup pairs — the IMAGE arm of the dedup

@@ -269,6 +269,47 @@ def test_phash_invariants():
     assert np.allclose(box_downsample_gray(np.full((50, 70), 99, np.uint8)), 99.0)
 
 
+def test_audio_fingerprint_planted_near_dups(spark, sf_dir):
+    """Constellation fingerprint retrieval: ids sharing `id // 20` play
+    the same melody under per-id noise. Pairs at >=3 shared hashes must
+    all be same-melody (zero cross-melody collisions), recall >= 0.5,
+    and zero-noise ids of one melody share their FULL fingerprint set."""
+    from hive_json_spark.operators.multimodal import (
+        audio_near_dup_pairs,
+        spectral_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = spectral_fingerprints(docs, "doc_id").persist()
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in audio_near_dup_pairs(fps, min_shared=3).collect()
+    }
+    assert pairs
+    assert all(a // 20 == b // 20 for a, b in pairs)
+    by_id = {}
+    for r in fps.collect():
+        by_id.setdefault(r.media_id, set()).add(r.fhash)
+    ids = sorted(by_id)
+    same = [
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if a // 20 == b // 20
+    ]
+    hits = [p for p in same if len(by_id[p[0]] & by_id[p[1]]) >= 3]
+    assert set(pairs) == set(hits)  # join is complete, not just sound
+    assert len(hits) / len(same) >= 0.5
+    # zero-noise anchors: identical signal → identical fingerprint set
+    anchors = [
+        (a, b) for a, b in same if (a % 20) % 4 == 0 and (b % 20) % 4 == 0
+    ]
+    assert anchors
+    for a, b in anchors:
+        assert by_id[a] == by_id[b]
+    fps.unpersist()
+
+
 def test_jpeg_rejects_unrepresentable_quant_table():
     """DQT stores 8-bit integers: a table with entries >255 or fractional
     values would quantize with one table and ship another (silent decode
