@@ -115,6 +115,7 @@ def banded_minhash(
     bands: int = 8,
     shingle_n: int = 3,
     seed: int = 42,
+    keep_text: bool = False,
 ) -> DataFrame:
     """``(id, band, band_hash)`` rows — the LSH bucket keys, one Arrow
     kernel end-to-end (shingle → minhash → per-band hash). Fusing the
@@ -133,7 +134,7 @@ def banded_minhash(
         from zlib import crc32
 
         for pdf in batches:
-            ids, band_idx, band_hash = [], [], []
+            ids, band_idx, band_hash, texts = [], [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 toks = text.split() if text else []
                 count = max(len(toks) - n + 1, 1)
@@ -147,13 +148,17 @@ def banded_minhash(
                     band_hash.append(
                         crc32(sig_bytes[b * rows_per_band * 8 : (b + 1) * rows_per_band * 8])
                     )
-            yield pd.DataFrame(
-                {id_col: ids, "band": band_idx, "band_hash": band_hash}
-            )
+                    if keep_text:
+                        texts.append(text)
+            out = {id_col: ids, "band": band_idx, "band_hash": band_hash}
+            if keep_text:
+                out[text_col] = texts
+            yield pd.DataFrame(out)
 
-    return ensure_parallelism(df).select(id_col, text_col).mapInPandas(
-        kernel, f"{id_col} bigint, band int, band_hash bigint"
-    )
+    schema = f"{id_col} bigint, band int, band_hash bigint"
+    if keep_text:
+        schema += f", {text_col} string"
+    return ensure_parallelism(df).select(id_col, text_col).mapInPandas(kernel, schema)
 
 
 def lsh_candidate_pairs(

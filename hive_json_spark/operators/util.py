@@ -11,6 +11,10 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     partition and would serialize compute-heavy per-row operators onto one
     core; at real scale inputs are already well-partitioned and this is a
     no-op. The round-robin shuffle moves only the projected columns."""
+    if df.isStreaming:
+        # partition counts are per-micro-batch on a stream (and .rdd is
+        # illegal there); the source's own partitioning governs
+        return df
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() < max(target // 2, 2):

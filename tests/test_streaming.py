@@ -638,3 +638,60 @@ def test_streaming_cms_matches_batch_sketch_and_replay(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(out).select("j", "bucket", "n").collect()
     )
     assert again == expected
+
+
+def test_streaming_near_dup_gate_matches_batch(spark, sf_dir, tmp_path):
+    """The stream-static near-dup gate must flag exactly the pairs the
+    BATCH LSH+verify pipeline finds between the same two frames: stream
+    docs near-duplicating the static corpus get (stream_id, corpus_id,
+    jaccard) rows; novel docs pass silently."""
+    from hive_json_spark.operators.dedup import banded_minhash
+    from hive_json_spark.sources import load_table
+    from hive_json_spark.streaming import streaming_near_dup_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)      # historical half
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)    # arriving half
+    src = str(tmp_path / "incoming")
+    incoming.write.parquet(src)
+
+    stream = spark.readStream.schema(incoming.schema).parquet(src)
+    out = streaming_near_dup_flags(stream, corpus, threshold=0.5)
+    q = (
+        out.writeStream.format("memory").queryName("ndg")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.stream_id, r.corpus_id): r.jaccard
+        for r in spark.table("ndg").collect()
+    }
+
+    # batch twin: identical banding on both frames, candidates by band
+    # collision, exact Jaccard verify
+    bi = banded_minhash(corpus, "doc_id", "text").select(
+        F.col("doc_id").alias("corpus_id"), "band", "band_hash"
+    )
+    bs = banded_minhash(incoming, "doc_id", "text").select(
+        F.col("doc_id").alias("stream_id"), "band", "band_hash"
+    )
+    cand = bs.join(bi, ["band", "band_hash"]).dropDuplicates(
+        ["stream_id", "corpus_id"]
+    )
+    st = incoming.select(F.col("doc_id").alias("stream_id"), F.col("text").alias("_s"))
+    ct = corpus.select(F.col("doc_id").alias("corpus_id"), F.col("text").alias("_c"))
+    ta = F.array_distinct(F.split(F.col("_s"), r"\s+"))
+    tb = F.array_distinct(F.split(F.col("_c"), r"\s+"))
+    jac = F.round(
+        F.size(F.array_intersect(ta, tb)).cast("double")
+        / F.greatest(F.size(F.array_union(ta, tb)).cast("double"), F.lit(1.0)),
+        4,
+    )
+    expected = {
+        (r.stream_id, r.corpus_id): r.jaccard
+        for r in cand.join(st, "stream_id").join(ct, "corpus_id")
+        .withColumn("jaccard", jac).filter(F.col("jaccard") >= 0.5)
+        .select("stream_id", "corpus_id", "jaccard").collect()
+    }
+    assert got == expected and len(got) > 0
