@@ -500,6 +500,96 @@ def q_hypothetical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_corr_matrix",
+    """
+    WITH u AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+             CAST(ROUND(l_discount * 10000) AS BIGINT) AS d,
+             CAST(ROUND(l_tax * 10000) AS BIGINT) AS t
+      FROM lineitem),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(q AS HUGEINT)) AS sq, SUM(CAST(p AS HUGEINT)) AS sp,
+             SUM(CAST(d AS HUGEINT)) AS sd, SUM(CAST(t AS HUGEINT)) AS st,
+             SUM(CAST(q AS HUGEINT) * q) AS sqq, SUM(CAST(p AS HUGEINT) * p) AS spp,
+             SUM(CAST(d AS HUGEINT) * d) AS sdd, SUM(CAST(t AS HUGEINT) * t) AS stt,
+             SUM(CAST(q AS HUGEINT) * p) AS sqp, SUM(CAST(q AS HUGEINT) * d) AS sqd,
+             SUM(CAST(q AS HUGEINT) * t) AS sqt, SUM(CAST(p AS HUGEINT) * d) AS spd,
+             SUM(CAST(p AS HUGEINT) * t) AS spt, SUM(CAST(d AS HUGEINT) * t) AS sdt
+      FROM u)
+    SELECT
+      ROUND((CAST(n AS DOUBLE)*CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sp AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE)*CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE))
+             * (CAST(n AS DOUBLE)*CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE))), 6) AS r_qty_price,
+      ROUND((CAST(n AS DOUBLE)*CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sd AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE)*CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE))
+             * (CAST(n AS DOUBLE)*CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE))), 6) AS r_qty_disc,
+      ROUND((CAST(n AS DOUBLE)*CAST(sqt AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(st AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE)*CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE))
+             * (CAST(n AS DOUBLE)*CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)*CAST(st AS DOUBLE))), 6) AS r_qty_tax,
+      ROUND((CAST(n AS DOUBLE)*CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sd AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE)*CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE))
+             * (CAST(n AS DOUBLE)*CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE))), 6) AS r_price_disc,
+      ROUND((CAST(n AS DOUBLE)*CAST(spt AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(st AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE)*CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE))
+             * (CAST(n AS DOUBLE)*CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)*CAST(st AS DOUBLE))), 6) AS r_price_tax,
+      ROUND((CAST(n AS DOUBLE)*CAST(sdt AS DOUBLE) - CAST(sd AS DOUBLE)*CAST(st AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE)*CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE))
+             * (CAST(n AS DOUBLE)*CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)*CAST(st AS DOUBLE))), 6) AS r_disc_tax
+    FROM m
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise Pearson correlation matrix of lineitem's four numeric
+    measures in ONE aggregation pass — the feature-screening profile a
+    modeling pipeline computes before training. 14 moment sums feed all
+    6 pairwise correlations; the scan is read once, partials combine
+    map-side, and the final state is 14 numbers regardless of input size.
+
+    Exactness: values enter on integer grids (qty, cents, basis points);
+    every moment is an exact integer sum — price² × 600k rows ≈ 6·10¹⁹
+    exceeds int64, so the partials widen to decimal(38,0) on Spark and
+    HUGEINT on DuckDB (both exact) — and each correlation is a pure
+    function of those integers, so the rounded doubles are identical on
+    any layout and engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    q = F.col("l_quantity").cast("bigint").cast(dec)
+    p = F.round(F.col("l_extendedprice") * 100).cast("bigint").cast(dec)
+    d = F.round(F.col("l_discount") * 10000).cast("bigint").cast(dec)
+    t = F.round(F.col("l_tax") * 10000).cast("bigint").cast(dec)
+    m = li.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(q).alias("sq"), F.sum(p).alias("sp"),
+        F.sum(d).alias("sd"), F.sum(t).alias("st"),
+        F.sum(q * q).cast(dec).alias("sqq"), F.sum(p * p).cast(dec).alias("spp"),
+        F.sum(d * d).cast(dec).alias("sdd"), F.sum(t * t).cast(dec).alias("stt"),
+        F.sum(q * p).cast(dec).alias("sqp"), F.sum(q * d).cast(dec).alias("sqd"),
+        F.sum(q * t).cast(dec).alias("sqt"), F.sum(p * d).cast(dec).alias("spd"),
+        F.sum(p * t).cast(dec).alias("spt"), F.sum(d * t).cast(dec).alias("sdt"),
+    )
+
+    def r(sxy, sx, sy, sxx, syy, alias):
+        dd = lambda c: F.col(c).cast("double")
+        num = dd("n") * dd(sxy) - dd(sx) * dd(sy)
+        den = F.sqrt(
+            (dd("n") * dd(sxx) - dd(sx) * dd(sx))
+            * (dd("n") * dd(syy) - dd(sy) * dd(sy))
+        )
+        return F.round(num / den, 6).alias(alias)
+
+    return m.select(
+        r("sqp", "sq", "sp", "sqq", "spp", "r_qty_price"),
+        r("sqd", "sq", "sd", "sqq", "sdd", "r_qty_disc"),
+        r("sqt", "sq", "st", "sqq", "stt", "r_qty_tax"),
+        r("spd", "sp", "sd", "spp", "sdd", "r_price_disc"),
+        r("spt", "sp", "st", "spp", "stt", "r_price_tax"),
+        r("sdt", "sd", "st", "sdd", "stt", "r_disc_tax"),
+    )
+
+
 # --- set operations ----------------------------------------------------------
 
 @query(
