@@ -250,6 +250,89 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle(rounds: int) -> str:
+    head = """
+    WITH seq AS (SELECT event_type AS u,
+                        LEAD(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS v
+                 FROM events),
+    e0 AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w
+           FROM seq WHERE v IS NOT NULL GROUP BY u, v),
+    und AS (SELECT u, v, CAST(SUM(w) AS BIGINT) AS w
+            FROM (SELECT u, v, w FROM e0
+                  UNION ALL SELECT v AS u, u AS v, w FROM e0)
+            GROUP BY u, v),
+    l0 AS (SELECT DISTINCT u AS node, u AS lab FROM und)"""
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(f""",
+    v{k} AS (SELECT und.v AS node, l{k-1}.lab,
+                    CAST(SUM(und.w) AS BIGINT) AS vw
+             FROM und JOIN l{k-1} ON l{k-1}.node = und.u
+             GROUP BY und.v, l{k-1}.lab),
+    l{k} AS (SELECT node, lab FROM
+               (SELECT node, lab,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                                          ORDER BY vw DESC, lab) AS rn
+                FROM v{k})
+             WHERE rn = 1)"""
+        )
+    return head + "".join(steps) + f"""
+    SELECT node, lab AS community FROM l{rounds}
+    """
+
+
+@query("q_label_propagation", _lpa_oracle(LPA_ROUNDS))
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (3 rounds)
+    over the undirected event-type transition graph — the cheap
+    communities-without-modularity pass (Raghavan et al. 2007) used to
+    cluster interaction graphs before heavier methods. Deterministic
+    variant: synchronous updates, argmax by (vote weight DESC, label
+    ASC) — a total order, so the oracle's unrolled CTEs reproduce every
+    round exactly.
+
+    Scale shape: edge weights come from one windowed pass + agg (shared
+    with q_event_transitions / q_pagerank_events); each round is one
+    join + one agg + one bounded argmax window on the label frame
+    (|nodes| rows), localCheckpoint()ed so the audited plan equals the
+    per-round executed one. At graph scale the label frame co-partitions
+    with the edge list on the source key — same loop, no broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("u"), F.lead("event_type").over(w).alias("v")
+    ).filter(F.col("v").isNotNull())
+    e0 = seq.groupBy("u", "v").agg(F.count("*").alias("w"))
+    und = (
+        e0.select("u", "v", "w")
+        .unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        .groupBy("u", "v")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+        .persist()
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            und.join(labels, und.u == labels.node)
+            .groupBy(F.col("v").alias("node2"), "lab")
+            .agg(F.sum("w").cast("bigint").alias("vw"))
+        )
+        wr = Window.partitionBy("node2").orderBy(F.col("vw").desc(), F.col("lab"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select(F.col("node2").alias("node"), "lab")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lab").alias("community"))
+
+
 @query(
     "q_embedding_outliers",
     """
