@@ -107,6 +107,103 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_pairs(docs, "doc_id", "text", k=8, hash_key=False)
 
 
+@query("q_dedup_method_eval")
+def q_dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method evaluation harness (the q_ann_recall pattern applied
+    to the dedup suite): score every approximate near-dup method against
+    the EXACT 3-gram shingle-set Jaccard ≥ 0.5 pair set, computed
+    all-pairs via the shingle equi-join (order-SENSITIVE similarity —
+    the space MinHash actually sketches; token-SET Jaccard saturates on
+    this small-vocabulary corpus, 92k of 125k pairs ≥ 0.5, and grades
+    nothing). Emits (method, n_pairs, n_truth, precision vs truth,
+    recall of truth) for MinHash-LSH, SimHash, exact-substring windows,
+    and winnowing fingerprints.
+
+    Expected shape, pinned by the unit test: MinHash-LSH precision is
+    EXACTLY 1.0 against this truth (it verifies candidates with the same
+    exact shingle Jaccard) and its recall measures pure LSH candidate
+    coverage; the span methods (substring/winnow) trade recall on
+    shuffled-but-similar docs for verbatim-run guarantees; SimHash sits
+    between. Rows-only by nature (MinHash/SimHash have no SQL form);
+    every per-method pair set is itself unit-tested upstream.
+
+    Scale: truth is the substring-join shape (distinct (id, shingle) →
+    equi-join → per-pair counts — bounded by shared-shingle pairs, which
+    order-sensitivity keeps sparse); the scoring joins run on pair sets,
+    collision-sized, not corpus-sized."""
+    from hive_json_spark.functions.text import word_shingles
+    from hive_json_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        simhash_near_dup_pairs,
+        substring_dup_pairs,
+        winnow_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            F.col("doc_id").alias("_id"),
+            F.explode(F.array_distinct(word_shingles("text", 3))).alias("_s"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
+    a = sh.select(F.col("_id").alias("id_a"), "_s")
+    b = sh.select(F.col("_id").alias("id_b"), "_s")
+    inter = (
+        a.join(b, "_s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_i"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb")), "id_b")
+        .filter(
+            F.col("_i").cast("double")
+            >= 0.5 * (F.col("_sa") + F.col("_sb") - F.col("_i"))
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
+    n_truth = truth.count()
+    methods = {
+        "minhash_lsh": minhash_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).select("id_a", "id_b"),
+        "simhash": simhash_near_dup_pairs(docs, "text", "doc_id").select(
+            "id_a", "id_b"
+        ),
+        "substring_w8": substring_dup_pairs(docs, "doc_id", "text", k=8).select(
+            "id_a", "id_b"
+        ),
+        "winnow_k5w4": winnow_dup_pairs(docs, "doc_id", "text", k=5, w=4).select(
+            "id_a", "id_b"
+        ),
+    }
+    rows = []
+    for name, pairs in methods.items():
+        p = pairs.distinct().persist()
+        n_pairs = p.count()
+        n_hit = p.join(truth, ["id_a", "id_b"]).count()
+        rows.append(
+            (
+                name,
+                n_pairs,
+                n_truth,
+                round(n_hit / n_pairs, 4) if n_pairs else 0.0,
+                round(n_hit / n_truth, 4) if n_truth else 0.0,
+            )
+        )
+        p.unpersist()
+    truth.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "method string, n_pairs bigint, n_truth bigint, "
+        "precision double, recall double",
+    )
+
+
 @query(
     "q_winnow_dup",
     """

@@ -896,6 +896,25 @@ def test_substring_dup_short_docs_drop(spark):
     assert out == {(3, 4): 2}
 
 
+def test_dedup_method_eval_invariants(spark, sf_dir):
+    """MinHash-LSH verifies candidates with the SAME exact shingle
+    Jaccard the harness uses as truth, so its precision is exactly 1.0
+    (a verified pair can never be a false positive); every method must
+    find a non-empty pair set on the planted corpus."""
+    import __spark_entry__ as entry_mod
+
+    rows = {
+        r.method: r
+        for r in entry_mod.queries()["q_dedup_method_eval"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"minhash_lsh", "simhash", "substring_w8", "winnow_k5w4"}
+    assert rows["minhash_lsh"].precision == 1.0
+    assert all(r.n_pairs > 0 for r in rows.values())
+    assert all(0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0 for r in rows.values())
+
+
 def test_winnowing_guarantee_and_sparsification(spark):
     from hive_json_spark.operators.dedup import (
         winnow_dup_pairs,
