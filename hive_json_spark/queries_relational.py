@@ -501,6 +501,42 @@ def q_hypothetical_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_grouping_id",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+             AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with the GROUPING_ID bitmask — the aggregation-level label
+    that lets one materialized cube serve every rollup consumer without
+    string sentinels colliding with real values (the COALESCE label here
+    is for display; gid is the trustworthy level key). Spark's
+    grouping_id() packs the same bits DuckDB's per-column GROUPING()
+    exposes — the oracle reconstructs the mask bit-by-bit. One expand +
+    one partial-agg shuffle, like every grouping-sets query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n",
+        )
+    )
+
+
+@query(
     "q_corr_matrix",
     """
     WITH u AS (
