@@ -205,6 +205,14 @@ PERTURB_QUERIES = [
     "q_listagg",
     # two-level rank decomposition (bucket offset + within-bucket row_number)
     "q_equidepth_bins",
+    # centroid AVG is a double sum; ranking must ride the ROUNDED cosine
+    "q_embedding_outliers",
+    # GEMM top-1: per-row fixed-order dot products, argmax on rounded sims
+    "q_mutual_nn",
+    # decimal(38,0) moment sums are order-free by exactness
+    "q_corr_matrix",
+    # µs×cents integer weighting
+    "q_twap_user",
 ]
 
 
