@@ -125,6 +125,170 @@ def brute_force_top1_gemm(
     )
 
 
+def pq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    sample: int = 256,
+    iters: int = 5,
+    seed: int = 42,
+):
+    """Product quantization: split the (normalized) vector into
+    ``n_subspaces`` contiguous sub-vectors and learn a ``n_codes``-entry
+    k-means codebook per subspace on a deterministic driver-side sample
+    (the IVF training pattern — train tiny, assign distributed). Each
+    vector compresses to ``n_subspaces`` uint8 codes: 64 float32 dims →
+    8 bytes, the 32× compression that makes billion-vector ANN memory
+    feasible (Jégou, Douze & Schmid, TPAMI 2011).
+
+    Returns (codes_df with an added ``pq_codes: array<int>`` column,
+    codebooks ndarray [n_subspaces, n_codes, sub_dim]).
+    """
+    sample_rows = corpus.select(vec_col).orderBy(id_col).limit(sample).collect()
+    if not sample_rows:
+        empty = corpus.withColumn("pq_codes", F.array().cast("array<int>"))
+        return empty, np.zeros((0, 0, 0), dtype=np.float64)
+    X = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    sub = dim // n_subspaces
+    rng = np.random.RandomState(seed)
+    books = np.zeros((n_subspaces, n_codes, sub), dtype=np.float64)
+    for s in range(n_subspaces):
+        Xs = X[:, s * sub:(s + 1) * sub]
+        k = min(n_codes, len(Xs))
+        cents = Xs[rng.choice(len(Xs), size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = Xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[s, :k] = cents
+
+    bcast = corpus.sparkSession.sparkContext.broadcast(books)
+
+    from pyspark.sql import types as T
+
+    import pandas as pd
+
+    out_schema = T.StructType(
+        list(corpus.schema.fields)
+        + [T.StructField("pq_codes", T.ArrayType(T.IntegerType()), False)]
+    )
+
+    def assign_kernel(batches):
+        B = bcast.value
+        ns, nc, sd = B.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(V), ns), dtype=np.int32)
+            for s in range(ns):
+                Vs = V[:, s * sd:(s + 1) * sd]
+                d2 = ((Vs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pdf.assign(pq_codes=[list(map(int, c)) for c in codes])
+
+    coded = ensure_parallelism(corpus).mapInPandas(assign_kernel, out_schema)
+    return coded, books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance computation (ADC):
+    each query builds an ``n_subspaces × n_codes`` inner-product table
+    against the codebooks (driver-sized math), broadcast to the coded
+    corpus, and every corpus vector scores as ``Σ_s table[s, code_s]`` —
+    a table-lookup sum over 8 small ints instead of a 64-dim float dot.
+    The compressed scan reads 8 bytes/vector: the memory-bandwidth shape
+    that lets one executor scan 10⁹ codes/s at 100 TB scale.
+
+    Approximation error comes only from quantization (recall measured in
+    q_pq_recall); ranking is (rounded score desc, id) — total order.
+    The per-query ADC tables are driver-built and broadcast (ns×nc
+    doubles each — 1 KiB/query), so the query side is explicitly bounded
+    by ``max_queries`` (the ivf_topk lesson: never an unbounded driver
+    materialization); a table-sized query workload probe-assigns
+    distributed instead. Returns (query_id, vec_id, adc_score, rank).
+    """
+    coded, books = pq_index(
+        corpus, id_col, vec_col, n_subspaces, n_codes, seed=seed
+    )
+    if books.size == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id bigint, {id_col} bigint, adc_score double, rank bigint"
+        )
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_topk: query side exceeds max_queries={max_queries}; "
+            f"broadcast ADC tables are per-query — batch the queries or "
+            f"use the distributed probe-assignment pattern (ivf_topk)"
+        )
+    ns, nc, sd = books.shape
+    tables = {}
+    for r in q_rows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        tables[int(r[0])] = np.stack(
+            [books[s] @ qv[s * sd:(s + 1) * sd] for s in range(ns)]
+        )
+    bcast = corpus.sparkSession.sparkContext.broadcast(tables)
+
+    import pandas as pd
+
+    def score_kernel(batches):
+        T_ = bcast.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["pq_codes"]]
+            )
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            out_q, out_id, out_s = [], [], []
+            for qid, tab in T_.items():
+                scores = np.round(
+                    tab[np.arange(ns)[None, :], codes].sum(axis=1), 6
+                )
+                keep = ids != qid
+                out_q.append(np.full(keep.sum(), qid, dtype=np.int64))
+                out_id.append(ids[keep])
+                out_s.append(scores[keep])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_id),
+                    "adc_score": np.concatenate(out_s),
+                }
+            )
+
+    scored = coded.select(id_col, "pq_codes").mapInPandas(
+        score_kernel, f"query_id bigint, {id_col} bigint, adc_score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).astype(np.float64)

@@ -896,6 +896,47 @@ def test_substring_dup_short_docs_drop(spark):
     assert out == {(3, 4): 2}
 
 
+def test_pq_adc_beats_random_and_guards_query_side(spark, sf_dir):
+    """PQ-ADC sanity: codes are valid, recall@5 is far above the random
+    baseline (5/499 ≈ 0.01), identical re-runs are deterministic, and
+    the query-side max_queries guard refuses unbounded driver tables."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from hive_json_spark.operators.similarity import pq_index, pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    coded, books = pq_index(emb, n_subspaces=16, n_codes=64)
+    row = coded.select("pq_codes").first()
+    assert len(row.pq_codes) == 16
+    assert all(0 <= c < 64 for c in row.pq_codes)
+    assert books.shape == (16, 64, 4)
+
+    q = emb.filter(F.col("vec_id") < 5)
+    r1 = {
+        (r.query_id, r.vec_id, r.adc_score)
+        for r in pq_topk(emb, q, k=5, n_subspaces=16, n_codes=64).collect()
+    }
+    r2 = {
+        (r.query_id, r.vec_id, r.adc_score)
+        for r in pq_topk(emb, q, k=5, n_subspaces=16, n_codes=64).collect()
+    }
+    assert r1 == r2 and len(r1) == 25
+
+    import __spark_entry__ as entry_mod
+
+    recall = {
+        r.query_id: r.recall
+        for r in entry_mod.queries()["q_pq_recall"](spark, sf_dir).collect()
+    }
+    assert len(recall) == 5
+    assert sum(recall.values()) / len(recall) >= 0.3  # ≫ random 0.01
+
+    with _pytest.raises(ValueError, match="max_queries"):
+        pq_topk(emb, emb, k=5, max_queries=3)
+
+
 def test_dedup_method_eval_invariants(spark, sf_dir):
     """MinHash-LSH verifies candidates with the SAME exact shingle
     Jaccard the harness uses as truth, so its precision is exactly 1.0
