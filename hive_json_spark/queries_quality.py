@@ -950,6 +950,68 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_t_closeness",
+    """
+    WITH g AS (SELECT c_mktsegment,
+                      CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS band,
+                      CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM customer GROUP BY 1, 2),
+    n AS (SELECT c_mktsegment, CAST(SUM(cnt) AS BIGINT) AS class_n FROM g GROUP BY 1),
+    tot AS (SELECT band, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM g GROUP BY band),
+    nn AS (SELECT CAST(SUM(gcnt) AS BIGINT) AS total FROM tot),
+    spread AS (
+      SELECT n.c_mktsegment, tot.band, n.class_n, tot.gcnt, nn.total,
+             COALESCE(g.cnt, 0) AS cnt
+      FROM n CROSS JOIN tot CROSS JOIN nn
+      LEFT JOIN g ON g.c_mktsegment = n.c_mktsegment AND g.band = tot.band)
+    SELECT c_mktsegment,
+           CAST(ANY_VALUE(class_n) AS BIGINT) AS class_size,
+           ROUND(CAST(SUM(ABS(cnt * total - gcnt * class_n)) AS DOUBLE)
+                 / (2.0 * ANY_VALUE(class_n) * ANY_VALUE(total)), 6) AS tvd
+    FROM spread GROUP BY c_mktsegment
+    """,
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third leg of the anonymization triple
+    (q_k_anonymity: classes big enough; q_l_diversity: sensitive values
+    varied enough; this: the class's sensitive DISTRIBUTION must track
+    the global one, else class membership itself leaks). Per market
+    segment, total-variation distance between the class's balance-band
+    distribution and the corpus-wide one.
+
+    Exactness: TVD = Σ|cnt·N − gcnt·n| / (2·n·N) — the numerator is an
+    exact integer sum (counts ×, never the ratio doubles), so the one
+    division makes the rounded output layout/engine-free. Scale shape:
+    one (class, band) agg with map-side partials; the spread join runs
+    on the band-domain × class-domain frame (bounded by the value
+    domains, not the row count)."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 2000).cast("bigint")
+    g = cust.groupBy(F.col("c_mktsegment"), band.alias("band")).agg(
+        F.count("*").alias("cnt")
+    )
+    n = g.groupBy("c_mktsegment").agg(F.sum("cnt").cast("bigint").alias("class_n"))
+    tot = g.groupBy("band").agg(F.sum("cnt").cast("bigint").alias("gcnt"))
+    nn = tot.agg(F.sum("gcnt").cast("bigint").alias("total"))
+    spread = (
+        n.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nn))
+        .join(g, ["c_mktsegment", "band"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+    )
+    return spread.groupBy("c_mktsegment").agg(
+        F.any_value("class_n").cast("bigint").alias("class_size"),
+        F.round(
+            F.sum(
+                F.abs(F.col("cnt") * F.col("total") - F.col("gcnt") * F.col("class_n"))
+            ).cast("double")
+            / (2.0 * F.any_value("class_n") * F.any_value("total")),
+            6,
+        ).alias("tvd"),
+    )
+
+
 # --- Benford first-digit audit -----------------------------------------------
 
 @query(
