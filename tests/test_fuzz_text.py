@@ -91,3 +91,78 @@ def test_random_corpus_matches_oracles(spark, tmp_path, seed):
             tuple(_norm(r[i]) for i in idx) for r in res.fetchall()
         )
         assert spark_rows == duck_rows, f"{name} seed={seed}"
+
+
+@pytest.mark.parametrize("seed", range(40, 46))
+def test_substring_and_winnow_match_bruteforce(spark, seed):
+    """Differential fuzz for the span-dedup operators: on random corpora
+    with planted shared runs, substring_dup_pairs must equal the literal
+    python set computation, and winnow_dup_pairs must (a) be a subset of
+    docs sharing >= w+k-1-token runs' guarantee set and (b) match its own
+    python reference exactly."""
+    import hashlib
+
+    from hive_json_spark.operators.dedup import (
+        substring_dup_pairs,
+        winnow_dup_pairs,
+    )
+
+    rnd = random.Random(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    runs = [
+        [rnd.choice(vocab) for _ in range(rnd.randint(8, 14))] for _ in range(4)
+    ]
+    for doc_id in range(24):
+        toks = [rnd.choice(vocab) for _ in range(rnd.randint(5, 40))]
+        if rnd.random() < 0.5:  # plant a shared run at a random position
+            run = rnd.choice(runs)
+            pos = rnd.randint(0, len(toks))
+            toks = toks[:pos] + run + toks[pos:]
+        docs.append((doc_id, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+
+    k = 8
+    # python reference: k-token window sets
+    wins = {
+        i: {
+            " ".join(t.split()[j:j + k])
+            for j in range(len(t.split()) - k + 1)
+        }
+        for i, t in docs
+        if len(t.split()) >= k
+    }
+    expect_sub = {
+        (a, b): len(wins[a] & wins[b])
+        for a in wins
+        for b in wins
+        if a < b and wins[a] & wins[b]
+    }
+    got_sub = {
+        (r.id_a, r.id_b): r.n_shared_windows
+        for r in substring_dup_pairs(df, k=k).collect()
+    }
+    assert got_sub == expect_sub, f"seed={seed}"
+
+    # python reference for winnowing (k=5, w=4, md5-prefix hash)
+    def fps(toks):
+        if len(toks) < 5 + 4 - 1:
+            return set()
+        hs = [
+            int(hashlib.md5(" ".join(toks[j:j + 5]).encode()).hexdigest()[:8], 16)
+            for j in range(len(toks) - 4)
+        ]
+        return {min(hs[j:j + 4]) for j in range(len(hs) - 3)}
+
+    fsets = {i: fps(t.split()) for i, t in docs}
+    expect_win = {
+        (a, b): len(fsets[a] & fsets[b])
+        for a in fsets
+        for b in fsets
+        if a < b and fsets[a] & fsets[b]
+    }
+    got_win = {
+        (r.id_a, r.id_b): r.n_shared_fp
+        for r in winnow_dup_pairs(df, k=5, w=4).collect()
+    }
+    assert got_win == expect_win, f"seed={seed}"
