@@ -116,6 +116,7 @@ def banded_minhash(
     shingle_n: int = 3,
     seed: int = 42,
     keep_text: bool = False,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """``(id, band, band_hash)`` rows — the LSH bucket keys, one Arrow
     kernel end-to-end (shingle → minhash → per-band hash). Fusing the
@@ -130,12 +131,15 @@ def banded_minhash(
     rows_per_band = num_perm // bands
     n = shingle_n
 
+    extra = ([text_col] if keep_text else []) + list(keep_cols)
+
     def kernel(batches):
         from zlib import crc32
 
         for pdf in batches:
-            ids, band_idx, band_hash, texts = [], [], [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+            ids, band_idx, band_hash = [], [], []
+            extras: dict[str, list] = {c: [] for c in extra}
+            for row_ix, (doc_id, text) in enumerate(zip(pdf[id_col], pdf[text_col])):
                 toks = text.split() if text else []
                 count = max(len(toks) - n + 1, 1)
                 sh = {" ".join(toks[i : i + n]) for i in range(count)}
@@ -148,17 +152,20 @@ def banded_minhash(
                     band_hash.append(
                         crc32(sig_bytes[b * rows_per_band * 8 : (b + 1) * rows_per_band * 8])
                     )
-                    if keep_text:
-                        texts.append(text)
+                    for c in extra:
+                        extras[c].append(pdf[c].iloc[row_ix])
             out = {id_col: ids, "band": band_idx, "band_hash": band_hash}
-            if keep_text:
-                out[text_col] = texts
+            out.update(extras)
             yield pd.DataFrame(out)
 
-    schema = f"{id_col} bigint, band int, band_hash bigint"
-    if keep_text:
-        schema += f", {text_col} string"
-    return ensure_parallelism(df).select(id_col, text_col).mapInPandas(kernel, schema)
+    in_df = ensure_parallelism(df)
+    types = {f.name: f.dataType.simpleString() for f in in_df.schema.fields}
+    schema_parts = [f"{id_col} bigint", "band int", "band_hash bigint"] + [
+        f"{c} {types[c]}" for c in extra
+    ]
+    return in_df.select(id_col, text_col, *keep_cols).mapInPandas(
+        kernel, ", ".join(schema_parts)
+    )
 
 
 def lsh_candidate_pairs(

@@ -36,12 +36,25 @@ def streaming_near_dup_flags(
     threshold: float = 0.5,
     num_perm: int = 64,
     bands: int = 8,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
 ) -> DataFrame:
     """Flag stream documents that are near-dups of the static corpus.
 
     Returns (stream_id, corpus_id, jaccard) — one row per flagged pair
     with exact distinct-token Jaccard ≥ threshold. The same banding
     parameters MUST be used on both sides (same seed → same hash family).
+
+    State honesty: a pair colliding in several bands would otherwise
+    emit once per band, so candidates are deduplicated on
+    (stream_id, corpus_id). Without ``ts_col`` that dedup keeps every
+    candidate-pair key seen — fine for bounded replays/backfills, a leak
+    on an unbounded stream. Production ingest streams carry event time:
+    pass ``ts_col`` and the dedup becomes
+    ``dropDuplicatesWithinWatermark`` — state evicts past the watermark,
+    which is correct here because band collisions of ONE document all
+    arrive in that document's own micro-batch (cross-batch repeats are
+    re-deliveries, exactly what the watermark window is for).
     """
     idx = banded_minhash(
         corpus, id_col, text_col, num_perm=num_perm, bands=bands
@@ -52,22 +65,32 @@ def streaming_near_dup_flags(
         F.col(id_col).alias("corpus_id"), F.col(text_col).alias("_ctxt")
     )
 
+    stream_cols = [id_col, text_col] + ([ts_col] if ts_col else [])
     sb = banded_minhash(
-        doc_stream, id_col, text_col, num_perm=num_perm, bands=bands,
-        keep_text=True,
+        doc_stream.select(*stream_cols), id_col, text_col,
+        num_perm=num_perm, bands=bands,
+        keep_text=True, keep_cols=([ts_col] if ts_col else []),
     ).select(
         F.col(id_col).alias("stream_id"),
         "band",
         "band_hash",
         F.col(text_col).alias("_stxt"),
+        *([ts_col] if ts_col else []),
     )
+    if ts_col:
+        # watermark AFTER the Arrow banding kernel: mapInPandas mints new
+        # output attributes, so event-time metadata set before it would
+        # not survive to the stateful dedup
+        sb = sb.withWatermark(ts_col, watermark)
 
-    cand = (
-        sb.join(idx, ["band", "band_hash"])
-        .filter(F.col("stream_id") != F.col("corpus_id"))
-        .dropDuplicates(["stream_id", "corpus_id"])
-        .join(corpus_text, "corpus_id")
+    cand = sb.join(idx, ["band", "band_hash"]).filter(
+        F.col("stream_id") != F.col("corpus_id")
     )
+    if ts_col:
+        cand = cand.dropDuplicatesWithinWatermark(["stream_id", "corpus_id"])
+    else:
+        cand = cand.dropDuplicates(["stream_id", "corpus_id"])
+    cand = cand.join(corpus_text, "corpus_id")
     ta = F.array_distinct(F.split(F.col("_stxt"), r"\s+"))
     tb = F.array_distinct(F.split(F.col("_ctxt"), r"\s+"))
     inter = F.size(F.array_intersect(ta, tb)).cast("double")

@@ -695,3 +695,49 @@ def test_streaming_near_dup_gate_matches_batch(spark, sf_dir, tmp_path):
         .select("stream_id", "corpus_id", "jaccard").collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_near_dup_gate_watermarked_state(spark, sf_dir, tmp_path):
+    """With an event-time column the gate's candidate dedup must run as
+    dropDuplicatesWithinWatermark (bounded state) and flag the same
+    pairs as the unwatermarked run on a bounded replay."""
+    from hive_json_spark.sources import load_table
+    from hive_json_spark.streaming import streaming_near_dup_flags
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).drop("ts")
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "incoming_wm")
+    incoming.write.parquet(src)
+
+    stream = spark.readStream.schema(incoming.schema).parquet(src)
+    out = streaming_near_dup_flags(
+        stream, corpus, threshold=0.5, ts_col="ts", watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ndg_wm")
+        .option("checkpointLocation", str(tmp_path / "ck_wm"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.stream_id, r.corpus_id) for r in spark.table("ndg_wm").collect()
+    }
+
+    out2 = streaming_near_dup_flags(
+        spark.readStream.schema(incoming.schema).parquet(src).drop("ts"),
+        corpus,
+        threshold=0.5,
+    )
+    q2 = (
+        out2.writeStream.format("memory").queryName("ndg_nowm")
+        .option("checkpointLocation", str(tmp_path / "ck_nowm"))
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(180)
+    expected = {
+        (r.stream_id, r.corpus_id) for r in spark.table("ndg_nowm").collect()
+    }
+    assert got == expected and len(got) > 0
