@@ -252,6 +252,43 @@ def test_phash_planted_near_dups(spark, sf_dir):
     hashed.unpersist()
 
 
+def test_phash_band_blocking_pigeonhole(spark):
+    """Property: for ANY hash pair within the hamming threshold, band
+    blocking must produce the candidate (pigeonhole: #bands > threshold
+    ⇒ at least one band is untouched by the differing bits). Random
+    64-bit hashes with planted ≤6-bit flips at threshold 6 (8 bands)."""
+    import random as _r
+
+    from hive_json_spark.operators.multimodal import phash_near_dup_pairs
+
+    rnd = _r.Random(99)
+    rows = []
+    base_hashes = [rnd.getrandbits(63) for _ in range(30)]
+    mid = 0
+    for h in base_hashes:
+        rows.append((mid, h)); mid += 1
+        flipped = h
+        for b in rnd.sample(range(64), rnd.randint(0, 6)):
+            flipped ^= 1 << b
+        # keep within int64 by using 63-bit bases
+        rows.append((mid, flipped & ((1 << 63) - 1))); mid += 1
+    df = spark.createDataFrame(rows, "media_id bigint, phash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_dup_pairs(df, max_hamming=6).collect()
+    }
+    # brute force over all pairs
+    hs = dict(rows)
+    expect = {}
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 6:
+                expect[(a, b)] = d
+    assert got == expect  # complete AND sound, with exact hamming values
+
+
 def test_phash_invariants():
     import numpy as np
 
