@@ -995,6 +995,76 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_abc_parts",
+    """
+    WITH pr AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT SUM(cents) AS tc FROM pr),
+    ranked AS (
+      SELECT l_partkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum,
+             tot.tc
+      FROM pr, tot),
+    classed AS (
+      SELECT l_partkey, cents,
+             CASE WHEN cum * 100 <= tc * 80 THEN 'A'
+                  WHEN cum * 100 <= tc * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked)
+    SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS revenue,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / ANY_VALUE(CAST(t.tc AS DOUBLE)), 6)
+             AS revenue_share
+    FROM classed, tot t GROUP BY abc
+    """,
+)
+def q_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue,
+    class A = the head covering 80% of cumulative revenue, B to 95%,
+    C the tail — the stock-policy segmentation every supply-chain
+    pipeline computes. Class boundaries compare exact integer cents
+    (``cum·100 ≤ total·80`` — no ratio doubles anywhere near the
+    cutoff), and the running sum orders by (revenue DESC, partkey), a
+    total order, so classification is layout/engine-free.
+
+    Scale shape: the fact scan collapses to the PART-keyed aggregate
+    (bounded by the part dimension, not rows) in one partial-agg
+    shuffle; the ranking window runs over that dimension-sized frame —
+    at catalog scale the same two-level bucket-offset decomposition as
+    q_equidepth_bins applies (SCALE.md)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents")
+    )
+    tot = pr.agg(F.sum("cents").alias("tc"))
+    w = Window.orderBy(F.col("cents").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = pr.withColumn("cum", F.sum("cents").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    abc = (
+        F.when(F.col("cum") * 100 <= F.col("tc") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("tc") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.withColumn("abc", abc)
+        .groupBy("abc")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("cents").cast("double") / 100.0, 2).alias("revenue"),
+            F.round(
+                F.sum("cents").cast("double") / F.any_value(F.col("tc").cast("double")),
+                6,
+            ).alias("revenue_share"),
+        )
+    )
+
+
 # --- as-of join (point-in-time lookup) ---------------------------------------
 
 @query(
