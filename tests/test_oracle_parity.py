@@ -213,6 +213,8 @@ PERTURB_QUERIES = [
     "q_corr_matrix",
     # µs×cents integer weighting
     "q_twap_user",
+    # integer-cent cumulative class boundaries over a total order
+    "q_abc_parts",
 ]
 
 
