@@ -2348,6 +2348,70 @@ def q_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_audience_overlap",
+    """
+    WITH a AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY 1),
+    ov AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_both
+           FROM a x JOIN a y
+             ON x.user_id = y.user_id AND x.event_type < y.event_type
+           GROUP BY 1, 2)
+    SELECT ov.type_a, ov.type_b, ov.n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(ov.n_both AS DOUBLE) / (sa.n + sb.n - ov.n_both), 6)
+             AS jaccard,
+           ROUND(CAST(ov.n_both AS DOUBLE) / LEAST(sa.n, sb.n), 6) AS containment
+    FROM ov JOIN sz sa ON sa.event_type = ov.type_a
+            JOIN sz sb ON sb.event_type = ov.type_b
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, how many
+    users do BOTH, with Jaccard and containment coefficients — the
+    segment-overlap readout behind campaign planning and the
+    sanity check before treating segments as independent. Exact-count
+    arithmetic: overlaps and sizes are integers, each coefficient one
+    division.
+
+    Scale shape: dedup to (type, user) FIRST (one shuffle, map-side
+    partial distinct), then the self-join fans out per user only by the
+    types that user touches (≤ |types| rows) — never a user×user or
+    row×row product; the final matrix is |types|² cells. The
+    sketch-path swap at extreme scale is HLL per type + inclusion-
+    exclusion (q_hll_intersect's documented pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select("event_type", "user_id").distinct()
+    sz = a.groupBy("event_type").agg(F.count("*").alias("n"))
+    x = a.select(F.col("event_type").alias("type_a"), "user_id")
+    y = a.select(F.col("event_type").alias("type_b"), "user_id")
+    ov = (
+        x.join(y, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    out = ov.join(F.broadcast(sa), "type_a").join(F.broadcast(sb), "type_b")
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("n_both").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+            6,
+        ).alias("jaccard"),
+        F.round(
+            F.col("n_both").cast("double") / F.least("n_a", "n_b"), 6
+        ).alias("containment"),
+    )
+
+
+@query(
     "q_twap_user",
     """
     WITH seg AS (

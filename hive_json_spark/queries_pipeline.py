@@ -221,6 +221,152 @@ def q_dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_readability",
+    """
+    WITH t AS (
+      SELECT source,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+                  AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+               AS n_syl,
+             CAST(len(regexp_extract_all(text, '[.!?]')) + 1 AS BIGINT)
+               AS n_sent
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS words,
+           CAST(SUM(n_syl) AS BIGINT) AS syllables,
+           ROUND(206.835
+                 - 1.015 * (CAST(SUM(n_words) AS DOUBLE) / SUM(n_sent))
+                 - 84.6 * (CAST(SUM(n_syl) AS DOUBLE) / SUM(n_words)), 4)
+             AS flesch
+    FROM t GROUP BY source
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source with a vowel-group syllable proxy —
+    the readability band filter pretraining pipelines run alongside the
+    stopword/length heuristics (too-low Flesch ≈ boilerplate/legalese,
+    too-high ≈ fragmentary text). Counts (words, vowel-group 'syllables',
+    sentence terminators) are exact integer sums in codegen; the Flesch
+    formula runs once on the summed integers — two divisions, identical
+    doubles on any layout/engine. One partial-agg shuffle on source."""
+    from hive_json_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = token_count("text")
+    n_syl = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[aeiouyAEIOUY]+"), 0)
+    ).cast("bigint")
+    n_sent = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]"), 0)) + 1
+    ).cast("bigint")
+    t = docs.select(
+        "source",
+        n_words.alias("n_words"),
+        n_syl.alias("n_syl"),
+        n_sent.alias("n_sent"),
+    )
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("words"),
+        F.sum("n_syl").cast("bigint").alias("syllables"),
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.sum("n_words").cast("double") / F.sum("n_sent"))
+            - 84.6 * (F.sum("n_syl").cast("double") / F.sum("n_words")),
+            4,
+        ).alias("flesch"),
+    )
+
+
+@query(
+    "q_bigram_pmi",
+    """
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS tk
+                  FROM documents),
+    big AS (SELECT tk[i + 1] AS w1, tk[i + 2] AS w2
+            FROM toks,
+                 LATERAL (SELECT unnest(range(greatest(len(tk) - 1, 0))) AS i)),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS nb FROM big GROUP BY w1, w2),
+    tot AS (SELECT CAST(SUM(nb) AS BIGINT) AS nn FROM bc),
+    uni AS (SELECT w1 AS w, CAST(SUM(nb) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+    uni2 AS (SELECT w2 AS w, CAST(SUM(nb) AS BIGINT) AS c2 FROM bc GROUP BY w2),
+    scored AS (
+      SELECT bc.w1, bc.w2, bc.nb,
+             ROUND(ln(CAST(bc.nb AS DOUBLE) * tot.nn
+                      / (CAST(uni.c1 AS DOUBLE) * uni2.c2)), 6) AS pmi
+      FROM bc, tot
+      JOIN uni ON uni.w = bc.w1
+      JOIN uni2 ON uni2.w = bc.w2
+      WHERE bc.nb >= 5)
+    SELECT w1, w2, nb, pmi FROM scored
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information over corpus
+    bigrams (min count 5) — the phrase-mining / tokenizer-merge-candidate
+    signal (a high-PMI bigram is a unit the vocabulary should own).
+
+    PMI = ln(P(w1,w2)/(P(w1)P(w2))) computed as ONE ln over a ratio of
+    exact integer counts (nb·N / c1·c2) — products ≤ 10¹⁰ at sf0.1, no
+    double accumulation anywhere, so the scores are layout/engine-free;
+    the top-20 orders by (rounded pmi, w1, w2), a total order.
+
+    Scale shape: bigram explode is bounded fanout; the count table is
+    vocabulary²-bounded (map-side partials do the heavy lifting on a
+    natural-language corpus); marginals re-aggregate the COUNT table,
+    not the corpus; final top-k is TakeOrderedAndProject."""
+    from hive_json_spark.functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = _tokens("text")
+    big = (
+        docs.select(tk.alias("_tk"))
+        .filter(F.size("_tk") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_tk") - 2),
+                    lambda i: F.struct(
+                        F.element_at("_tk", i + 1).alias("w1"),
+                        F.element_at("_tk", i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("nb"))
+    tot = bc.agg(F.sum("nb").cast("bigint").alias("nn"))
+    uni = bc.groupBy("w1").agg(F.sum("nb").cast("bigint").alias("c1"))
+    uni2 = bc.groupBy("w2").agg(F.sum("nb").cast("bigint").alias("c2"))
+    scored = (
+        bc.filter(F.col("nb") >= 5)
+        .join(uni, "w1")
+        .join(uni2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "nb",
+            F.round(
+                F.log(
+                    F.col("nb").cast("double") * F.col("nn")
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(20)
+
+
+@query(
     "q_winnow_dup",
     """
     WITH toks AS (SELECT doc_id,
