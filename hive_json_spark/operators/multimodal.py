@@ -491,7 +491,11 @@ def phash_near_dup_pairs(
         raise ValueError("phash_near_dup_pairs: max_hamming must be <= 15")
     width = 64 // n_bands
     mask = (1 << width) - 1
-    h = hashed.select(id_col, hash_col).persist()
+    # localCheckpoint, not persist: the (id, hash) frame feeds a self-join,
+    # and checkpoint blocks are ContextCleaner-reclaimed when the frame is
+    # GC'd — a .persist() here leaked one cached plan per call in
+    # long-lived sessions (suite/bench re-execute this query repeatedly)
+    h = hashed.select(id_col, hash_col).localCheckpoint()
     bands = F.array(
         *[
             F.shiftrightunsigned(F.col(hash_col), width * i).bitwiseAND(F.lit(mask))

@@ -153,6 +153,12 @@ def pq_index(
     X = np.array([r[0] for r in sample_rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     dim = X.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(
+            f"pq_index: dim={dim} is not divisible by n_subspaces="
+            f"{n_subspaces}; trailing dims would be silently dropped from "
+            f"the ADC score — pick n_subspaces dividing the dimension"
+        )
     sub = dim // n_subspaces
     rng = np.random.RandomState(seed)
     books = np.zeros((n_subspaces, n_codes, sub), dtype=np.float64)
@@ -234,6 +240,12 @@ def pq_topk(
             [], f"query_id bigint, {id_col} bigint, adc_score double, rank bigint"
         )
     q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if not q_rows:
+        # empty query side: the broadcast table dict would be empty and
+        # np.concatenate([]) raises inside the kernel — short-circuit here
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id bigint, {id_col} bigint, adc_score double, rank bigint"
+        )
     if len(q_rows) > max_queries:
         raise ValueError(
             f"pq_topk: query side exceeds max_queries={max_queries}; "

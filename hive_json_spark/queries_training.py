@@ -312,7 +312,10 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
         .groupBy("u", "v")
         .agg(F.sum("w").cast("bigint").alias("w"))
-        .persist()
+        # localCheckpoint, not persist: the edge frame is re-read every
+        # LPA round, and checkpoint blocks are reclaimed on GC — persist
+        # leaked one cached plan per call across suite/bench re-runs
+        .localCheckpoint()
     )
     labels = und.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from hive_json_spark.functions.text import tokens
 from hive_json_spark.operators.dedup import banded_minhash
 
 
@@ -91,8 +92,11 @@ def streaming_near_dup_flags(
     else:
         cand = cand.dropDuplicates(["stream_id", "corpus_id"])
     cand = cand.join(corpus_text, "corpus_id")
-    ta = F.array_distinct(F.split(F.col("_stxt"), r"\s+"))
-    tb = F.array_distinct(F.split(F.col("_ctxt"), r"\s+"))
+    # tokens() (empty strings filtered) — the same token definition as
+    # every batch dedup operator; raw split would count a leading-
+    # whitespace '' as a token and skew jaccard vs the batch twin
+    ta = F.array_distinct(tokens(F.col("_stxt")))
+    tb = F.array_distinct(tokens(F.col("_ctxt")))
     inter = F.size(F.array_intersect(ta, tb)).cast("double")
     union = F.size(F.array_union(ta, tb)).cast("double")
     jac = F.round(inter / F.greatest(union, F.lit(1.0)), 4)

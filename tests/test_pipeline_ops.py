@@ -936,6 +936,16 @@ def test_pq_adc_beats_random_and_guards_query_side(spark, sf_dir):
     with _pytest.raises(ValueError, match="max_queries"):
         pq_topk(emb, emb, k=5, max_queries=3)
 
+    # empty QUERY side with a non-empty corpus: must return an empty
+    # frame, not ValueError from np.concatenate([]) inside the kernel
+    empty_q = emb.filter(F.col("vec_id") < 0)
+    assert pq_topk(emb, empty_q, k=5, n_subspaces=16, n_codes=64).count() == 0
+
+    # dim not divisible by n_subspaces: refuse loudly instead of silently
+    # dropping the trailing dims from the ADC score
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_index(emb, n_subspaces=7)
+
 
 def test_dedup_method_eval_invariants(spark, sf_dir):
     """MinHash-LSH verifies candidates with the SAME exact shingle

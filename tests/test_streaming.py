@@ -681,8 +681,10 @@ def test_streaming_near_dup_gate_matches_batch(spark, sf_dir, tmp_path):
     )
     st = incoming.select(F.col("doc_id").alias("stream_id"), F.col("text").alias("_s"))
     ct = corpus.select(F.col("doc_id").alias("corpus_id"), F.col("text").alias("_c"))
-    ta = F.array_distinct(F.split(F.col("_s"), r"\s+"))
-    tb = F.array_distinct(F.split(F.col("_c"), r"\s+"))
+    from hive_json_spark.functions.text import tokens
+
+    ta = F.array_distinct(tokens(F.col("_s")))
+    tb = F.array_distinct(tokens(F.col("_c")))
     jac = F.round(
         F.size(F.array_intersect(ta, tb)).cast("double")
         / F.greatest(F.size(F.array_union(ta, tb)).cast("double"), F.lit(1.0)),
@@ -695,6 +697,33 @@ def test_streaming_near_dup_gate_matches_batch(spark, sf_dir, tmp_path):
         .select("stream_id", "corpus_id", "jaccard").collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_near_dup_gate_token_semantics(spark, tmp_path):
+    """Leading whitespace must not mint an empty-string 'token': the gate
+    tokenizes with functions.text.tokens (empty strings filtered), so a
+    stream doc that differs from a corpus doc only by leading whitespace
+    scores jaccard 1.0 — raw split(text, '\\s+') would score 0.75."""
+    from hive_json_spark.streaming import streaming_near_dup_flags
+
+    corpus = spark.createDataFrame(
+        [(0, "spark scan filter join agg sort")], "doc_id bigint, text string"
+    )
+    incoming = spark.createDataFrame(
+        [(1, "   spark scan filter join agg sort")], "doc_id bigint, text string"
+    )
+    src = str(tmp_path / "incoming_tok")
+    incoming.write.parquet(src)
+    stream = spark.readStream.schema(incoming.schema).parquet(src)
+    out = streaming_near_dup_flags(stream, corpus, threshold=0.5)
+    q = (
+        out.writeStream.format("memory").queryName("ndg_tok")
+        .option("checkpointLocation", str(tmp_path / "ck_tok"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("ndg_tok").collect()
+    assert [(r.stream_id, r.corpus_id, r.jaccard) for r in rows] == [(1, 0, 1.0)]
 
 
 def test_streaming_near_dup_gate_watermarked_state(spark, sf_dir, tmp_path):
