@@ -1092,10 +1092,13 @@ def sorted_neighborhood_pairs(
     1. coarse ``block`` (default: first character of the key — any prefix
        expression whose ordering is consistent with the key's) partitions
        the sort;
-    2. per-block counts → prefix offsets (a driver fold over ≤|alphabet|
-       rows, broadcast back) convert per-block ``row_number`` into the
-       EXACT global rank — the same two-phase rank the z-order layout
-       uses;
+    2. per-block counts → prefix offsets (a DISTRIBUTED cumulative sum
+       over the aggregated count frame — one row per block, never on the
+       driver, so a high-cardinality ``block`` expression costs a
+       single-task window over tiny (blk, count) rows instead of an
+       unbounded driver materialization) convert per-block
+       ``row_number`` into the EXACT global rank — the same two-phase
+       rank the z-order layout uses;
     3. ranks band into width-``window`` stripes; each left row probes its
        own stripe and the next (explode fanout = 2), so a pair at rank
        distance ≤ window shares exactly one probed stripe — an equi-join,
@@ -1111,15 +1114,20 @@ def sorted_neighborhood_pairs(
         F.col(key_col).alias("_key"),
         F.coalesce(blk, F.lit("")).alias("_blk"),
     )
-    counts = base.groupBy("_blk").count().collect()
-    offset, acc = {}, 0
-    for row in sorted(counts, key=lambda r: r["_blk"]):
-        offset[row["_blk"]] = acc
-        acc += row["count"]
-    spark = df.sparkSession
+    # prefix offsets computed IN-PLAN: sum(count) over (order by _blk
+    # rows unbounded preceding .. -1). The unpartitioned window is a
+    # single task — but over the pre-aggregated (blk, count) frame (one
+    # row per distinct block), not the corpus, so it stays cheap for any
+    # block cardinality and nothing ever lands on the driver.
+    off_w = (
+        Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    )
     off_df = F.broadcast(
-        spark.createDataFrame(
-            [(k, v) for k, v in offset.items()], "_blk string, _off long"
+        base.groupBy("_blk")
+        .count()
+        .select(
+            "_blk",
+            F.coalesce(F.sum("count").over(off_w), F.lit(0)).alias("_off"),
         )
     )
     w = Window.partitionBy("_blk").orderBy("_key", "_id")

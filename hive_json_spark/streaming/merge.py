@@ -43,8 +43,18 @@ def streaming_merge_upsert(
 
     ``op_col`` values: 'U' (upsert — insert or overwrite) and 'D'
     (delete). Returns the StreamingQuery; callers ``awaitTermination()``.
+
+    Driver-side bound: the only per-batch collects are over DISTINCT
+    ``bucket`` values, which ``pmod(hash(key), n_buckets)`` caps at
+    ``n_buckets`` rows by construction — a constructor constant, not a
+    data-dependent cardinality — and the in-plan ``limit(n_buckets)``
+    makes the bound an enforced guard rather than an argument. The
+    bucket LITERALS are what buys static partition pruning on the
+    read-back (a 100 TB snapshot reads only the touched buckets).
     """
     payload_cols = list(payload_cols)
+    if not 1 <= n_buckets <= 1_000_000:
+        raise ValueError("n_buckets must be in [1, 1_000_000]")
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -55,7 +65,12 @@ def streaming_merge_upsert(
             .select(key_col, op_col, *payload_cols)
             .withColumn("bucket", F.pmod(F.hash(key_col), F.lit(n_buckets)))
         )
-        buckets = [r["bucket"] for r in net.select("bucket").distinct().collect()]
+        # bounded collect: distinct pmod values — ≤ n_buckets rows by
+        # construction; limit() enforces the bound in-plan.
+        buckets = [
+            r["bucket"]
+            for r in net.select("bucket").distinct().limit(n_buckets).collect()
+        ]
         if not buckets:
             return
         snap_cols = [key_col, *payload_cols, "bucket"]
@@ -96,7 +111,11 @@ def streaming_merge_upsert(
         # lineage reads out_dir, so any post-write recomputation (cache loss)
         # would scan the files the overwrite just replaced. The collect also
         # populates the persisted blocks the write then reuses.
-        present = {r["bucket"] for r in merged.select("bucket").distinct().collect()}
+        # bounded collect (≤ n_buckets, same pmod bound + in-plan limit)
+        present = {
+            r["bucket"]
+            for r in merged.select("bucket").distinct().limit(n_buckets).collect()
+        }
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         try:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -40,12 +40,24 @@ def continuous_rollup(
     out_dir: str,
     checkpoint_dir: str,
     window: str = "1 day",
+    max_partitions_per_batch: int = 10_000,
 ):
     """Start an availableNow stream maintaining the rollup at ``out_dir``.
 
     Returns the StreamingQuery; callers ``awaitTermination()`` it. Swap the
     trigger for continuous operation.
+
+    ``max_partitions_per_batch`` bounds the one driver-side list this sink
+    keeps (the distinct day partitions a batch touches — needed as
+    LITERALS so the read-back gets static partition pruning instead of a
+    full-table scan). The collect itself is ``limit``-capped in-plan, so
+    a pathological batch can never materialize more than the cap + 1 rows
+    on the driver: a backfill batch spanning more days than the cap fails
+    loudly with instructions to split, rather than silently ballooning.
+    27 years of daily partitions fit the default cap.
     """
+    if max_partitions_per_batch < 1:
+        raise ValueError("max_partitions_per_batch must be >= 1")
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -59,9 +71,25 @@ def continuous_rollup(
                 "total",
             )
         )
-        days = [r["day"] for r in part.select("day").distinct().collect()]
+        # enforced cap: limit(cap+1) bounds the collect IN-PLAN (the
+        # driver sees at most cap+1 date rows no matter what the batch
+        # holds), and cap+1 rows means the batch is over budget → refuse.
+        days = [
+            r["day"]
+            for r in part.select("day")
+            .distinct()
+            .limit(max_partitions_per_batch + 1)
+            .collect()
+        ]
         if not days:
             return
+        if len(days) > max_partitions_per_batch:
+            raise ValueError(
+                f"batch {batch_id} touches more than "
+                f"{max_partitions_per_batch} day partitions; split the "
+                "backfill into smaller time ranges or raise "
+                "max_partitions_per_batch"
+            )
         try:
             existing = spark.read.parquet(out_dir).filter(F.col("day").isin(days))
         except AnalysisException:  # first batch: table does not exist yet
@@ -71,7 +99,10 @@ def continuous_rollup(
             # dynamic-overwrite can commit some of the batch's partitions
             # and not others, so "max id anywhere >= N" must not skip the
             # partitions that never got N. Pre-protocol state (no
-            # _batch_id column) counts as never-applied.
+            # _batch_id column) counts as never-applied. This collect is
+            # bounded by the enforced cap above: `existing` is already
+            # pruned to the ≤ cap touched days, and the groupBy emits one
+            # row per day.
             if "_batch_id" in existing.columns:
                 applied_days = {
                     r["day"]

@@ -1017,6 +1017,34 @@ def test_sorted_neighborhood_matches_single_sort(spark):
         assert got == want, f"window={w}"
 
 
+def test_sorted_neighborhood_high_cardinality_block(spark):
+    """A maximal-cardinality block expression (the full key — every row
+    its own block) must still produce the exact single-sort pair set:
+    the prefix offsets are a distributed cumulative sum over the count
+    frame, never a driver fold, so block cardinality is a plan-shape
+    detail rather than a driver-memory bound (the r4-escalated collect
+    shape, removed)."""
+    from pyspark.sql import functions as F
+
+    from hive_json_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(i, f"key{i % 37:02d}x{i:03d}") for i in range(120)]
+    df = spark.createDataFrame(rows, "rid bigint, name string")
+    got = {
+        (r["id_a"], r["id_b"], r["rank_gap"])
+        for r in sorted_neighborhood_pairs(
+            df, "name", "rid", window=4, block=F.col("name")
+        ).collect()
+    }
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = {
+        (ordered[i][0], ordered[j][0], j - i)
+        for i in range(len(ordered))
+        for j in range(i + 1, min(i + 5, len(ordered)))
+    }
+    assert got == want
+
+
 # --- Shapley attribution properties ------------------------------------------
 
 def test_shapley_efficiency_property(spark, sf_dir):

@@ -122,6 +122,51 @@ def test_continuous_rollup_incremental_matches_batch(spark, sf_dir, tmp_path):
     assert g == e
 
 
+def test_continuous_rollup_backfill_batch(spark, sf_dir, tmp_path):
+    """Backfill-shaped batch (ONE micro-batch spanning the whole month):
+    (a) with a cap large enough it folds correctly in one pass; (b) with
+    a cap smaller than the touched-day count the sink refuses loudly
+    instead of materializing an unbounded day list on the driver (the
+    r4-escalated collect shape, now limit()-capped in-plan)."""
+    import pyspark.sql.utils as U
+
+    from hive_json_spark.sources import load_table
+    from hive_json_spark.streaming import continuous_rollup
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    src = str(tmp_path / "src")
+    events.coalesce(1).write.parquet(src)  # single drop → single batch
+    stream = spark.readStream.schema(events.schema).parquet(src)
+
+    out = str(tmp_path / "rollup")
+    q = continuous_rollup(
+        stream, "ts", ["user_id"], "value", out, str(tmp_path / "ck1"),
+        max_partitions_per_batch=100,
+    )
+    q.awaitTermination(120)
+    expected = events.groupBy(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    got = spark.read.parquet(out)
+    g = {(str(r.day), r.user_id): (r.n, round(r.total, 4)) for r in got.collect()}
+    e = {(str(r.day), r.user_id): (r.n, round(r.total, 4)) for r in expected.collect()}
+    assert g == e
+
+    n_days = expected.select("day").distinct().count()
+    assert n_days > 3
+    q2 = continuous_rollup(
+        stream, "ts", ["user_id"], "value", str(tmp_path / "rollup2"),
+        str(tmp_path / "ck2"), max_partitions_per_batch=3,
+    )
+    try:
+        q2.awaitTermination(120)
+        raised = False
+    except U.StreamingQueryException as exc:
+        raised = True
+        assert "max_partitions_per_batch" in str(exc)
+    assert raised
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     from hive_json_spark.sources import load_table
     from hive_json_spark.streaming import stream_stream_join
