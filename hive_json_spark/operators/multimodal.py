@@ -12,7 +12,9 @@ Two decode tiers:
   ``synthetic_png_features`` run these end-to-end on real bytes inside
   Arrow-batched kernels. GIF (variable-width LZW) and baseline JPEG
   (DCT transform coding, canonical in-stream Huffman) are implemented
-  further down — three distinct compression families total.
+  further down, and a FLAC subset (fixed linear predictors + Rice
+  residual coding, CRC-verified frames — ``operators/flac.py``) covers
+  lossless audio — four distinct compression families total.
 - Stubbed codec-library formats: the container has no MP3/H.264
   libraries, so those raise ``NotImplementedError`` at the clearly
   marked boundary (``decode_and_featurize(fake=False)``); ``fake=True``
@@ -229,6 +231,55 @@ def decode_media_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(kernel, schema=MEDIA_FEATURES_SCHEMA)
+
+
+FLAC_FEATURES_SCHEMA = (
+    "media_id bigint, n_samples bigint, rms double, "
+    "roundtrip_exact boolean, compressed boolean"
+)
+
+
+def flac_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """FLAC compress→decompress→verify on the synthetic audio clips (odd
+    ids, the q_media_resize/q_audio_pitch signal family): each clip
+    encodes through the REAL FLAC-subset codec (operators.flac — fixed
+    predictors + Rice residuals, CRC-verified frames), decodes back, and
+    emits (n_samples, RMS of the decoded samples, exact-roundtrip
+    verdict, compressed-smaller-than-PCM verdict). RMS is an exact int64
+    sum of squares + one division + sqrt — engine-identical doubles, so
+    the DuckDB oracle recomputes it from the closed form of the signal;
+    a codec bug flips roundtrip_exact (and the rms hash) red.
+
+    Arrow-batched mapInPandas; lossless-audio is the fourth compression
+    family in the codec suite (zlib/LZW/DCT-Huffman/LPC-Rice)."""
+    import pandas as pd
+
+    from hive_json_spark.operators.flac import decode_flac, encode_flac
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = ("media_id", "n_samples", "rms", "roundtrip_exact", "compressed")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                if mid % 2 == 0:
+                    continue  # even ids are the image arm
+                ns = (mid % 10 + 1) * 200
+                i = np.arange(ns, dtype=np.int64)
+                sig = ((((mid * 13 + i) % 256) - 128) * 256).astype(np.int16)
+                enc = encode_flac(sig)
+                _, back = decode_flac(enc)
+                ss = int((back.astype(np.int64) ** 2).sum())
+                out["media_id"].append(mid)
+                out["n_samples"].append(ns)
+                out["rms"].append(float(np.sqrt(ss / ns)))
+                out["roundtrip_exact"].append(bool(np.array_equal(back, sig)))
+                out["compressed"].append(len(enc) < 2 * ns)
+            yield pd.DataFrame(out)
+
+    return ensure_parallelism(df.select(id_col)).mapInPandas(
+        kernel, schema=FLAC_FEATURES_SCHEMA
+    )
 
 
 AUDIO_PITCH_SCHEMA = (
@@ -480,7 +531,16 @@ def phash_near_dup_pairs(
     (≤3 → 4×16-bit, ≤7 → 8×8-bit, ≤15 → 16×4-bit). The verify step is
     ``bit_count(xor)`` in codegen on candidates only — the O(n²) never
     materializes; the shuffle key is the band value, exactly the SimHash
-    text path's shape (dedup.py simhash_near_dup_pairs)."""
+    text path's shape (dedup.py simhash_near_dup_pairs).
+
+    NOTE: construction is EAGER — the (id, hash) frame is
+    localCheckpoint()ed at call time (a Spark job runs before this
+    returns), and checkpoint blocks are non-replicated, so an executor
+    loss recomputes nothing: the downstream join would fail instead.
+    Acceptable for this local-mode framework (r4 advisory: documented
+    semantics, same as every other localCheckpoint site); callers
+    needing lazy construction should pass a pre-persisted frame and
+    fork the checkpoint out."""
     if max_hamming <= 3:
         n_bands = 4
     elif max_hamming <= 7:

@@ -232,17 +232,12 @@ def pq_topk(
     materialization); a table-sized query workload probe-assigns
     distributed instead. Returns (query_id, vec_id, adc_score, rank).
     """
-    coded, books = pq_index(
-        corpus, id_col, vec_col, n_subspaces, n_codes, seed=seed
-    )
-    if books.size == 0:
-        return corpus.sparkSession.createDataFrame(
-            [], f"query_id bigint, {id_col} bigint, adc_score double, rank bigint"
-        )
+    # collect the (bounded) query side FIRST: an empty query workload
+    # short-circuits before pq_index samples the corpus, trains all
+    # codebooks, runs the distributed assignment and broadcasts the
+    # books — all of which would be wasted work (r4 advisory)
     q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
     if not q_rows:
-        # empty query side: the broadcast table dict would be empty and
-        # np.concatenate([]) raises inside the kernel — short-circuit here
         return corpus.sparkSession.createDataFrame(
             [], f"query_id bigint, {id_col} bigint, adc_score double, rank bigint"
         )
@@ -251,6 +246,13 @@ def pq_topk(
             f"pq_topk: query side exceeds max_queries={max_queries}; "
             f"broadcast ADC tables are per-query — batch the queries or "
             f"use the distributed probe-assignment pattern (ivf_topk)"
+        )
+    coded, books = pq_index(
+        corpus, id_col, vec_col, n_subspaces, n_codes, seed=seed
+    )
+    if books.size == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id bigint, {id_col} bigint, adc_score double, rank bigint"
         )
     ns, nc, sd = books.shape
     tables = {}

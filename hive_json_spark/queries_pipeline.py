@@ -167,6 +167,10 @@ def q_dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", threshold=0.5
     )
     methods = {
+        # 64x8 default: measured FASTER here than the 32x16 config the
+        # standalone query uses — 16 bands doubles the band-join rows and
+        # the 0.25 collision threshold multiplies verify candidates;
+        # verified pair sets are identical on this corpus either way
         "minhash_lsh": minhash_dedup_pairs(
             docs, "doc_id", "text", threshold=0.5
         ).select("id_a", "id_b"),
@@ -1214,6 +1218,45 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_flac_roundtrip",
+    """
+    WITH m AS (SELECT doc_id AS media_id,
+                      CAST((doc_id % 10 + 1) * 200 AS BIGINT) AS ns
+               FROM documents WHERE doc_id % 2 != 0),
+         s AS (SELECT media_id, ns,
+                      CAST(SUM(CAST((((media_id * 13 + i) % 256) - 128) * 256
+                                    AS BIGINT)
+                               * ((((media_id * 13 + i) % 256) - 128) * 256))
+                           AS BIGINT) AS ss
+               FROM m, LATERAL (SELECT unnest(range(ns)) AS i)
+               GROUP BY media_id, ns)
+    SELECT media_id,
+           ns AS n_samples,
+           SQRT(CAST(ss AS DOUBLE) / ns) AS rms,
+           true AS roundtrip_exact,
+           true AS compressed
+    FROM s
+    """,
+)
+def q_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-audio compression end-to-end: every synthetic clip (the
+    q_audio_pitch signal family) encodes through the REAL FLAC-subset
+    codec (operators/flac.py — fixed predictors, Rice residuals, CRC-8/
+    CRC-16/MD5-verified frames; files are valid FLAC), decodes back, and
+    is graded on (a) exact sample roundtrip, (b) compressing below raw
+    PCM (measured 0.73-0.78x on this family), and (c) the decoded RMS
+    matching the DuckDB closed form of the signal — exact int64
+    sum-of-squares, one division, one sqrt, so the doubles hash
+    identically. Completes the codec suite's fourth compression family
+    (zlib, LZW, DCT+Huffman, LPC+Rice); MP3/H.264 remain the documented
+    codec-library stubs (SURVEY §7)."""
+    from hive_json_spark.operators.multimodal import flac_audio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return flac_audio_features(docs, "doc_id")
+
+
+@query(
     "q_audio_pitch",
     """
     WITH m AS (SELECT doc_id AS media_id,
@@ -1658,19 +1701,74 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components → one cluster id per doc.
-    The pair generator blocks on (lang, source), so every edge lives
-    inside one block and components are block-local: Spark closes them
-    with ONE union-find pass per block (operators.dedup.
-    blocked_components — one shuffle of the sparse pair frame, zero
-    iteration rounds). The generic cross-block graph keeps the iterative
-    min-label propagation (dedup_clusters, pinned by its own unit tests);
-    the oracle closes the same graph with a recursive CTE."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs, "doc_id", "text", ["lang", "source"], 0.5, keep_block_cols=True
-    )
-    from hive_json_spark.operators.dedup import blocked_components
+    Every edge lives inside a (lang, source) block, so components are
+    block-local: ONE union-find pass per block closes them
+    (operators.dedup.blocked_components — one shuffle of the sparse pair
+    frame, zero iteration rounds). The generic cross-block graph keeps
+    the iterative min-label propagation (dedup_clusters, pinned by its
+    own unit tests); the oracle closes the same graph with a recursive
+    CTE.
 
+    Pair generation auto-dispatches on a block-size probe (the
+    embedding-near-dup limit-probe pattern): (lang, source) has FIXED
+    cardinality (~100 blocks), so block size — and the all-pairs
+    generator's quadratic term — grows linearly with the corpus. Blocks
+    ≤ 2048 rows (≤ ~2M candidate pairs per block; through sf1's 10×
+    bench scale, measured 12× wall for 10× rows) take the blocked
+    all-pairs kernel; larger corpora switch to the output-sensitive
+    AllPairs/PPJoin prefix-filter join restricted to same-block pairs —
+    the SAME exact pair set (integer-exact ≥ threshold test; at these
+    token-set sizes the 4-dp rounding cannot straddle 0.5), without the
+    quadratic term. The r5 sf1 scaling run is what exposed the
+    quadratic: 10× data → 100× candidate pairs, survivable at sf1,
+    a wall at sf100."""
+    from hive_json_spark.operators.dedup import (
+        blocked_components,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    max_block = (
+        docs.groupBy("lang", "source")
+        .count()
+        .agg(F.coalesce(F.max("count"), F.lit(0)).alias("m"))
+        .first()["m"]
+    )
+    if max_block <= 2048:
+        pairs = ngram_jaccard_pairs(
+            docs, "doc_id", "text", ["lang", "source"], 0.5, keep_block_cols=True
+        )
+    else:
+        attrs = docs.select("doc_id", "lang", "source")
+        pairs = (
+            prefix_filter_jaccard_pairs(docs, "doc_id", "text", 0.5)
+            .join(
+                attrs.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("lang").alias("_la"),
+                    F.col("source").alias("_sa"),
+                ),
+                "id_a",
+            )
+            .join(
+                attrs.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("lang").alias("_lb"),
+                    F.col("source").alias("_sb"),
+                ),
+                "id_b",
+            )
+            .filter(
+                (F.col("_la") == F.col("_lb")) & (F.col("_sa") == F.col("_sb"))
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.col("_la").alias("lang"),
+                F.col("_sa").alias("source"),
+                "jaccard",
+            )
+        )
     return blocked_components(pairs, ["lang", "source"])
 
 

@@ -408,3 +408,78 @@ def test_jpeg_truncation_and_garbage_rejected():
         decode_jpeg_gray(b"\x00\x01" + data[2:])
     with _pytest.raises((ValueError, IndexError)):
         decode_jpeg_gray(data[:40])
+
+
+# --- FLAC subset codec -------------------------------------------------------
+
+def test_flac_roundtrip_exact_all_signal_shapes():
+    """Every subframe type and block shape: constant (CONSTANT), noise
+    (VERBATIM wins), smooth (FIXED+Rice), multi-block, partial final
+    block, 1-sample, empty, int16 extremes — all decode bit-exact (the
+    decoder also verifies CRC-8/CRC-16/MD5, so a pass here proves the
+    whole bitstream, not just the sample math)."""
+    import numpy as np
+
+    from hive_json_spark.operators.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(7)
+    cases = [
+        np.zeros(5000, dtype=np.int16),
+        np.full(4096, -123, dtype=np.int16),
+        (np.arange(10000) % 3000 - 1500).astype(np.int16),
+        (8000 * np.sin(2 * np.pi * np.arange(12345) / 256)).astype(np.int16),
+        rng.integers(-32768, 32768, 4096).astype(np.int16),
+        np.array([5, -7, 9], dtype=np.int16),
+        np.array([42], dtype=np.int16),
+        np.zeros(0, dtype=np.int16),
+        np.array([32767, -32768] * 100, dtype=np.int16),
+    ]
+    for x in cases:
+        sr, back = decode_flac(encode_flac(x, sample_rate=1234))
+        assert sr == 1234
+        assert np.array_equal(back, x), f"roundtrip mismatch n={len(x)}"
+
+
+def test_flac_compresses_smooth_signals():
+    import numpy as np
+
+    from hive_json_spark.operators.flac import encode_flac
+
+    sine = (8000 * np.sin(2 * np.pi * np.arange(12000) / 256)).astype(np.int16)
+    assert len(encode_flac(sine)) < 0.4 * 2 * len(sine)
+    assert len(encode_flac(np.zeros(12000, dtype=np.int16))) < 200
+
+
+def test_flac_detects_corruption():
+    import numpy as np
+    import pytest as _pytest
+
+    from hive_json_spark.operators.flac import decode_flac, encode_flac
+
+    x = (1000 * np.sin(np.arange(5000) / 9)).astype(np.int16)
+    data = bytearray(encode_flac(x))
+    assert data[:4] == b"fLaC"
+    with _pytest.raises(ValueError):
+        decode_flac(bytes(b"XXXX") + bytes(data[4:]))
+    # flip a byte inside the first frame body: CRC-16 must catch it
+    corrupt = bytearray(data)
+    corrupt[len(corrupt) // 2] ^= 0xFF
+    with _pytest.raises((ValueError, NotImplementedError)):
+        decode_flac(bytes(corrupt))
+
+
+def test_flac_query_all_verdicts_true(spark, sf_dir):
+    """q_flac_roundtrip: every clip roundtrips exactly, compresses below
+    raw PCM, and the decoded RMS matches the direct closed form."""
+    import math
+
+    from hive_json_spark.registry import QUERIES
+
+    rows = QUERIES["q_flac_roundtrip"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.roundtrip_exact and r.compressed, r.media_id
+        ns = (r.media_id % 10 + 1) * 200
+        ss = sum((((r.media_id * 13 + i) % 256 - 128) * 256) ** 2 for i in range(ns))
+        assert r.n_samples == ns
+        assert abs(r.rms - math.sqrt(ss / ns)) == 0.0, r.media_id

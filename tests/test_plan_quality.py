@@ -347,3 +347,73 @@ def test_winnow_window_partitions_by_doc(spark):
 
     wins = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert wins and all("_id" in w for w in wins)
+
+
+def test_aqe_splits_skewed_join_and_stays_fast(spark):
+    """The 100 TB skew answer (SCALE.md): AQE skew-join splitting. Pin it
+    with a deliberately skewed join — ONE key holds 50% of the left side
+    (1M of 2M rows) — thresholds scaled to test data the way a real
+    deployment scales them to executor memory. Asserts the final
+    adaptive plan carries the skew-split markers AND wall time stays
+    within 3x of the perfectly balanced twin (measured ~1.1x warm; the
+    slack absorbs noisy-host scheduling, not a regression class — an
+    unsplit hot partition serializes the whole join and fails the
+    marker assert first anyway)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1048576",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "524288",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        n = 2_000_000
+        base = spark.range(0, n, 1, 16).select(
+            "id", F.concat(F.lit("payload-"), F.col("id")).alias("pay")
+        )
+        right = spark.range(0, n, 1, 16).select(
+            F.col("id").alias("k"), F.concat(F.lit("dim-"), F.col("id")).alias("d")
+        )
+        skewed = base.withColumn(
+            "k", F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id"))
+        )
+        balanced = base.withColumn("k", (F.col("id") * 7919) % n)
+
+        def run(left):
+            # the xxhash64 predicate can't push below the join (spans both
+            # sides), so the action executes the full join but collects ~0
+            # rows; collect() runs THIS df's QueryExecution, so its
+            # executedPlan is the final adaptive plan
+            j = left.join(right, "k").filter(F.xxhash64("pay", "d") == F.lit(1))
+            t0 = time.perf_counter()
+            j.collect()
+            elapsed = time.perf_counter() - t0
+            return elapsed, j._jdf.queryExecution().executedPlan().toString()
+
+        run(balanced)  # warm: shuffle/codegen paths out of the timings
+        t_skew, plan_skew = run(skewed)
+        t_bal, plan_bal = run(balanced)
+        assert "skew=true" in plan_skew, "AQE did not mark the skewed join"
+        assert "AQEShuffleRead skewed" in plan_skew, "hot partition not split"
+        assert "skew=true" not in plan_bal  # marker is skew-specific
+        assert t_skew <= 3 * t_bal + 1.0, (t_skew, t_bal)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
