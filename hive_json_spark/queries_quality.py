@@ -1539,3 +1539,258 @@ def q_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_imputed"),
         F.sum("filled").cast("bigint").alias("checksum_cents"),
     )
+
+
+# --- pretraining-corpus quality filters (C4 / Gopher family) -----------------
+
+@query(
+    "q_repetition_filter",
+    """
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS tk
+                  FROM documents),
+    g2 AS (SELECT doc_id, array_to_string(tk[i + 1:i + 2], ' ') AS g
+           FROM toks, LATERAL (SELECT unnest(range(
+                 CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END)) AS i)),
+    g3 AS (SELECT doc_id, array_to_string(tk[i + 1:i + 3], ' ') AS g
+           FROM toks, LATERAL (SELECT unnest(range(
+                 CASE WHEN len(tk) >= 3 THEN len(tk) - 2 ELSE 0 END)) AS i)),
+    a2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2, CAST(MAX(c) AS BIGINT) AS mx2
+           FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2)
+           GROUP BY doc_id),
+    a3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n3,
+                  CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT) AS dup3
+           FROM (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2)
+           GROUP BY doc_id)
+    SELECT a2.doc_id,
+           n2 AS n_2grams,
+           CAST(mx2 AS DOUBLE) / n2 AS top_2gram_frac,
+           CAST(dup3 AS DOUBLE) / n3 AS dup_3gram_frac,
+           (CAST(mx2 AS DOUBLE) / n2 <= 0.20
+            AND CAST(dup3 AS DOUBLE) / n3 <= 0.15) AS keep
+    FROM a2 JOIN a3 ON a2.doc_id = a3.doc_id
+    """,
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher/C4 'repetitious text'
+    rules, adapted to this corpus's n-gram scale): per document, the
+    most-frequent-2-gram fraction and the duplicated-3-gram fraction
+    (occurrences belonging to any 3-gram seen ≥2× in the doc), with
+    keep = top-2-gram ≤ 0.20 AND dup-3-gram ≤ 0.15 — the thresholds the
+    Gopher paper applies before training. Fractions are exact-int
+    divisions (one IEEE op — bit-identical across engines, no rounding).
+
+    Scale: tokens are let-bound once per row (the word_shingles lesson);
+    each n-gram frame is explode → (doc, gram) count → per-doc agg —
+    map-side partial aggregation, shuffle keyed on (doc, gram), volume
+    linear in corpus tokens. The two gram sizes join on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens("text").alias("_tk"))
+
+    def gram_rows(n: int):
+        idx = F.when(
+            F.size("_tk") >= n,
+            F.sequence(F.lit(0), F.size("_tk") - n),
+        ).otherwise(F.array().cast("array<int>"))
+        return toked.select(
+            "doc_id",
+            F.explode(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_tk", i + 1, n)))
+            ).alias("g"),
+        )
+
+    a2 = (
+        gram_rows(2)
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").cast("bigint").alias("n2"),
+            F.max("count").cast("bigint").alias("mx2"),
+        )
+    )
+    a3 = (
+        gram_rows(3)
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").cast("bigint").alias("n3"),
+            F.coalesce(
+                F.sum(F.when(F.col("count") >= 2, F.col("count"))), F.lit(0)
+            ).cast("bigint").alias("dup3"),
+        )
+    )
+    top2 = F.col("mx2").cast("double") / F.col("n2")
+    dup3 = F.col("dup3").cast("double") / F.col("n3")
+    return a2.join(a3, "doc_id").select(
+        "doc_id",
+        F.col("n2").alias("n_2grams"),
+        top2.alias("top_2gram_frac"),
+        dup3.alias("dup_3gram_frac"),
+        ((top2 <= 0.20) & (dup3 <= 0.15)).alias("keep"),
+    )
+
+
+@query(
+    "q_pii_scan",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 3 = 0 THEN
+                 text || ' contact user' || doc_id || '@example.com now'
+               WHEN doc_id % 3 = 1 THEN
+                 text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || ' or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+               ELSE text
+             END AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_replace(regexp_replace(regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[PII]', 'g'),
+                '\\b\\d{3}-\\d{4}\\b', '[PII]', 'g')) AS BIGINT) AS redacted_len
+    FROM aug
+    """,
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub stage every training-data
+    pipeline runs before release. The synthetic corpus carries no PII,
+    so (the multimodal pattern) deterministic id-keyed PII is APPENDED
+    in-plan — a third of docs get an email, a third a phone + IPv4,
+    a third stay clean — and the detectors must find exactly that:
+    per-doc email/phone/IP counts plus the post-redaction length, all
+    recomputed independently by the DuckDB oracle (regex dialects agree
+    on this character-class subset; patterns chosen inside the common
+    RE2/Java subset — no lookarounds, no backrefs).
+
+    Scale: pure JVM regexp in whole-stage codegen; one scan, no shuffle,
+    no Python. Redaction chains three regexp_replace calls (email → IP →
+    phone, ordered so the IP pass cannot eat phone digits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "\\b\\d{3}-\\d{4}\\b"
+    ip_re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" or 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), email_re, "[PII]"), ip_re, "[PII]"
+        ),
+        phone_re,
+        "[PII]",
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(email_re), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(phone_re), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(ip_re), 0))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+    )
+
+
+@query(
+    "q_gopher_rules",
+    """
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS tk
+               FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(len(tk) AS BIGINT) AS n_words,
+                 CAST(list_aggregate(list_transform(tk, x -> len(x)), 'sum') AS BIGINT) AS sum_len,
+                 CAST(len(list_filter(tk, x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_stop
+          FROM t)
+    SELECT doc_id, n_words,
+           CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+           CAST(n_stop AS DOUBLE) / n_words AS stopword_frac,
+           n_words >= 20 AND n_words <= 100000 AS words_ok,
+           CAST(sum_len AS DOUBLE) / n_words >= 3.0
+             AND CAST(sum_len AS DOUBLE) / n_words <= 10.0 AS mwl_ok,
+           CAST(n_stop AS DOUBLE) / n_words >= 0.01 AS stop_ok,
+           (n_words >= 20 AND n_words <= 100000
+            AND CAST(sum_len AS DOUBLE) / n_words >= 3.0
+            AND CAST(sum_len AS DOUBLE) / n_words <= 10.0
+            AND CAST(n_stop AS DOUBLE) / n_words >= 0.01) AS keep
+    FROM m
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021's heuristic
+    battery, the thresholds that actually gate pretraining corpora):
+    word-count band [20, 100k], mean word length [3, 10], and a
+    minimum stopword fraction — each emitted as its own verdict column
+    plus the conjunction, so a downstream mixer can re-weight rather
+    than hard-drop. Word lengths and stopword hits fold per-row over
+    the let-bound token array; mean/fraction are single exact-int
+    divisions (bit-identical doubles, no rounding).
+
+    Scale: one scan, per-row HOF folds over bounded token arrays, no
+    shuffle, no Python — the cheapest possible shape for a rule that
+    must touch every document of a 100 TB corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    stops = F.array(*[F.lit(s) for s in ("the", "a", "of", "and")])
+    m = docs.select(
+        "doc_id",
+        tokens("text").alias("_tk"),
+    ).select(
+        "doc_id",
+        F.size("_tk").cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform("_tk", lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("sum_len"),
+        F.size(F.filter("_tk", lambda x: F.array_contains(stops, x)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    mwl = F.col("sum_len").cast("double") / F.col("n_words")
+    stop_frac = F.col("n_stop").cast("double") / F.col("n_words")
+    words_ok = (F.col("n_words") >= 20) & (F.col("n_words") <= 100000)
+    mwl_ok = (mwl >= 3.0) & (mwl <= 10.0)
+    stop_ok = stop_frac >= 0.01
+    return m.select(
+        "doc_id",
+        "n_words",
+        mwl.alias("mean_word_len"),
+        stop_frac.alias("stopword_frac"),
+        words_ok.alias("words_ok"),
+        mwl_ok.alias("mwl_ok"),
+        stop_ok.alias("stop_ok"),
+        (words_ok & mwl_ok & stop_ok).alias("keep"),
+    )

@@ -1153,3 +1153,60 @@ def test_asof_nearest_matches_bruteforce(spark):
             continue
         best = min(cands, key=lambda c: (abs((c[0] - l["lts"]).total_seconds()), c[0]))
         assert got[l["lid"]] == best, (l, best, got[l["lid"]])
+
+
+# --- pretraining quality filters (r5) ----------------------------------------
+
+def test_repetition_filter_hand_computed(spark, sf_dir):
+    """Fractions match a hand count on constructed docs: a pathologically
+    repetitive doc fails, a diverse one passes."""
+    from hive_json_spark.queries_quality import QUERIES as QQ
+    import hive_json_spark.sources as src
+
+    rows = {r.doc_id: r for r in QQ["q_repetition_filter"](spark, sf_dir).collect()}
+    docs = {r.doc_id: r.text for r in src.load_table(spark, sf_dir, "documents").collect()}
+    import collections
+
+    for did, r in list(rows.items())[:40]:
+        tk = docs[did].split()
+        g2 = collections.Counter(" ".join(tk[i:i + 2]) for i in range(len(tk) - 1))
+        g3 = collections.Counter(" ".join(tk[i:i + 3]) for i in range(len(tk) - 2))
+        assert r.n_2grams == sum(g2.values())
+        assert r.top_2gram_frac == max(g2.values()) / sum(g2.values())
+        dup = sum(c for c in g3.values() if c >= 2)
+        assert r.dup_3gram_frac == dup / sum(g3.values())
+        assert r.keep == (r.top_2gram_frac <= 0.20 and r.dup_3gram_frac <= 0.15)
+
+
+def test_pii_scan_planted_counts(spark, sf_dir):
+    """Exactly the planted PII is found: docs ≡0 (mod 3) carry one email,
+    ≡1 carry one phone + one IP, ≡2 are clean; redaction shortens
+    exactly the found spans."""
+    from hive_json_spark.queries_quality import QUERIES as QQ
+
+    rows = QQ["q_pii_scan"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        mod = r.doc_id % 3
+        assert (r.n_emails, r.n_phones, r.n_ips) == {
+            0: (1, 0, 0), 1: (0, 1, 1), 2: (0, 0, 0)
+        }[mod], r.doc_id
+
+
+def test_gopher_rules_hand_computed(spark, sf_dir):
+    from hive_json_spark.queries_quality import QUERIES as QQ
+    import hive_json_spark.sources as src
+
+    rows = {r.doc_id: r for r in QQ["q_gopher_rules"](spark, sf_dir).collect()}
+    docs = {r.doc_id: r.text for r in src.load_table(spark, sf_dir, "documents").collect()}
+    stops = {"the", "a", "of", "and"}
+    n_fail = 0
+    for did, r in rows.items():
+        tk = docs[did].split()
+        assert r.n_words == len(tk)
+        assert r.mean_word_len == sum(map(len, tk)) / len(tk)
+        assert r.stopword_frac == sum(t in stops for t in tk) / len(tk)
+        assert r.keep == (r.words_ok and r.mwl_ok and r.stop_ok)
+        n_fail += not r.keep
+    # the rules must discriminate on this corpus (some docs < 20 words)
+    assert 0 < n_fail < len(rows)
