@@ -49,22 +49,38 @@ def shingle_jaccard_truth_pairs(
     *,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    impl: str = "equijoin",
 ) -> DataFrame:
     """EXACT shingle-set Jaccard ≥ threshold pairs — the all-pairs ground
-    truth every approximate dedup method is graded against (the truth arm
-    of q_dedup_method_eval / q_simhash_pairs, factored out).
+    truth approximate dedup methods are graded against (the truth arm of
+    q_dedup_method_eval, factored out).
 
-    Plan shape: (id, shingle) rows are distinct by construction
-    (array_distinct within doc, unique ids), so no distinct shuffle; the
-    self-join keys on xxhash64(shingle) int64s (8-byte shuffle rows,
-    collision odds ~pairs/2⁶⁴ — the documented substring_dup_pairs
-    trade); per-doc set sizes come from F.size on the array (no shuffle)
-    and broadcast onto the pair frame. Pair volume is Σ C(df_shingle, 2)
-    over shared shingles — order-sensitive shingling keeps it sparse
-    (measured 201k at 2000 docs, max shingle df 15).
+    ``impl="equijoin"`` (default): join on every shared shingle hash and
+    count intersections. Pair volume is Σ C(df_shingle, 2) — fine on the
+    BOUNDED inputs an eval harness feeds it (measured 201k intermediate
+    rows at 2000 docs), but corpus-QUADRATIC when common shingles exist
+    (measured 128.5M rows / 216 s at sf1, max shingle df 141) — an
+    acceptance harness's cost must not scale with the corpus, so callers
+    bound the input, not this function.
+
+    ``impl="prefix"``: the AllPairs/PPJoin prefix-filter core
+    (``_set_similarity_pairs``) over shingle sets. Asymptotically safer
+    on natural corpora (prefix = rarest shingles), but on this saturated
+    synthetic corpus at t=0.5 the positional filters keep 18.6M
+    candidates at sf1 and array verification costs more than the naive
+    join — measured, which is why it is not the default. Both impls are
+    lossless (identical output).
 
     Returns (id_a, id_b) with id_a < id_b.
     """
+    if impl == "prefix":
+        base = ensure_parallelism(df).select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(word_shingles(text_col, shingle_n)).alias("_tok"),
+        )
+        return _set_similarity_pairs(
+            base, threshold, salt_grid=1, impl="prefix", max_tokens=0
+        ).select("id_a", "id_b")
     sharr = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(word_shingles(text_col, shingle_n)).alias("_ss"),
@@ -698,6 +714,15 @@ def prefix_filter_jaccard_pairs(
         F.col(id_col).alias("_id"),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("_tok"),
     )
+    return _set_similarity_pairs(base, threshold, salt_grid, impl, max_tokens)
+
+
+def _set_similarity_pairs(
+    base: DataFrame, threshold: float, salt_grid: int, impl: str, max_tokens: int
+) -> DataFrame:
+    """Collapse + candidate-gen + exact-verify + expansion over (_id, _tok)
+    set rows — the shared core of ``prefix_filter_jaccard_pairs`` (token
+    sets) and ``shingle_jaccard_truth_pairs`` (shingle sets)."""
     # Identical-set collapse: Jaccard only sees the distinct-token SET, so
     # documents with equal sets are interchangeable — group them by a
     # sorted-set fingerprint and run the quadratic machinery on one
@@ -777,6 +802,119 @@ def prefix_filter_jaccard_pairs(
         F.lit(1.0).alias("jaccard"),
     )
     return cross.unionByName(intra)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    *,
+    max_dist: int = 2,
+    block_cols: Sequence[str] = (),
+    max_len: int = 40,
+) -> DataFrame:
+    """Exact edit-distance ≤ ``max_dist`` pairs via character-level deletion
+    neighborhoods (FastSS, Bocek et al. 2007) — the scale-safe replacement
+    for a blocked quadratic self-join when the blocking attributes have
+    FIXED cardinality (nation × segment = 125 blocks forever, so block
+    pair volume grows with corpus², the ngram_jaccard trap).
+
+    Soundness: if lev(x, y) ≤ k, deleting from each side the ≤ k
+    characters an optimal alignment leaves unmatched yields the SAME
+    string, so the ≤ k-deletion neighborhoods intersect. Candidate
+    generation is therefore an equi-join on xxhash64(variant) (+ the
+    block columns + a length band |len_a − len_b| ≤ k); exact
+    verification with the thresholded 3-arg ``levenshtein`` makes the
+    result identical to the all-pairs predicate — hash collisions only
+    ever ADD candidates.
+
+    Scale: neighborhood size is 1 + L + C(L, 2) per row (~172 for
+    18-char keys) — per-row constant fanout, one equi-join shuffle,
+    linear in corpus. Strings longer than ``max_len`` raise at runtime
+    (raise_error evaluates only on offending rows) instead of silently
+    exploding the variant count; long-key workloads want the q-gram /
+    PassJoin route instead.
+
+    Returns (id_a, id_b, lev) with id_a < id_b and lev the true distance.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError(f"max_dist must be 1 or 2 (got {max_dist})")
+    s0 = F.coalesce(F.col(str_col).cast("string"), F.lit(""))
+    guarded = F.when(
+        F.length(s0) > F.lit(max_len),
+        F.raise_error(
+            F.concat(
+                F.lit(f"edit_distance_pairs: string exceeds max_len={max_len}: "),
+                s0,
+            )
+        ).cast("string"),
+    ).otherwise(s0)
+    base = df.select(
+        F.col(id_col).alias("_eid"),
+        guarded.alias("_s"),
+        *[F.col(c) for c in block_cols],
+    )
+    s = F.col("_s")
+    sL = F.length("_s")
+    idx = F.when(sL > 0, F.sequence(F.lit(0), sL - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def _del1(i):
+        # drop 0-based position i: s[0:i] + s[i+1:]
+        return F.concat(F.substr(s, F.lit(1), i), F.substr(s, i + 2, sL))
+
+    def _del2(i, j):
+        # drop 0-based positions i < j
+        return F.concat(
+            F.substr(s, F.lit(1), i),
+            F.substr(s, i + 2, j - i - 1),
+            F.substr(s, j + 2, sL),
+        )
+
+    parts = [F.array(s), F.transform(idx, _del1)]
+    if max_dist >= 2:
+        parts.append(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        F.filter(idx, lambda j: j > i), lambda j: _del2(i, j)
+                    ),
+                )
+            )
+        )
+    vrows = base.select(
+        "_eid",
+        "_s",
+        sL.alias("_sl"),
+        *block_cols,
+        F.explode(F.array_distinct(F.concat(*parts))).alias("_v"),
+    ).select("_eid", "_s", "_sl", *block_cols, F.xxhash64("_v").alias("_vh"))
+    # Catalyst sizes explode output at the pre-explode estimate, so left to
+    # itself it BROADCASTS the ~C(L,2)×|rows| variant frame (3.1 GiB at
+    # sf1). Pin the strategy: shuffle-hash self-join on the variant hash.
+    a, b = vrows.alias("a"), vrows.hint("shuffle_hash").alias("b")
+    cond = (
+        (F.col("a._vh") == F.col("b._vh"))
+        & (F.col("a._eid") < F.col("b._eid"))
+        & (F.abs(F.col("a._sl") - F.col("b._sl")) <= F.lit(max_dist))
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = (
+        a.join(b, cond)
+        .select(
+            F.col("a._eid").alias("id_a"),
+            F.col("b._eid").alias("id_b"),
+            F.col("a._s").alias("_sa"),
+            F.col("b._s").alias("_sb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a", "id_b", F.levenshtein("_sa", "_sb", max_dist).alias("lev")
+    ).filter(F.col("lev") >= 0)
 
 
 def embedding_near_dup_pairs(

@@ -1027,32 +1027,31 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance record linkage: near-identical names within a blocking
-    key (nation × segment). Same blocked self-join shape as the n-gram
-    dedup family — blocking bounds the pair count (Σ block² ≪ n²), and the
-    DP cost per candidate uses the *thresholded* levenshtein (3-arg form,
-    bails out of rows that exceed the band — measured ~2× per-pair vs the
-    full distance; it returns the true distance for kept pairs, so the
-    result set is identical to the oracle's unthresholded predicate). The
-    100 TB variant swaps the block join for the LSH candidate generator;
-    the verify predicate is unchanged.
+    key (nation × segment). The blocking attributes have FIXED cardinality
+    (125 blocks at every scale), so the naive blocked self-join is
+    corpus-quadratic — measured 210 s at sf1 vs ~2 s at sf0.1. Instead,
+    candidates come from the character-level FastSS deletion-neighborhood
+    join (``edit_distance_pairs``): lev ≤ 2 forces the ≤ 2-deletion
+    neighborhoods to intersect, so an equi-join on hashed variants (+ the
+    block columns) finds every qualifying pair, and the thresholded
+    3-arg ``levenshtein`` verify keeps the result identical to the
+    oracle's unthresholded predicate. Per-row fanout is the constant
+    C(18,≤2) ≈ 172 variants — linear in corpus (sf1: 210 s → ~7 s).
     """
+    from hive_json_spark.operators.dedup import edit_distance_pairs
+
     cust = load_table(spark, sf_dir, "customer")
-    block = ["c_nationkey", "c_mktsegment"]
-    a = cust.select(
-        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"), *block
-    )
-    b = cust.select(
-        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"), *block
-    )
-    return (
-        a.join(b, block)
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select(
-            "key_a",
-            "key_b",
-            F.levenshtein("name_a", "name_b", 2).alias("lev"),
-        )
-        .filter(F.col("lev") >= 0)
+    return edit_distance_pairs(
+        cust,
+        "c_custkey",
+        "c_name",
+        max_dist=2,
+        block_cols=["c_nationkey", "c_mktsegment"],
+        max_len=25,
+    ).select(
+        F.col("id_a").alias("key_a"),
+        F.col("id_b").alias("key_b"),
+        F.col("lev").cast("int").alias("lev"),
     )
 
 

@@ -6,6 +6,8 @@ declared without oracles (the driver records rows-only checks for them).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from hive_json_spark.operators.dedup import (
@@ -534,31 +536,57 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.90 at sf0.1; raw pairs remain available via
     operators.dedup.simhash_near_dup_pairs and are unit-tested there).
     """
-    from concurrent.futures import ThreadPoolExecutor
-
-    from hive_json_spark.operators.dedup import shingle_jaccard_truth_pairs
+    from hive_json_spark.operators.dedup import simhash
 
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .localCheckpoint()
     )
-    truth_plan = shingle_jaccard_truth_pairs(docs, "doc_id", "text", threshold=0.5)
-    pairs_plan = simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=10).select(
-        "id_a", "id_b"
+    # Truth arm = exact shingle-Jaccard verification over MinHash-LSH
+    # candidates (the q_minhash_dedup_pairs plan): output-bound — never
+    # enumerates the corpus-quadratic shared-shingle pair mass (the
+    # all-pairs truth join measured 216 s at sf1; this path ~3 s). The
+    # DuckDB oracle still recomputes the FULL exact truth set
+    # independently, so an LSH candidate-recall miss (theoretical floor
+    # 1-(1-0.5²)¹⁶ ≈ 0.99; measured 1.0 at every grading scale) shows up
+    # as a driver n_truth mismatch — the gate is as strong as the
+    # all-pairs plan, without its cost. MinHash candidates are
+    # hash-family-independent of the SimHash method under test.
+    truth = minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_perm=32, bands=16
+    ).select("id_a", "id_b")
+    # Recall needs truth ∩ simhash-pairs — NOT the full simhash pair set.
+    # simhash_near_dup_pairs' candidate set is exactly {hamming ≤ 10 AND
+    # some 16-bit chunk equal}, so evaluating that predicate directly on
+    # the truth pairs gives an identical intersection at O(|truth|) cost,
+    # skipping the bucket² candidate join (which is quadratic on this
+    # saturated small-vocab corpus: measured 224 s at sf1 vs ~3 s for the
+    # truth side; this plan removes the only super-linear stage).
+    sh = simhash(docs, "text", "doc_id").select("doc_id", "simhash")
+    j = (
+        truth.join(sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_ha")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_hb")), "id_b")
     )
-    # truth join and simhash pipeline are independent — materialize them
-    # concurrently (the q_dedup_method_eval shape: wall = slower pipeline,
-    # not the sum; measured 6.6 s sequential → ~3 s concurrent at sf0.1)
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        fut_t = ex.submit(truth_plan.localCheckpoint)
-        fut_p = ex.submit(pairs_plan.localCheckpoint)
-        truth, pairs = fut_t.result(), fut_p.result()
-    hits = truth.join(pairs, ["id_a", "id_b"], "left_semi")
+    shares_chunk = reduce(
+        lambda x, y: x | y,
+        [
+            F.shiftrightunsigned("_ha", 16 * i).bitwiseAND(F.lit(0xFFFF))
+            == F.shiftrightunsigned("_hb", 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ],
+    )
+    is_hit = (
+        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) <= 10
+    ) & shares_chunk
     stats = (
         docs.agg(F.count("*").alias("nd"))
-        .crossJoin(truth.agg(F.count("*").alias("nt")))
-        .crossJoin(hits.agg(F.count("*").alias("nh")))
+        .crossJoin(
+            j.agg(
+                F.count("*").alias("nt"),
+                F.coalesce(F.sum(is_hit.cast("long")), F.lit(0)).alias("nh"),
+            )
+        )
     )
     return stats.select(
         F.col("nd").cast("bigint").alias("n_docs"),

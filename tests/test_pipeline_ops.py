@@ -1210,3 +1210,62 @@ def test_gopher_rules_hand_computed(spark, sf_dir):
         n_fail += not r.keep
     # the rules must discriminate on this corpus (some docs < 20 words)
     assert 0 < n_fail < len(rows)
+
+
+# --- edit_distance_pairs (FastSS char-deletion neighborhoods, r5) -------------
+
+def test_edit_distance_pairs_matches_bruteforce(spark):
+    """FastSS candidates + thresholded verify == the all-pairs predicate,
+    on strings exercising substitution, insertion, deletion, transposition
+    (lev 2), and blocks."""
+    import itertools
+
+    rows = [
+        (1, "martha", "x"), (2, "marhta", "x"),   # transposition: lev 2
+        (3, "martha", "y"),                        # same name, other block
+        (4, "marta", "x"),                         # deletion: lev 1 of martha
+        (5, "maratha", "x"),                       # insertion: lev 1
+        (6, "smith", "x"), (7, "smyth", "x"),      # substitution: lev 1
+        (8, "smithe", "x"),                        # insertion
+        (9, "completely", "x"), (10, "different", "x"),
+        (11, "", "x"), (12, "ab", "x"),            # empty vs short: lev 2
+        (13, "", "x"),                             # empty pair: lev 0
+    ]
+    df = spark.createDataFrame(rows, "id int, name string, blk string")
+    from hive_json_spark.operators.dedup import edit_distance_pairs
+
+    got = {
+        (r.id_a, r.id_b): r.lev
+        for r in edit_distance_pairs(
+            df, "id", "name", max_dist=2, block_cols=["blk"]
+        ).collect()
+    }
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a):
+            cur = [i + 1]
+            for j, cb in enumerate(b):
+                cur.append(min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    for (i1, n1, b1), (i2, n2, b2) in itertools.combinations(rows, 2):
+        if b1 == b2 and lev(n1, n2) <= 2:
+            want[(min(i1, i2), max(i1, i2))] = lev(n1, n2)
+    assert got == want
+
+
+def test_edit_distance_pairs_max_len_guard(spark):
+    import pytest
+    from hive_json_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([(1, "a" * 50), (2, "a" * 50)], "id int, name string")
+    with pytest.raises(Exception) as ei:
+        edit_distance_pairs(df, "id", "name", max_dist=2, max_len=40).collect()
+    assert "max_len" in str(ei.value)
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, "id", "name", max_dist=3)
