@@ -618,3 +618,118 @@ def asof_nearest_join(
         ],
     )
     return out
+
+
+def grouped_value_ranks(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bucket_width: float,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Per-(group, value) exact rank statistics with NO per-group
+    single-task sort — the distributed primitive behind exact grouped
+    percentiles and rank correlations when the group column has tiny
+    cardinality (l_returnflag has 3 values: a rank window partitioned by
+    it alone is 3 tasks forever, and Spark's exact ``percentile``
+    aggregate buffers every group value in one reducer — both
+    scale-killers at 100 TB).
+
+    Returns the input's per-(group, value) rows plus ``c`` (rows holding
+    this value), ``cum_before`` (rows with a strictly smaller value in
+    the group), and ``n`` (group total). Two-level distributed prefix
+    sum, exactly like q_equidepth_bins: values aggregate map-side into a
+    per-(group, value) frame; coarse ``floor(value / bucket_width)``
+    buckets give a per-(group, bucket) offset table (tiny — its window
+    runs over buckets, not rows — and broadcast back); the within-bucket
+    cumulative sum partitions by (group, bucket) and parallelizes across
+    buckets. ``bucket_width`` only tunes parallelism, never results.
+
+    ``count_col=None`` aggregates ``df`` rows itself; pass an existing
+    per-(group, value)-unique frame's count column to reuse a prior
+    aggregation (extra columns ride along untouched). Null values are
+    the caller's job (excluded upstream).
+    """
+    g, v = group_col, value_col
+    if count_col is None:
+        vc = df.groupBy(g, v).agg(F.count("*").alias("_c"))
+        cc = "_c"
+    else:
+        vc, cc = df, count_col
+    vcb = vc.withColumn("_b", F.floor(F.col(v) / F.lit(bucket_width)).cast("long"))
+    bc = vcb.groupBy(g, "_b").agg(F.sum(cc).alias("_bn"))
+    wb = (
+        Window.partitionBy(g)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = bc.select(
+        g,
+        "_b",
+        F.coalesce(F.sum("_bn").over(wb), F.lit(0)).alias("_boff"),
+        F.sum("_bn").over(Window.partitionBy(g)).alias("n"),
+    )
+    wc = (
+        Window.partitionBy(g, "_b")
+        .orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        vcb.withColumn("_ib", F.coalesce(F.sum(cc).over(wc), F.lit(0)))
+        .join(F.broadcast(boff), [g, "_b"])
+        .withColumn("c", F.col(cc).cast("long"))
+        .withColumn("cum_before", (F.col("_boff") + F.col("_ib")).cast("long"))
+        .drop("_b", "_ib", "_boff")
+    )
+    return out.drop("_c") if count_col is None else out
+
+
+def grouped_exact_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: Sequence[float],
+    bucket_width: float,
+) -> DataFrame:
+    """Exact interpolated percentiles per group, fully distributed:
+    ``grouped_value_ranks`` supplies (c, cum_before, n) per value, the
+    target index h = (n-1)·p is closed-form, and the two bracketing
+    values v⌊h⌋ / v⌊h⌋+1 fall out of one conditional aggregation over the
+    rank frame (a value row covers sorted indices
+    [cum_before, cum_before + c)). Interpolation lower + frac·(upper −
+    lower) matches Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    definitions. Returns (group, p, pct)."""
+    g, v = group_col, value_col
+    r = grouped_value_ranks(df, g, v, bucket_width)
+    h = (F.col("n") - 1) * F.col("p")
+    targets = (
+        r.groupBy(g)
+        .agg(F.max("n").alias("n"))
+        .select(g, "n", F.explode(F.array(*[F.lit(p) for p in ps])).alias("p"))
+        .select(
+            g,
+            "p",
+            F.floor(h).cast("long").alias("_k"),
+            (h - F.floor(h)).alias("_frac"),
+        )
+    )
+    j = r.join(F.broadcast(targets), g)
+    covers_k = (F.col("cum_before") <= F.col("_k")) & (
+        F.col("_k") < F.col("cum_before") + F.col("c")
+    )
+    covers_k1 = (F.col("cum_before") <= F.col("_k") + 1) & (
+        F.col("_k") + 1 < F.col("cum_before") + F.col("c")
+    )
+    agg = j.groupBy(g, "p").agg(
+        F.max(F.when(covers_k, F.col(v))).alias("_vk"),
+        F.max(F.when(covers_k1, F.col(v))).alias("_vk1"),
+        F.max("_frac").alias("_frac"),
+    )
+    return agg.select(
+        g,
+        "p",
+        (
+            F.col("_vk")
+            + F.col("_frac") * (F.coalesce(F.col("_vk1"), F.col("_vk")) - F.col("_vk"))
+        ).alias("pct"),
+    )

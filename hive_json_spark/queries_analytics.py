@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from hive_json_spark.functions.exact import avg_exact, int_units, sum_exact
-from hive_json_spark.operators.relational import bloom_semi_join
+from hive_json_spark.operators.relational import bloom_semi_join, grouped_value_ranks
 from hive_json_spark.sources import load_table
 
 QUERIES = {}
@@ -1036,11 +1036,36 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     block columns) finds every qualifying pair, and the thresholded
     3-arg ``levenshtein`` verify keeps the result identical to the
     oracle's unthresholded predicate. Per-row fanout is the constant
-    C(18,≤2) ≈ 172 variants — linear in corpus (sf1: 210 s → ~7 s).
+    C(18,≤2) ≈ 172 variants — linear in corpus (sf1: 210 s → ~47 s,
+    output-bound from there: sequential zero-padded keys make the
+    lev ≤ 2 pair set itself dense, 549k pairs at sf1).
+
+    Auto-dispatch (limit-probe): below 50k rows the naive blocked join
+    beats the 172× variant fanout's fixed cost (~2 s vs ~6 s at sf0.1)
+    and its quadratic term is still small — a count probe keeps it;
+    identical rows either way.
     """
     from hive_json_spark.operators.dedup import edit_distance_pairs
 
     cust = load_table(spark, sf_dir, "customer")
+    if cust.count() <= 50_000:
+        block = ["c_nationkey", "c_mktsegment"]
+        a = cust.select(
+            F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"), *block
+        )
+        b = cust.select(
+            F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"), *block
+        )
+        return (
+            a.join(b, block)
+            .filter(F.col("key_a") < F.col("key_b"))
+            .select(
+                "key_a",
+                "key_b",
+                F.levenshtein("name_a", "name_b", 2).alias("lev"),
+            )
+            .filter(F.col("lev") >= 0)
+        )
     return edit_distance_pairs(
         cust,
         "c_custkey",
@@ -1996,37 +2021,90 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     closing float tree bit-identical across engines (the q11 rule — never
     an order-dependent double sum).
 
-    Scale shape: two rank windows partitioned BY GROUP (shuffle on the
-    group key, per-group sort — no global single-partition window), then
-    one map-side-combinable moment aggregation on the same key. Doubled
-    ranks reach ~2n/group; the long products inside the decimal sums are
-    safe to ~1e9-row groups, past which the operands themselves cast to
-    decimal first (same plan, wider lanes) — or ranks come from the
-    distributed exact-rank decomposition used by q_zorder_layout.
+    Scale shape (rewritten r5 — the group key has 3 values, so the
+    previous per-group rank windows were 3 single-thread sorts of the
+    whole table forever): DISTRIBUTED ranks via
+    ``operators.relational.grouped_value_ranks`` (map-side value
+    histograms + two-level prefix sum — no per-group sort anywhere).
+    The doubled avg rank is constant within a (group, value) class:
+    r2 = 2·cum_before + c + 1. The quantity rank map is dimension-sized
+    (3×~50 rows) and broadcasts onto the fact scan; rows then collapse
+    into a per-(group, price) frame carrying Σrx and Σrx² partials
+    (map-side combinable), the price ranks come from the SAME frame's
+    counts (count_col reuse — no second fact scan for the price
+    histogram), and every Spearman moment is a weighted sum over that
+    value-class frame: sxy = Σ r2y·Σrx, syy = Σ c·r2y², … — exact
+    integers in decimal(38,0) lanes, same closing float tree as before
+    (bit-identical output to the window form).
+
+    Auto-dispatch (the limit-probe pattern): below 2M rows the two
+    per-group rank windows beat the multi-stage distributed form's fixed
+    overhead (0.6 s vs 2.4 s at sf0.1) and per-group sorts are harmless,
+    so a metadata-cheap count probe keeps them; above, the distributed
+    ranks take over — the exact-integer moments make the two plans
+    bit-identical.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    flag = F.col("l_returnflag")
-    rx = (
-        F.lit(2) * F.rank().over(Window.partitionBy(flag).orderBy("l_quantity"))
-        + F.count("*").over(Window.partitionBy(flag, F.col("l_quantity")))
-        - F.lit(1)
-    ).cast("long")
-    ry = (
-        F.lit(2) * F.rank().over(Window.partitionBy(flag).orderBy("l_extendedprice"))
-        + F.count("*").over(Window.partitionBy(flag, F.col("l_extendedprice")))
-        - F.lit(1)
-    ).cast("long")
-    ranked = li.select(flag.alias("returnflag"), rx.alias("rx"), ry.alias("ry"))
-    dec = "decimal(38,0)"
-    s = ranked.groupBy("returnflag").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(F.col("rx").cast(dec)).alias("sx"),
-        F.sum(F.col("ry").cast(dec)).alias("sy"),
-        F.sum((F.col("rx") * F.col("ry")).cast(dec)).alias("sxy"),
-        F.sum((F.col("rx") * F.col("rx")).cast(dec)).alias("sxx"),
-        F.sum((F.col("ry") * F.col("ry")).cast(dec)).alias("syy"),
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("returnflag"), "l_quantity", "l_extendedprice"
     )
-    nd = F.col("n").cast(dec)
+    dec = "decimal(38,0)"
+    if li.count() <= 2_000_000:
+        flag = F.col("returnflag")
+        rx = (
+            F.lit(2) * F.rank().over(Window.partitionBy(flag).orderBy("l_quantity"))
+            + F.count("*").over(Window.partitionBy(flag, F.col("l_quantity")))
+            - F.lit(1)
+        ).cast("long")
+        ry = (
+            F.lit(2)
+            * F.rank().over(Window.partitionBy(flag).orderBy("l_extendedprice"))
+            + F.count("*").over(Window.partitionBy(flag, F.col("l_extendedprice")))
+            - F.lit(1)
+        ).cast("long")
+        ranked = li.select(flag.alias("returnflag"), rx.alias("rx"), ry.alias("ry"))
+        s = ranked.groupBy("returnflag").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("rx").cast(dec)).alias("sx"),
+            F.sum(F.col("ry").cast(dec)).alias("sy"),
+            F.sum((F.col("rx") * F.col("ry")).cast(dec)).alias("sxy"),
+            F.sum((F.col("rx") * F.col("rx")).cast(dec)).alias("sxx"),
+            F.sum((F.col("ry") * F.col("ry")).cast(dec)).alias("syy"),
+        )
+        return _spearman_close(s)
+    qmap = grouped_value_ranks(li, "returnflag", "l_quantity", 10.0).select(
+        "returnflag",
+        "l_quantity",
+        (F.lit(2) * F.col("cum_before") + F.col("c") + 1).cast("long").alias("rx"),
+    )
+    pf = (
+        li.join(F.broadcast(qmap), ["returnflag", "l_quantity"])
+        .groupBy("returnflag", "l_extendedprice")
+        .agg(
+            F.count("*").alias("_c"),
+            F.sum(F.col("rx").cast(dec)).alias("_sxp"),
+            F.sum((F.col("rx") * F.col("rx")).cast(dec)).alias("_sxxp"),
+        )
+    )
+    ranked = grouped_value_ranks(
+        pf, "returnflag", "l_extendedprice", 1000.0, count_col="_c"
+    )
+    r2y = (F.lit(2) * F.col("cum_before") + F.col("c") + 1).cast("long").cast(dec)
+    cd = F.col("c").cast(dec)
+    s = ranked.groupBy("returnflag").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("_sxp").alias("sx"),
+        F.sum(cd * r2y).alias("sy"),
+        F.sum(F.col("_sxp") * r2y).alias("sxy"),
+        F.sum("_sxxp").alias("sxx"),
+        F.sum(cd * r2y * r2y).alias("syy"),
+    )
+    return _spearman_close(s)
+
+
+def _spearman_close(s: DataFrame) -> DataFrame:
+    """Closing float tree over exact integer moments — shared by both
+    q_spearman_corr plans so their outputs are bit-identical."""
+    nd = F.col("n").cast("decimal(38,0)")
     num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     dx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     dy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")

@@ -73,8 +73,67 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard ≥ 0.5 pairs within (lang, source) blocks, with
+    the same size-probe dispatch as q_dedup_clusters (shared helper):
+    the block attributes have fixed cardinality, so the naive blocked
+    all-pairs kernel is corpus-quadratic — measured 60 s at sf1 before
+    the dispatch vs ~13 s via the prefix path, identical rows."""
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", ["lang", "source"], 0.5)
+    return _blocked_jaccard_pairs(docs, 0.5).select("id_a", "id_b", "jaccard")
+
+
+def _blocked_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """(lang, source)-blocked exact Jaccard pairs with auto-dispatch on a
+    block-size probe (the embedding-near-dup limit-probe pattern): the
+    block attributes have FIXED cardinality (~100 blocks), so block size
+    — and the all-pairs kernel's quadratic term — grows linearly with
+    the corpus. Blocks ≤ 2048 rows take the blocked all-pairs kernel;
+    larger corpora switch to the output-sensitive AllPairs/PPJoin
+    prefix-filter join restricted to same-block pairs — the SAME exact
+    pair set (integer-exact ≥ threshold test; at these token-set sizes
+    the 4-dp rounding cannot straddle the threshold), without the
+    quadratic term. Returns (id_a, id_b, lang, source, jaccard)."""
+    from hive_json_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    max_block = (
+        docs.groupBy("lang", "source")
+        .count()
+        .agg(F.coalesce(F.max("count"), F.lit(0)).alias("m"))
+        .first()["m"]
+    )
+    if max_block <= 2048:
+        return ngram_jaccard_pairs(
+            docs, "doc_id", "text", ["lang", "source"], threshold,
+            keep_block_cols=True,
+        )
+    attrs = docs.select("doc_id", "lang", "source")
+    return (
+        prefix_filter_jaccard_pairs(docs, "doc_id", "text", threshold)
+        .join(
+            attrs.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("lang").alias("_la"),
+                F.col("source").alias("_sa"),
+            ),
+            "id_a",
+        )
+        .join(
+            attrs.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("lang").alias("_lb"),
+                F.col("source").alias("_sb"),
+            ),
+            "id_b",
+        )
+        .filter((F.col("_la") == F.col("_lb")) & (F.col("_sa") == F.col("_sb")))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_la").alias("lang"),
+            F.col("_sa").alias("source"),
+            "jaccard",
+        )
+    )
 
 
 @query(
@@ -1762,55 +1821,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-set sizes the 4-dp rounding cannot straddle 0.5), without the
     quadratic term. The r5 sf1 scaling run is what exposed the
     quadratic: 10× data → 100× candidate pairs, survivable at sf1,
-    a wall at sf100."""
-    from hive_json_spark.operators.dedup import (
-        blocked_components,
-        prefix_filter_jaccard_pairs,
-    )
+    a wall at sf100. Pair generation is the shared
+    ``_blocked_jaccard_pairs`` dispatch (also used by
+    q_ngram_jaccard_pairs)."""
+    from hive_json_spark.operators.dedup import blocked_components
 
     docs = load_table(spark, sf_dir, "documents")
-    max_block = (
-        docs.groupBy("lang", "source")
-        .count()
-        .agg(F.coalesce(F.max("count"), F.lit(0)).alias("m"))
-        .first()["m"]
+    return blocked_components(
+        _blocked_jaccard_pairs(docs, 0.5), ["lang", "source"]
     )
-    if max_block <= 2048:
-        pairs = ngram_jaccard_pairs(
-            docs, "doc_id", "text", ["lang", "source"], 0.5, keep_block_cols=True
-        )
-    else:
-        attrs = docs.select("doc_id", "lang", "source")
-        pairs = (
-            prefix_filter_jaccard_pairs(docs, "doc_id", "text", 0.5)
-            .join(
-                attrs.select(
-                    F.col("doc_id").alias("id_a"),
-                    F.col("lang").alias("_la"),
-                    F.col("source").alias("_sa"),
-                ),
-                "id_a",
-            )
-            .join(
-                attrs.select(
-                    F.col("doc_id").alias("id_b"),
-                    F.col("lang").alias("_lb"),
-                    F.col("source").alias("_sb"),
-                ),
-                "id_b",
-            )
-            .filter(
-                (F.col("_la") == F.col("_lb")) & (F.col("_sa") == F.col("_sb"))
-            )
-            .select(
-                "id_a",
-                "id_b",
-                F.col("_la").alias("lang"),
-                F.col("_sa").alias("source"),
-                "jaccard",
-            )
-        )
-    return blocked_components(pairs, ["lang", "source"])
 
 
 # --- benchmark decontamination (n-gram overlap) ------------------------------

@@ -22,6 +22,7 @@ from hive_json_spark.functions.exact import avg_exact, int_units, sum_exact
 from hive_json_spark.operators.relational import (
     anti_join,
     broadcast_join,
+    grouped_exact_percentiles,
     semi_join,
     sessionize,
     top_k,
@@ -982,17 +983,49 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (sort-based within group). The scale
-    path for loose accuracy needs is approx_percentile (t-digest sketch,
-    map-side combinable); the exact form is the oracle-checked baseline."""
+    """Exact interpolated percentiles, DISTRIBUTED: Spark's exact
+    ``percentile`` aggregate buffers every value of a group in one
+    reducer, and l_returnflag has 3 values — per-group state O(rows) and
+    3-task parallelism forever, a scale-killer shape at 100 TB (it was
+    this registry's slowest-scaling relational query in the sf1 census).
+    Rewritten over ``operators.relational.grouped_exact_percentiles``:
+    map-side value histograms, a two-level distributed prefix sum (the
+    q_equidepth_bins decomposition), closed-form bracketing of the
+    h = (n−1)·p index, and lower + frac·(upper−lower) interpolation —
+    identical values to the sort-based aggregate (same definition as
+    DuckDB quantile_cont), no per-group buffering anywhere. The loose-
+    accuracy scale path remains approx_percentile (t-digest).
+
+    Auto-dispatch (the limit-probe pattern): the distributed form costs
+    ~8 shuffle-bounded stages of fixed overhead (~3 s at sf0.1, where
+    the buffering aggregate is 0.2 s), so a metadata-cheap count probe
+    keeps the single-pass aggregate for inputs the reducer can buffer
+    (≤ 2M rows) and switches above — both plans produce the same
+    interpolated values."""
     li = load_table(spark, sf_dir, "lineitem")
-    pcts = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.9))")
-    return li.groupBy("l_returnflag").agg(
-        F.round(pcts[0], 4).alias("p25"),
-        F.round(pcts[1], 4).alias("p50"),
-        F.round(pcts[2], 4).alias("p90"),
-        F.round(F.expr("percentile(l_discount, 0.5)"), 4).alias("disc_p50"),
+    if li.count() <= 2_000_000:
+        pcts = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.9))")
+        return li.groupBy("l_returnflag").agg(
+            F.round(pcts[0], 4).alias("p25"),
+            F.round(pcts[1], 4).alias("p50"),
+            F.round(pcts[2], 4).alias("p90"),
+            F.round(F.expr("percentile(l_discount, 0.5)"), 4).alias("disc_p50"),
+        )
+    price = grouped_exact_percentiles(
+        li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.9], 1000.0
     )
+    disc = grouped_exact_percentiles(
+        li, "l_returnflag", "l_discount", [0.5], 0.01
+    )
+    price_w = price.groupBy("l_returnflag").agg(
+        F.round(F.max(F.when(F.col("p") == 0.25, F.col("pct"))), 4).alias("p25"),
+        F.round(F.max(F.when(F.col("p") == 0.50, F.col("pct"))), 4).alias("p50"),
+        F.round(F.max(F.when(F.col("p") == 0.90, F.col("pct"))), 4).alias("p90"),
+    )
+    disc_w = disc.groupBy("l_returnflag").agg(
+        F.round(F.max("pct"), 4).alias("disc_p50")
+    )
+    return price_w.join(disc_w, "l_returnflag")
 
 
 @query(

@@ -181,6 +181,9 @@ PERTURB_QUERIES = [
     "q_chi_square",
     "q_ewma_daily",
     "q_spearman_corr",
+    # interpolated exact percentiles: bracketing + lower+frac*(upper-lower)
+    # must be identical under any partitioning and on both dispatch paths
+    "q_percentiles",
     # integer-space rounding in the similarity join verify step
     "q_setsim_prefix_join",
     # rank-derived doubles (1/(60+r)) + ln-sum BM25 arm must be layout-free

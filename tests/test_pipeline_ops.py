@@ -1269,3 +1269,74 @@ def test_edit_distance_pairs_max_len_guard(spark):
     assert "max_len" in str(ei.value)
     with pytest.raises(ValueError):
         edit_distance_pairs(df, "id", "name", max_dist=3)
+
+
+# --- grouped_value_ranks / grouped_exact_percentiles (r5) ---------------------
+
+def _rank_testframe(spark):
+    # deterministic values with heavy ties, negatives, and uneven groups
+    rows = [
+        (g, float(((i * 7919 + ord(g) * 131) % 23) - 5) * 0.5)
+        for g in ("A", "B", "C")
+        for i in range({"A": 217, "B": 31, "C": 1000}[g])
+    ]
+    return spark.createDataFrame(rows, "grp string, v double")
+
+
+def test_grouped_value_ranks_matches_window(spark):
+    """c / cum_before / n from the two-level decomposition equal the
+    per-group window definitions on every (group, value)."""
+    from pyspark.sql import Window, functions as F
+    from hive_json_spark.operators.relational import grouped_value_ranks
+
+    df = _rank_testframe(spark)
+    got = {
+        (r.grp, r.v): (r.c, r.cum_before, r.n)
+        for r in grouped_value_ranks(df, "grp", "v", 2.0).collect()
+    }
+    want_rows = (
+        df.groupBy("grp", "v")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "grp",
+            "v",
+            "c",
+            (
+                F.coalesce(
+                    F.sum("c").over(
+                        Window.partitionBy("grp")
+                        .orderBy("v")
+                        .rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+            ).alias("cum_before"),
+            F.sum("c").over(Window.partitionBy("grp")).alias("n"),
+        )
+        .collect()
+    )
+    want = {(r.grp, r.v): (r.c, r.cum_before, r.n) for r in want_rows}
+    assert got == want
+
+
+def test_grouped_exact_percentiles_matches_percentile_agg(spark):
+    """Distributed interpolated percentiles equal Spark's exact
+    (buffering) percentile aggregate for every group and p, including
+    tie-heavy and single-row groups."""
+    from pyspark.sql import functions as F
+    from hive_json_spark.operators.relational import grouped_exact_percentiles
+
+    df = _rank_testframe(spark).union(
+        spark.createDataFrame([("D", 42.0)], "grp string, v double")
+    )
+    ps = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = {
+        (r.grp, r.p): r.pct
+        for r in grouped_exact_percentiles(df, "grp", "v", ps, 2.0).collect()
+    }
+    want_rows = df.groupBy("grp").agg(
+        F.expr(f"percentile(v, array({','.join(map(str, ps))}))").alias("pcts")
+    ).collect()
+    for r in want_rows:
+        for p, w in zip(ps, r.pcts):
+            assert got[(r.grp, p)] == w, (r.grp, p, got[(r.grp, p)], w)
