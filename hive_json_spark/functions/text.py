@@ -8,7 +8,17 @@ regex over letter-runs / digit-runs / single symbols.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, functions as F
+
+# THE token definition, shared by the JVM path (``tokens()``, Java regex
+# \s without UNICODE_CHARACTER_CLASS = ASCII [ \t\n\x0B\f\r]) and every
+# Python/Arrow kernel (``py_tokens``, re.ASCII \s = the same five chars).
+# Python ``str.split()`` splits on full Unicode whitespace (NBSP, thin
+# space, ...) and is banned for tokenization — it would fragment tokens
+# the JVM keeps whole and split streaming from batch on non-ASCII docs.
+PY_ASCII_WS = re.compile(r"\s+", re.ASCII)
 
 
 def _c(col: Column | str) -> Column:
@@ -17,8 +27,19 @@ def _c(col: Column | str) -> Column:
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens (empty strings filtered, so it agrees with
-    engines that drop trailing empties)."""
+    engines that drop trailing empties). Java regex ``\\s`` is ASCII
+    whitespace — the exact mirror of ``py_tokens``."""
     return F.filter(F.split(_c(col), r"\s+"), lambda t: t != F.lit(""))
+
+
+def py_tokens(text: str | None) -> list[str]:
+    """Driver/kernel-side mirror of ``tokens()`` — identical token
+    boundaries (ASCII whitespace, empties filtered) so Arrow verify
+    kernels, MinHash shingling and the streaming gate all agree on every
+    input, including Unicode-whitespace documents."""
+    if not text:
+        return []
+    return [t for t in PY_ASCII_WS.split(text) if t]
 
 
 def token_count(col: Column | str) -> Column:

@@ -27,10 +27,24 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from hive_json_spark.functions.text import tokens, word_shingles
+from hive_json_spark.functions.text import py_tokens, tokens, word_shingles
 from hive_json_spark.operators.util import ensure_parallelism
 
 _MERSENNE_P = 4294967311  # prime > 2^32; universal-hash modulus
+
+
+def _round4_half_up(intersection: int, union: int) -> float:
+    """4-dp ROUND of intersection/union in INTEGER space, half-up.
+
+    floor((2*i*10^4 + u) / (2u)) / 10^4 — the one rounding definition
+    shared by every Jaccard arm (prefix-filter integer verify, the Arrow
+    verify kernels here) and the DuckDB ``ROUND(double, 4)`` oracles.
+    Python's ``round`` is half-EVEN, so exact 4-dp halves (e.g. 17/32 =
+    0.53125) would diverge between arms and from the oracle.
+    """
+    if union == 0:
+        return 0.0
+    return (2 * intersection * 10_000 + union) // (2 * union) / 10_000
 
 
 def content_hash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -152,7 +166,7 @@ def minhash_signature(
             for pdf in batches:
                 sigs = []
                 for text in pdf[text_col]:
-                    toks = text.split() if text else []
+                    toks = py_tokens(text)
                     count = max(len(toks) - n + 1, 1)
                     sh = {" ".join(toks[i : i + n]) for i in range(count)}
                     hs = np.fromiter((crc32(s.encode()) for s in sh), dtype=np.uint64, count=len(sh))
@@ -212,7 +226,7 @@ def banded_minhash(
             ids, band_idx, band_hash = [], [], []
             extras: dict[str, list] = {c: [] for c in extra}
             for row_ix, (doc_id, text) in enumerate(zip(pdf[id_col], pdf[text_col])):
-                toks = text.split() if text else []
+                toks = py_tokens(text)
                 count = max(len(toks) - n + 1, 1)
                 sh = {" ".join(toks[i : i + n]) for i in range(count)}
                 hs = np.fromiter((crc32(s.encode()) for s in sh), dtype=np.uint64, count=len(sh))
@@ -312,7 +326,7 @@ def minhash_dedup_pairs(
 
     def verify(batches):
         def shingle_set(text):
-            toks = text.split() if text else []
+            toks = py_tokens(text)
             count = max(len(toks) - n + 1, 1)
             return {" ".join(toks[i : i + n]) for i in range(count)}
 
@@ -321,7 +335,7 @@ def minhash_dedup_pairs(
             for ta, tb in zip(pdf["_ta"], pdf["_tb"]):
                 sa, sb = shingle_set(ta), shingle_set(tb)
                 union = len(sa | sb)
-                jac.append(round(len(sa & sb) / union, 4) if union else 0.0)
+                jac.append(_round4_half_up(len(sa & sb), union))
             yield pdf[["id_a", "id_b"]].assign(jaccard=jac)
 
     return (
@@ -351,7 +365,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             hs = np.fromiter(
                 (
                     int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-                    for t in text.split()
+                    for t in py_tokens(text)
                 ),
                 dtype=np.uint64,
             )
@@ -454,10 +468,10 @@ def ngram_jaccard_pairs(
         for pdf in batches:
             jac = []
             for ta, tb in zip(pdf["_ta"], pdf["_tb"]):
-                sa = set(ta.split()) if ta else set()
-                sb = set(tb.split()) if tb else set()
+                sa = set(py_tokens(ta))
+                sb = set(py_tokens(tb))
                 union = len(sa | sb)
-                jac.append(round(len(sa & sb) / union, 4) if union else 0.0)
+                jac.append(_round4_half_up(len(sa & sb), union))
             yield pdf[keep].assign(jaccard=jac)
 
     return (

@@ -187,11 +187,14 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 1000) -> bytes:
     stream += struct.pack(">BBH", 0x80, 0, 34)  # last-block | STREAMINFO | len
     stream += info.bytes() + md5
 
-    for f_ix in range(max((n_total + BLOCK - 1) // BLOCK, 1)):
+    # n_total == 0 → zero frames: STREAMINFO total=0 with no frames is
+    # valid FLAC, while a zero-sample frame would be malformed (its 16-bit
+    # end blocksize field can't encode 0 samples).
+    for f_ix in range((n_total + BLOCK - 1) // BLOCK):
         blk = x[f_ix * BLOCK:(f_ix + 1) * BLOCK]
-        if not len(blk) and n_total:
+        if not len(blk):
             break
-        bs = len(blk) if len(blk) else 0
+        bs = len(blk)
         # --- frame header (byte-aligned) ---
         hdr = _BitWriter()
         hdr.write(0b11111111111110, 14)

@@ -649,6 +649,12 @@ def grouped_value_ranks(
     per-(group, value)-unique frame's count column to reuse a prior
     aggregation (extra columns ride along untouched). Null values are
     the caller's job (excluded upstream).
+
+    Tie-safety: the within-bucket prefix sum uses a RANGE frame (≤ value,
+    minus the tied total) rather than a ROWS frame, so a caller-supplied
+    frame that is NOT (group, value)-unique still gets correct ``c`` /
+    ``cum_before`` on every row (duplicated, one per input row) instead
+    of silently counting preceding tied rows as strictly smaller.
     """
     g, v = group_col, value_col
     if count_col is None:
@@ -669,17 +675,19 @@ def grouped_value_ranks(
         F.coalesce(F.sum("_bn").over(wb), F.lit(0)).alias("_boff"),
         F.sum("_bn").over(Window.partitionBy(g)).alias("n"),
     )
-    wc = (
+    wc_le = (
         Window.partitionBy(g, "_b")
         .orderBy(v)
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    tied = F.sum(cc).over(Window.partitionBy(g, "_b", v))
     out = (
-        vcb.withColumn("_ib", F.coalesce(F.sum(cc).over(wc), F.lit(0)))
+        vcb.withColumn("_tied", tied)
+        .withColumn("_ib", F.sum(cc).over(wc_le) - F.col("_tied"))
         .join(F.broadcast(boff), [g, "_b"])
-        .withColumn("c", F.col(cc).cast("long"))
+        .withColumn("c", F.col("_tied").cast("long"))
         .withColumn("cum_before", (F.col("_boff") + F.col("_ib")).cast("long"))
-        .drop("_b", "_ib", "_boff")
+        .drop("_b", "_ib", "_boff", "_tied")
     )
     return out.drop("_c") if count_col is None else out
 

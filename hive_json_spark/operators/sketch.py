@@ -10,20 +10,19 @@ territory.)
 from __future__ import annotations
 
 import math
-import re
+
 from collections import Counter
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from hive_json_spark.functions.text import token_count, tokens
+from hive_json_spark.functions.text import PY_ASCII_WS, token_count, tokens
 
 # candidate generation must tokenize EXACTLY like the verify phase's
 # tokens() (JVM \s+, which is ASCII whitespace) or the pigeonhole superset
-# guarantee breaks: Python str.split() splits on Unicode whitespace (e.g.
-# NBSP) and would fragment a token the JVM keeps whole, hiding a true
-# heavy hitter from the candidate set
-_ASCII_WS = re.compile(r"\s+", re.ASCII)
+# guarantee breaks — PY_ASCII_WS is the repo-wide shared definition
+# (functions/text.py), the exact mirror of the JVM tokens()
+_ASCII_WS = PY_ASCII_WS
 
 
 def heavy_hitters(

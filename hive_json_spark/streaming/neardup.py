@@ -92,17 +92,13 @@ def streaming_near_dup_flags(
     else:
         cand = cand.dropDuplicates(["stream_id", "corpus_id"])
     cand = cand.join(corpus_text, "corpus_id")
-    # tokens() (empty strings filtered) — the same JVM token definition
-    # as every batch dedup operator; raw split would count a leading-
-    # whitespace '' as a token and skew jaccard vs the batch twin.
-    # Known residual gap (r4 advisory): tokens() splits on Java regex \s
-    # (ASCII whitespace), while the batch Arrow kernels tokenize with
-    # Python str.split() (Unicode whitespace) — a doc containing e.g.
-    # U+00A0 NBSP tokenizes differently here than in the batch verify
-    # kernel. The synthetic corpora are ASCII-only, so the gate's jaccard
-    # matches the batch twin exactly there (pinned in test_streaming);
-    # Unicode-whitespace corpora would need a shared explicit character
-    # class in both definitions.
+    # tokens() (empty strings filtered) — THE token definition (ASCII
+    # whitespace, functions/text.py): since r6 every batch Arrow kernel
+    # tokenizes with py_tokens (re.ASCII \s), the exact mirror of this
+    # JVM split, so the gate's jaccard matches the batch twin on ANY
+    # input, Unicode whitespace included (pinned in test_streaming /
+    # test_pipeline_ops non-ASCII tests). The r4 NBSP divergence note is
+    # retired.
     ta = F.array_distinct(tokens(F.col("_stxt")))
     tb = F.array_distinct(tokens(F.col("_ctxt")))
     inter = F.size(F.array_intersect(ta, tb)).cast("double")

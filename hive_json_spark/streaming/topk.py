@@ -80,11 +80,15 @@ def streaming_topk(
             )
         else:
             merged = part
-        schema = merged.schema
-        rows = merged.collect()  # |keys| rows — bounded by key cardinality
-        spark.createDataFrame(rows, schema).withColumn(
+        # localCheckpoint (eager) materializes the merged counts on the
+        # executors and truncates lineage off the parquet files that the
+        # overwrite below is about to delete — the read→overwrite-same-path
+        # cycle breaks WITHOUT routing the state through the driver (a
+        # collect here would be unbounded for a high-cardinality key).
+        merged = merged.localCheckpoint()
+        merged.withColumn(
             "_batch_id", F.lit(batch_id).cast("bigint")
-        ).coalesce(1).write.mode("overwrite").parquet(counts_dir)
+        ).write.mode("overwrite").parquet(counts_dir)
         _write_view(spark)
 
     return (

@@ -440,6 +440,21 @@ def test_flac_roundtrip_exact_all_signal_shapes():
         assert np.array_equal(back, x), f"roundtrip mismatch n={len(x)}"
 
 
+def test_flac_empty_input_emits_zero_frames():
+    """n_total=0 → STREAMINFO total=0 and NO frames (a zero-sample frame
+    would be malformed for conforming external decoders: its 16-bit end
+    blocksize field can't encode 0). Stream = fLaC magic + one 38-byte
+    STREAMINFO block and nothing else."""
+    import numpy as np
+
+    from hive_json_spark.operators.flac import decode_flac, encode_flac
+
+    b = encode_flac(np.zeros(0, dtype=np.int16))
+    assert len(b) == 4 + 4 + 34  # magic + block header + STREAMINFO
+    sr, back = decode_flac(b)
+    assert len(back) == 0
+
+
 def test_flac_compresses_smooth_signals():
     import numpy as np
 

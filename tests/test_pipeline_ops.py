@@ -61,6 +61,56 @@ def test_ngram_jaccard_blocked(spark):
     assert pairs[0]["jaccard"] == 0.6  # |{a,b,c}|/|{a,b,c,d,e}|
 
 
+def test_token_definition_unified_non_ascii(spark):
+    """ONE token definition repo-wide: JVM tokens() (Java \\s = ASCII
+    whitespace) and the kernels' py_tokens must produce identical token
+    boundaries on Unicode-whitespace input — NBSP/thin-space stay INSIDE
+    a token on both sides (retires the r4 streaming-vs-batch NBSP gap)."""
+    from hive_json_spark.functions.text import py_tokens, tokens
+
+    texts = [
+        "a b c",          # NBSP inside a token
+        "x y z",          # thin space inside a token
+        "  lead trail  ",      # ASCII edges
+        "tab\tsep\nline\rcr",  # the other ASCII \s chars
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id bigint, text string"
+    )
+    jvm = {
+        r["id"]: list(r["tk"])
+        for r in df.select("id", tokens("text").alias("tk")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert jvm[i] == py_tokens(t), t
+    assert py_tokens("a b c") == ["a b", "c"]
+
+
+def test_jaccard_kernels_agree_on_unicode_ws(spark):
+    """The Arrow verify kernel (py_tokens) and the JVM tokens() twin
+    compute the same jaccard for a pair whose only multi-token runs are
+    glued by NBSP — str.split() would have fragmented them."""
+    from hive_json_spark.functions.text import tokens
+    from hive_json_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "the cat sat on the mat", "en", "s"),
+        (2, "the cat sat on the hat", "en", "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string, source string")
+    got = ngram_jaccard_pairs(df, "doc_id", "text", ["lang", "source"], 0.1).collect()
+    assert len(got) == 1
+    # JVM twin: distinct-token sets {the cat,sat,on,the,mat/hat}
+    a = F.array_distinct(tokens(F.lit(rows[0][1])))
+    b = F.array_distinct(tokens(F.lit(rows[1][1])))
+    jvm = df.limit(1).select(
+        (F.size(F.array_intersect(a, b))
+         / F.size(F.array_union(a, b))).alias("j")
+    ).collect()[0]["j"]
+    assert got[0]["jaccard"] == round(jvm, 4) == 0.6667
+
+
 def test_brute_force_topk_planted(spark):
     from hive_json_spark.operators.similarity import brute_force_topk
 
@@ -1317,6 +1367,30 @@ def test_grouped_value_ranks_matches_window(spark):
     )
     want = {(r.grp, r.v): (r.c, r.cum_before, r.n) for r in want_rows}
     assert got == want
+
+
+def test_grouped_value_ranks_tie_safe_on_non_unique_input(spark):
+    """count_col with a frame that is NOT (group, value)-unique: the
+    RANGE-frame prefix sum must still report correct c / cum_before on
+    every row (tied rows never counted as strictly smaller) — the rows
+    are duplicated, not corrupted."""
+    from hive_json_spark.operators.relational import grouped_value_ranks
+
+    # value 5.0 appears as TWO rows (counts 2 and 3) in group A
+    rows = [("A", 1.0, 4), ("A", 5.0, 2), ("A", 5.0, 3), ("A", 9.0, 1)]
+    df = spark.createDataFrame(rows, "grp string, v double, cnt bigint")
+    got = sorted(
+        (r.grp, r.v, r.c, r.cum_before, r.n)
+        for r in grouped_value_ranks(df, "grp", "v", 2.0, count_col="cnt").collect()
+    )
+    # c at v=5.0 is the TIED TOTAL 5 on both rows; cum_before counts only
+    # the strictly-smaller v=1.0 rows (4); n is the group total 10
+    assert got == [
+        ("A", 1.0, 4, 0, 10),
+        ("A", 5.0, 5, 4, 10),
+        ("A", 5.0, 5, 4, 10),
+        ("A", 9.0, 1, 9, 10),
+    ]
 
 
 def test_grouped_exact_percentiles_matches_percentile_agg(spark):

@@ -616,6 +616,41 @@ def test_streaming_topk_matches_batch_and_replay(spark, sf_dir, tmp_path):
     assert again == expected
 
 
+def test_streaming_topk_high_cardinality_key(spark, tmp_path):
+    """Top-k over a near-unique key: the per-key state is as large as the
+    stream itself, so the state maintenance must stay distributed (the
+    merged counts are localCheckpointed, never collected to the driver).
+    20k distinct keys across two batches; counts table must hold every
+    key, top-k must pick the planted heavy keys."""
+    from hive_json_spark.streaming import streaming_topk
+
+    # batch 1: keys 0..9999 once each; batch 2: keys 10000..19999 once
+    # each, plus key 42 ten more times (the planted heavy hitter).
+    b1 = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    b2 = spark.range(10_000, 20_000).select(F.col("id").alias("k")).unionAll(
+        spark.range(10).select(F.lit(42).alias("k"))
+    )
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "topk")
+    stream = (
+        spark.readStream.schema("k bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = streaming_topk(stream, "k", out, str(tmp_path / "ckpt"), k=3)
+    q.awaitTermination(120)
+
+    counts = spark.read.parquet(f"{out}/counts")
+    assert counts.count() == 20_000  # full key cardinality retained
+    top = [(r.key, r.n) for r in spark.read.parquet(f"{out}/topk")
+           .orderBy(F.col("n").desc(), F.col("key").asc()).collect()]
+    assert top[0] == (42, 11)
+    assert [n for _, n in top[1:]] == [1, 1]
+
+
 def test_streaming_psi_migrates_pre_protocol_state(spark, sf_dir, tmp_path):
     """A counts table written before the batch-id protocol (no _batch_id
     column) must be treated as valid accumulated state, not reset."""
