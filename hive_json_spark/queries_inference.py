@@ -146,3 +146,130 @@ def q_infer_schema_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
     out = infer_schema_by_group(events, "event_type", "props")
     return out.select("event_type", "hive_type", "records")
+
+
+_INT_CASE = """CASE
+             WHEN min_k >= -128 AND max_k < 128 THEN 'tinyint'
+             WHEN min_k >= -32768 AND max_k < 32768 THEN 'smallint'
+             WHEN min_k >= -2147483648 AND max_k < 2147483648 THEN 'int'
+             ELSE 'bigint' END"""
+
+
+# P1/P2 render parity as a GRADED query: the oracle rebuilds the exact
+# create-table string (2-space indent, trailing newline —
+# JsonSchemaFinder.java:203-221) from the raw JSON's value range, so the
+# renderer AND the sizing lattice are both on the hook.
+@query(
+    "q_render_ddl",
+    f"""
+    SELECT 'create table tbl (' || chr(10) || '  k ' || {_INT_CASE}
+             || chr(10) || ')' || chr(10) AS ddl,
+           CAST(n AS BIGINT) AS records
+    FROM (SELECT MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                 MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                 COUNT(*) AS n
+          FROM events WHERE props IS NOT NULL)
+    """,
+)
+def q_render_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL render (printTopType parity) of the inferred props schema as a
+    driver-gradeable string — closes the SURVEY §2 P1/P2 'library path'
+    gap: the golden-string pytest pins the renderer shape, this entry
+    lets the DuckDB gate re-derive the whole string from data."""
+    from hive_json_spark.types import StructT, to_hive_ddl
+
+    events = load_table(spark, sf_dir, "events")
+    result = infer_schema_of_column(events, "props")
+    # zero documents → no struct to render (the reference's CLI would have
+    # nothing to print); emit 'void' instead of crashing the empty path
+    ddl = (
+        to_hive_ddl(result.htype)
+        if isinstance(result.htype, StructT)
+        else "void\n"
+    )
+    return spark.range(1).select(
+        F.lit(ddl).alias("ddl"),
+        F.lit(result.records).cast("bigint").alias("records"),
+    )
+
+
+# P3 flat render (printFlat parity): one row per flat line, ordered.
+@query(
+    "q_flat_render",
+    f"""
+    SELECT CAST(0 AS BIGINT) AS line_no,
+           'root.k: ' || {_INT_CASE} AS flat_line
+    FROM (SELECT MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                 MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+          FROM events WHERE props IS NOT NULL)
+    """,
+)
+def q_flat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat dotted-path render (printFlat parity, `types.to_flat`) of the
+    inferred props schema, one graded row per line."""
+    from hive_json_spark.types import to_flat
+
+    events = load_table(spark, sf_dir, "events")
+    result = infer_schema_of_column(events, "props")
+    lines = to_flat(result.htype).splitlines() if result.htype is not None else []
+    return spark.range(1).select(
+        F.posexplode(F.array(*[F.lit(l) for l in lines])).alias("line_no", "flat_line")
+    ).select(F.col("line_no").cast("bigint").alias("line_no"), "flat_line")
+
+
+# S2/S3/S4 as a GRADED query: whole-file gz scan of CONCATENATED (no
+# separator) JSON docs across multiple files, folded with the lattice —
+# the reference's find-json-schema file path (JsonSchemaFinder.java:234-242)
+# end-to-end. Bounded harness: the corpus is a fixed ≤2000-doc prefix
+# (event_id < 2000 — constant at every sf), so the driver-side gz write is
+# constant-sized at any corpus scale; the library path itself
+# (infer_schema ndjson=False) is the distributed binaryFiles fold.
+@query(
+    "q_infer_props_schema_gz",
+    """
+    SELECT 'struct<k:' || CASE
+             WHEN min_k >= -128 AND max_k < 128 THEN 'tinyint'
+             WHEN min_k >= -32768 AND max_k < 32768 THEN 'smallint'
+             WHEN min_k >= -2147483648 AND max_k < 2147483648 THEN 'int'
+             ELSE 'bigint' END || '>' AS hive_type,
+           CAST(n AS BIGINT) AS records
+    FROM (SELECT MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                 MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                 COUNT(*) AS n
+          FROM events WHERE props IS NOT NULL AND event_id < 2000)
+    """,
+)
+def q_infer_props_schema_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import gzip
+    import os
+    import shutil
+    import tempfile
+
+    from hive_json_spark.infer import infer_schema
+
+    events = load_table(spark, sf_dir, "events")
+    docs = [
+        r["props"]
+        for r in events.filter(
+            (F.col("event_id") < 2000) & F.col("props").isNotNull()
+        )
+        .select("event_id", "props")
+        .orderBy("event_id")
+        .collect()  # bounded: < 2000 rows by the filter, at every sf
+    ]
+    tmp = tempfile.mkdtemp(prefix="hjs_gz_")
+    try:
+        paths = []
+        for i in range(4):
+            p = os.path.join(tmp, f"part{i}.json.gz")
+            # "".join — concatenated documents, NO separator (S3 contract)
+            with gzip.open(p, "wt", encoding="utf-8") as f:
+                f.write("".join(docs[i::4]))
+            paths.append(p)
+        result = infer_schema(spark, paths, ndjson=False)
+        return spark.range(1).select(
+            F.lit(str(result.htype)).alias("hive_type"),
+            F.lit(result.records).cast("bigint").alias("records"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
