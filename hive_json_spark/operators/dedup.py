@@ -47,6 +47,41 @@ def _round4_half_up(intersection: int, union: int) -> float:
     return (2 * intersection * 10_000 + union) // (2 * union) / 10_000
 
 
+def shingled_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    keep_text: bool = False,
+) -> DataFrame:
+    """``(id[, text], shingles array<string>)`` — the distinct n-word
+    shingle SET per document, one Arrow kernel (py_tokens + set, the
+    exact set ``word_shingles``/the verify kernels build). Compute it
+    ONCE and pass via ``shingles_col=`` to ``shingle_jaccard_truth_pairs``
+    / ``minhash_dedup_pairs`` when several arms consume the same corpus
+    (the q_dedup_method_eval shape) — each arm then skips its own
+    tokenize+shingle pass over identical text."""
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                toks = py_tokens(text)
+                count = max(len(toks) - n + 1, 1)
+                out.append(list({" ".join(toks[i : i + n]) for i in range(count)}))
+            cols = {id_col: pdf[id_col]}
+            if keep_text:
+                cols[text_col] = pdf[text_col]
+            cols["shingles"] = out
+            yield pd.DataFrame(cols)
+
+    fields = f"{id_col} bigint, "
+    if keep_text:
+        fields += f"{text_col} string, "
+    fields += "shingles array<string>"
+    return ensure_parallelism(df).select(id_col, text_col).mapInPandas(kernel, fields)
+
+
 def content_hash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: survivors = min(id) per md5(text). Returns (hash, id)."""
     return (
@@ -64,6 +99,7 @@ def shingle_jaccard_truth_pairs(
     threshold: float = 0.5,
     shingle_n: int = 3,
     impl: str = "equijoin",
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """EXACT shingle-set Jaccard ≥ threshold pairs — the all-pairs ground
     truth approximate dedup methods are graded against (the truth arm of
@@ -87,18 +123,19 @@ def shingle_jaccard_truth_pairs(
 
     Returns (id_a, id_b) with id_a < id_b.
     """
+    sh_expr = (
+        F.col(shingles_col)
+        if shingles_col
+        else F.array_distinct(word_shingles(text_col, shingle_n))
+    )
     if impl == "prefix":
         base = ensure_parallelism(df).select(
-            F.col(id_col).alias("_id"),
-            F.array_distinct(word_shingles(text_col, shingle_n)).alias("_tok"),
+            F.col(id_col).alias("_id"), sh_expr.alias("_tok")
         )
         return _set_similarity_pairs(
             base, threshold, salt_grid=1, impl="prefix", max_tokens=0
         ).select("id_a", "id_b")
-    sharr = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("_ss"),
-    )
+    sharr = df.select(F.col(id_col).alias("_id"), sh_expr.alias("_ss"))
     sh = sharr.select("_id", F.explode("_ss").alias("_s")).select(
         "_id", F.xxhash64("_s").alias("_h")
     )
@@ -203,13 +240,18 @@ def banded_minhash(
     seed: int = 42,
     keep_text: bool = False,
     keep_cols: Sequence[str] = (),
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """``(id, band, band_hash)`` rows — the LSH bucket keys, one Arrow
     kernel end-to-end (shingle → minhash → per-band hash). Fusing the
     banding into the signature kernel avoids `bands` codegen'd
     hash-of-concat expressions plus a posexplode: measured ~2× less
     cold-start than kernel+JVM banding, identical output volume
-    (bands rows per doc crossing the shuffle)."""
+    (bands rows per doc crossing the shuffle).
+
+    ``shingles_col``: a precomputed ``shingled_docs`` array column — the
+    kernel hashes those shingles directly instead of re-tokenizing
+    ``text_col`` (identical signatures; the shingle set is the same)."""
     rnd = random.Random(seed)
     coeffs = [(rnd.randrange(1, 1 << 30), rnd.randrange(0, _MERSENNE_P)) for _ in range(num_perm)]
     A = np.array([a for a, _ in coeffs], dtype=np.uint64)
@@ -225,10 +267,14 @@ def banded_minhash(
         for pdf in batches:
             ids, band_idx, band_hash = [], [], []
             extras: dict[str, list] = {c: [] for c in extra}
-            for row_ix, (doc_id, text) in enumerate(zip(pdf[id_col], pdf[text_col])):
-                toks = py_tokens(text)
-                count = max(len(toks) - n + 1, 1)
-                sh = {" ".join(toks[i : i + n]) for i in range(count)}
+            src = pdf[shingles_col] if shingles_col else pdf[text_col]
+            for row_ix, (doc_id, payload) in enumerate(zip(pdf[id_col], src)):
+                if shingles_col:
+                    sh = payload  # precomputed distinct shingle set
+                else:
+                    toks = py_tokens(payload)
+                    count = max(len(toks) - n + 1, 1)
+                    sh = {" ".join(toks[i : i + n]) for i in range(count)}
                 hs = np.fromiter((crc32(s.encode()) for s in sh), dtype=np.uint64, count=len(sh))
                 sig = ((A[:, None] * hs[None, :] + B[:, None]) % _MERSENNE_P).min(axis=1)
                 sig_bytes = sig.astype("<u8").tobytes()
@@ -249,7 +295,8 @@ def banded_minhash(
     schema_parts = [f"{id_col} bigint", "band int", "band_hash bigint"] + [
         f"{c} {types[c]}" for c in extra
     ]
-    return in_df.select(id_col, text_col, *keep_cols).mapInPandas(
+    payload_col = shingles_col if shingles_col else text_col
+    return in_df.select(id_col, payload_col, *keep_cols).mapInPandas(
         kernel, ", ".join(schema_parts)
     )
 
@@ -263,6 +310,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     seed: int = 42,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (id_a < id_b), deduplicated across bands.
 
@@ -271,7 +319,8 @@ def lsh_candidate_pairs(
     (band, band_hash, id) triples.
     """
     banded = banded_minhash(
-        df, id_col, text_col, num_perm=num_perm, bands=bands, shingle_n=shingle_n, seed=seed
+        df, id_col, text_col, num_perm=num_perm, bands=bands, shingle_n=shingle_n, seed=seed,
+        shingles_col=shingles_col,
     )
     left = banded.alias("a")
     right = banded.alias("b")
@@ -296,17 +345,23 @@ def minhash_dedup_pairs(
     num_perm: int = 64,
     bands: int = 8,
     shingle_n: int = 3,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard ≥ threshold.
 
     Verification joins the shingle arrays back on only the candidate ids —
     at scale this is the small side and broadcasts.
+
+    ``shingles_col``: precomputed ``shingled_docs`` array column — both
+    the signature kernel and the verify kernel consume it directly
+    (no re-tokenize anywhere in this pipeline).
     """
     # Pin the candidate pairs: they are tiny (LSH collisions only) but the
     # plan references them twice, and each recompute would redo the whole
     # signature + band join.
     cands = lsh_candidate_pairs(
-        df, id_col, text_col, num_perm=num_perm, bands=bands, shingle_n=shingle_n
+        df, id_col, text_col, num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+        shingles_col=shingles_col,
     ).persist()
     # Verification: join the texts of each side back onto the pairs (the
     # candidate side is small by construction, so AQE broadcasts it and the
@@ -314,19 +369,23 @@ def minhash_dedup_pairs(
     # shingle-set Jaccard per pair. The corpus' shingle sets are never
     # materialized engine-side — only candidate pairs' texts cross into
     # Python, which is what keeps this viable at 100 TB.
-    texts = df.select(id_col, text_col)
+    payload = df.select(id_col, shingles_col if shingles_col else text_col)
+    pc = shingles_col if shingles_col else text_col
     paired = (
         cands.join(
-            texts.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "_ta"), "id_a"
+            payload.withColumnRenamed(id_col, "id_a").withColumnRenamed(pc, "_ta"), "id_a"
         ).join(
-            texts.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "_tb"), "id_b"
+            payload.withColumnRenamed(id_col, "id_b").withColumnRenamed(pc, "_tb"), "id_b"
         )
     )
     n = shingle_n
+    pre_shingled = shingles_col is not None
 
     def verify(batches):
-        def shingle_set(text):
-            toks = py_tokens(text)
+        def shingle_set(payload_val):
+            if pre_shingled:
+                return set(payload_val)
+            toks = py_tokens(payload_val)
             count = max(len(toks) - n + 1, 1)
             return {" ".join(toks[i : i + n]) for i in range(count)}
 

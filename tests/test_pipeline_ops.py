@@ -38,6 +38,48 @@ def test_minhash_finds_planted_near_dup(spark, docs_with_dups):
     assert exact == [1.0]
 
 
+def test_preshingled_paths_match_text_paths(spark, docs_with_dups):
+    """``shingled_docs`` + ``shingles_col=`` must reproduce the text
+    paths bit-for-bit: same MinHash pair set AND jaccards (signature +
+    verify kernels consume the precomputed sets), same exact-truth pair
+    set. This is the shared-shingle-frame API for multi-arm consumers
+    (its use in q_dedup_method_eval was measured and rejected — see the
+    query docstring — but the operator contract stays pinned)."""
+    from hive_json_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        shingle_jaccard_truth_pairs,
+        shingled_docs,
+    )
+
+    sh = shingled_docs(docs_with_dups, "doc_id", "text", 3, keep_text=True)
+    via_text = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_dedup_pairs(
+            docs_with_dups, "doc_id", "text", threshold=0.5
+        ).collect()
+    )
+    via_sh = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_dedup_pairs(
+            sh, "doc_id", "text", threshold=0.5, shingles_col="shingles"
+        ).collect()
+    )
+    assert via_text == via_sh and via_text
+    t_text = sorted(
+        (r["id_a"], r["id_b"])
+        for r in shingle_jaccard_truth_pairs(
+            docs_with_dups, "doc_id", "text", threshold=0.5
+        ).collect()
+    )
+    t_sh = sorted(
+        (r["id_a"], r["id_b"])
+        for r in shingle_jaccard_truth_pairs(
+            sh, "doc_id", "text", threshold=0.5, shingles_col="shingles"
+        ).collect()
+    )
+    assert t_text == t_sh and t_text
+
+
 def test_simhash_near_dup(spark, docs_with_dups):
     from hive_json_spark.operators.dedup import simhash_near_dup_pairs
 
