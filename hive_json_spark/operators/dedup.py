@@ -768,6 +768,16 @@ def prefix_filter_jaccard_pairs(
 
     Lossless for either impl: the result equals the all-pairs filter.
 
+    ``impl="auto"`` (r6, added when the Zipfian-vocabulary census fired
+    the deletion guard): one cheap probe — max distinct-token count over
+    the corpus — dispatches to the deletion impl when every doc fits its
+    static bound (floor(max_tokens·(1-t)/t) ≤ 3) and to the prefix impl
+    otherwise. Both impls are lossless, so the dispatch never changes
+    output. The small-vocab corpus (≤31 distinct tokens/doc) takes the
+    deletion path; realistic vocabularies (up to 100 distinct tokens at
+    the same doc lengths) exceed the bound and take the prefix path
+    instead of failing the plan-time guard.
+
     Scale shape (100 TB): the exploded (id, token) frame joins the
     token-frequency table on the token (shuffle carries ids + tokens, not
     text); per-doc prefix selection is a doc-partitioned window; the
@@ -787,6 +797,15 @@ def prefix_filter_jaccard_pairs(
         F.col(id_col).alias("_id"),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("_tok"),
     )
+    if impl == "auto":
+        deletion_ok = (
+            int(max_tokens * (1 - threshold) / threshold) <= 3
+            and base.agg(
+                F.coalesce(F.max(F.size("_tok")), F.lit(0)).alias("m")
+            ).first()["m"]
+            <= max_tokens
+        )
+        impl = "deletion" if deletion_ok else "prefix"
     return _set_similarity_pairs(base, threshold, salt_grid, impl, max_tokens)
 
 

@@ -83,56 +83,69 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _blocked_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
-    """(lang, source)-blocked exact Jaccard pairs with auto-dispatch on a
-    block-size probe (the embedding-near-dup limit-probe pattern): the
-    block attributes have FIXED cardinality (~100 blocks), so block size
-    — and the all-pairs kernel's quadratic term — grows linearly with
-    the corpus. Blocks ≤ 2048 rows take the blocked all-pairs kernel;
-    larger corpora switch to the output-sensitive AllPairs/PPJoin
-    prefix-filter join restricted to same-block pairs — the SAME exact
-    pair set (integer-exact ≥ threshold test; at these token-set sizes
-    the 4-dp rounding cannot straddle the threshold), without the
-    quadratic term. Returns (id_a, id_b, lang, source, jaccard)."""
+    """(lang, source)-blocked exact Jaccard pairs with auto-dispatch on
+    the TOTAL same-block pair volume Σ C(block, 2) (exact, from the
+    block-count agg — one cheap probe): the block attributes have FIXED
+    cardinality (~100 blocks), so pair volume — the all-pairs kernel's
+    cost — grows with corpus². Under 2M pairs the blocked all-pairs
+    kernel wins (fixed overhead only); above it the dispatch switches to
+    the AllPairs/PPJoin prefix-filter join over BLOCK-PREFIXED tokens:
+    each token is prepended with its doc's (lang, source) key, a per-doc
+    bijection, so same-block pairs keep their exact Jaccard while
+    cross-block pairs share zero tokens and can never reach the
+    threshold — the blocking is IN the candidate join key (per-block
+    posting lists, no cross-block candidates, no post-filter waste).
+    Same exact pair set either way (integer-exact ≥ threshold test; at
+    these token-set sizes the 4-dp rounding cannot straddle the
+    threshold). Returns (id_a, id_b, lang, source, jaccard).
+
+    r5 dispatched on MAX block size (>2048) — the r6 Zipfian census
+    showed that criterion misses the quadratic: at zipf-sf1 every block
+    is ~500-1000 rows (under the cutoff) yet Σ C(block,2) ≈ 15.6M pairs
+    ran through the Arrow kernel for 37 output rows (37.7 s). The pair-
+    volume probe dispatches on the actual cost driver; the block-prefix
+    trick keeps the fallback output-sensitive in the sparse regime it
+    exists for (measured: 37.7 s → see SCALE.md zipf census table)."""
     from hive_json_spark.operators.dedup import prefix_filter_jaccard_pairs
 
-    max_block = (
+    c = F.col("count").cast("double")
+    total_pairs = (
         docs.groupBy("lang", "source")
         .count()
-        .agg(F.coalesce(F.max("count"), F.lit(0)).alias("m"))
-        .first()["m"]
+        .agg(F.coalesce(F.sum(c * (c - 1) / 2), F.lit(0.0)).alias("p"))
+        .first()["p"]
     )
-    if max_block <= 2048:
+    if total_pairs <= 2_000_000:
         return ngram_jaccard_pairs(
             docs, "doc_id", "text", ["lang", "source"], threshold,
             keep_block_cols=True,
         )
+    # block-prefixed tokens: "<lang>\x01<source>\x01<token>" — bijective
+    # per doc, so distinct-set Jaccard within a block is unchanged
+    prefixed = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat_ws("\x01", F.col("lang"), F.col("source"), t),
+            ),
+        ).alias("_btxt"),
+    )
     attrs = docs.select("doc_id", "lang", "source")
     return (
-        prefix_filter_jaccard_pairs(docs, "doc_id", "text", threshold)
+        prefix_filter_jaccard_pairs(prefixed, "doc_id", "_btxt", threshold)
         .join(
             attrs.select(
                 F.col("doc_id").alias("id_a"),
-                F.col("lang").alias("_la"),
-                F.col("source").alias("_sa"),
+                F.col("lang").alias("lang"),
+                F.col("source").alias("source"),
             ),
             "id_a",
         )
-        .join(
-            attrs.select(
-                F.col("doc_id").alias("id_b"),
-                F.col("lang").alias("_lb"),
-                F.col("source").alias("_sb"),
-            ),
-            "id_b",
-        )
-        .filter((F.col("_la") == F.col("_lb")) & (F.col("_sa") == F.col("_sb")))
-        .select(
-            "id_a",
-            "id_b",
-            F.col("_la").alias("lang"),
-            F.col("_sa").alias("source"),
-            "jaccard",
-        )
+        .select("id_a", "id_b", "lang", "source", "jaccard")
     )
 
 
@@ -523,7 +536,12 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (min_by beats a per-id_b sort window), not the raw pair
     set."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = prefix_filter_jaccard_pairs(docs, "doc_id", "text", 0.9, impl="deletion")
+    # impl="auto" (r6): the deletion impl's static bound (<=35 distinct
+    # tokens/doc) holds on the shipped small-vocab corpus but NOT on
+    # realistic vocabularies (the Zipf census fired its refuse-loudly
+    # guard) — the probe dispatches to the equally-lossless prefix impl
+    # there, identical output either way.
+    pairs = prefix_filter_jaccard_pairs(docs, "doc_id", "text", 0.9, impl="auto")
     return (
         pairs.groupBy(F.col("id_b").alias("dup_id"))
         .agg(

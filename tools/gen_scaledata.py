@@ -29,6 +29,21 @@ scaling ratios, never correctness — the DuckDB oracle gate stays on the
 driver's own tables.
 
 Usage: python tools/gen_scaledata.py [--sf 1] [--out _scaledata]
+              [--vocab small|zipf]
+
+--vocab zipf (r6): the REALISTIC-vocabulary variant the r5 census asked
+for. The shipped corpus' 31-token vocabulary saturates similarity (93%
+of same-block pairs clear token-set J >= 0.5), which makes every dedup
+pair OUTPUT dense and masks the sparse-output behavior the prefix-filter
+/ LSH designs are built for. zipf mode draws document tokens from a
+50,000-word vocabulary with Zipf(s=1.07) rank frequencies (heavy head ≈
+stopwords stressing prefix-filter df ordering and LSH bucket skew; long
+rare tail keeping non-planted pair output sparse) and gives customers
+NON-sequential name keys (a fixed modular bijection of the row id), so
+edit-distance pair output is sparse too (the shipped zero-padded
+sequential names make lev<=2 pairs dense by construction). Planted
+near-dup pairs (1 per 20 docs) and all other tables are unchanged.
+Output dir gets a "zipf-" prefix: _scaledata/zipf-sf1.
 """
 
 from __future__ import annotations
@@ -69,15 +84,25 @@ def write(out_dir: str, name: str, table: pa.Table) -> None:
     print(f"{name}: {table.num_rows} rows -> {path}", flush=True)
 
 
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_scaledata"))
+    ap.add_argument("--vocab", choices=["small", "zipf"], default="small")
+    ap.add_argument("--tables", default="",
+                    help="comma list to generate only these tables (sf10 spot-checks)")
     args = ap.parse_args()
     sf = args.sf
-    out_dir = os.path.join(args.out, f"sf{sf:g}")
+    zipf = args.vocab == "zipf"
+    prefix = "zipf-" if zipf else ""
+    out_dir = os.path.join(args.out, f"{prefix}sf{sf:g}")
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(42)
+    only = set(args.tables.split(",")) if args.tables else None
+
+    def want(name: str) -> bool:
+        return only is None or name in only
 
     n_cust = int(150_000 * sf * 10) // 10
     n_supp = int(10_000 * sf)
@@ -90,28 +115,39 @@ def main() -> int:
     n_emb = int(20_000 * sf)
 
     # region / nation (fixed dims)
-    write(out_dir, "region", pa.table({
+    if want("region"):
+        write(out_dir, "region", pa.table({
         "r_regionkey": pa.array(range(5), pa.int32()),
         "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
     }))
-    write(out_dir, "nation", pa.table({
-        "n_nationkey": pa.array(range(25), pa.int32()),
-        "n_name": [f"NATION_{i}" for i in range(25)],
-        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
-    }))
+    if want("nation"):
+        write(out_dir, "nation", pa.table({
+            "n_nationkey": pa.array(range(25), pa.int32()),
+            "n_name": [f"NATION_{i}" for i in range(25)],
+            "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+        }))
 
     # customer
     ck = np.arange(n_cust, dtype=np.int64)
-    write(out_dir, "customer", pa.table({
+    if want("customer"):
+        write(out_dir, "customer", pa.table({
         "c_custkey": ck,
-        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+        # zipf mode: non-sequential name keys (fixed odd-multiplier
+        # bijection mod 10^9) — lev<=2 neighbors become rare, matching
+        # real id spaces; sequential zero-padded keys make them dense
+        "c_name": (
+            [f"Customer#{(i * 2654435761) % 1_000_000_000:09d}" for i in range(n_cust)]
+            if zipf
+            else [f"Customer#{i:09d}" for i in range(n_cust)]
+        ),
         "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
         "c_acctbal": np.round(rng.uniform(-1000, 10000, n_cust), 2),
         "c_mktsegment": pa.array(np.array(SEGMENTS)[rng.integers(0, 5, n_cust)]),
     }))
 
     # supplier
-    write(out_dir, "supplier", pa.table({
+    if want("supplier"):
+        write(out_dir, "supplier", pa.table({
         "s_suppkey": np.arange(n_supp, dtype=np.int64),
         "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
         "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
@@ -120,7 +156,8 @@ def main() -> int:
 
     # part
     pk = np.arange(n_part, dtype=np.int64)
-    write(out_dir, "part", pa.table({
+    if want("part"):
+        write(out_dir, "part", pa.table({
         "p_partkey": pk,
         "p_name": pa.array(
             np.char.add(
@@ -136,8 +173,9 @@ def main() -> int:
 
     # orders: 1995-01-01 .. 2001-08-01 (~2404 days), uniform
     day_us = 86_400_000_000
-    odays = rng.integers(0, 2404, n_orders)
-    write(out_dir, "orders", pa.table({
+    if want("orders"):
+        odays = rng.integers(0, 2404, n_orders)
+        write(out_dir, "orders", pa.table({
         "o_orderkey": np.arange(n_orders, dtype=np.int64),
         "o_custkey": rng.integers(0, n_cust, n_orders),
         "o_orderstatus": pa.array(np.array(STATUSES)[rng.integers(0, 3, n_orders)]),
@@ -148,9 +186,10 @@ def main() -> int:
 
     # lineitem: orderkeys drawn uniformly (Poisson-4 fanout like the
     # shipped data: ~2% of orders end up line-less), linenumber 1..7
-    lik = rng.integers(0, n_orders, n_li)
-    ldays = rng.integers(1, 2500, n_li)
-    write(out_dir, "lineitem", pa.table({
+    if want("lineitem"):
+        lik = rng.integers(0, n_orders, n_li)
+        ldays = rng.integers(1, 2500, n_li)
+        write(out_dir, "lineitem", pa.table({
         "l_orderkey": lik,
         "l_partkey": rng.integers(0, n_part, n_li),
         "l_suppkey": rng.integers(0, n_supp, n_li),
@@ -166,8 +205,9 @@ def main() -> int:
 
     # events: sorted 30-day stream, 10x density at 10x sf
     span_us = 30 * day_us
-    offs = np.sort(rng.integers(0, span_us, n_events))
-    write(out_dir, "events", pa.table({
+    if want("events"):
+        offs = np.sort(rng.integers(0, span_us, n_events))
+        write(out_dir, "events", pa.table({
         "event_id": np.arange(n_events, dtype=np.int64),
         "ts": _ts_us("2024-01-01", offs),
         "user_id": rng.integers(0, n_users, n_events),
@@ -183,32 +223,46 @@ def main() -> int:
     # per 20 docs (partner text = copy with ONE token flipped to 'dup' —
     # shingle Jaccard ~0.9, matching the shipped corpus where minhash
     # recall measures 1.0)
-    lengths = rng.integers(10, 101, n_docs)
-    vocab_arr = np.array(VOCAB)
-    texts = [" ".join(vocab_arr[rng.integers(0, 30, ln)]) for ln in lengths]
-    n_pairs = n_docs // 20
-    dup_ids = rng.choice(n_docs, size=2 * n_pairs, replace=False)
-    for a, b in zip(dup_ids[:n_pairs], dup_ids[n_pairs:]):
-        toks = texts[a].split()
-        toks[rng.integers(0, len(toks))] = "dup"
-        texts[b] = " ".join(toks)
-    langs = np.array(LANGS)[rng.choice(5, n_docs, p=LANG_W)]
-    write(out_dir, "documents", pa.table({
-        "doc_id": np.arange(n_docs, dtype=np.int64),
-        "text": texts,
-        "lang": pa.array(langs),
-        "source": pa.array(np.char.add("src", (np.arange(n_docs) % 20).astype(str))),
-        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
-    }))
+    if want("documents"):
+        lengths = rng.integers(10, 101, n_docs)
+        if zipf:
+            # 50k-word Zipf(s=1.07) vocabulary: rank-r probability ∝ 1/r^s.
+            # One bulk draw for the whole corpus, sliced per doc.
+            V = 50_000
+            ranks = np.arange(1, V + 1, dtype=np.float64)
+            pz = ranks ** -1.07
+            pz /= pz.sum()
+            vocab_arr = np.array([f"w{i:05d}" for i in range(V)])
+            flat = rng.choice(V, size=int(lengths.sum()), p=pz)
+            cuts = np.cumsum(lengths)[:-1]
+            texts = [" ".join(vocab_arr[chunk]) for chunk in np.split(flat, cuts)]
+        else:
+            vocab_arr = np.array(VOCAB)
+            texts = [" ".join(vocab_arr[rng.integers(0, 30, ln)]) for ln in lengths]
+        n_pairs = n_docs // 20
+        dup_ids = rng.choice(n_docs, size=2 * n_pairs, replace=False)
+        for a, b in zip(dup_ids[:n_pairs], dup_ids[n_pairs:]):
+            toks = texts[a].split()
+            toks[rng.integers(0, len(toks))] = "dup"
+            texts[b] = " ".join(toks)
+        langs = np.array(LANGS)[rng.choice(5, n_docs, p=LANG_W)]
+        write(out_dir, "documents", pa.table({
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "text": texts,
+            "lang": pa.array(langs),
+            "source": pa.array(np.char.add("src", (np.arange(n_docs) % 20).astype(str))),
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }))
 
     # embeddings: 64-dim unit-norm float32, labels 0..9
-    X = rng.standard_normal((n_emb, 64)).astype(np.float32)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
-    write(out_dir, "embeddings", pa.table({
-        "vec_id": np.arange(n_emb, dtype=np.int64),
-        "embedding": pa.array(list(X), pa.list_(pa.float32())),
-        "label": pa.array(rng.integers(0, 10, n_emb), pa.int32()),
-    }))
+    if want("embeddings"):
+        X = rng.standard_normal((n_emb, 64)).astype(np.float32)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        write(out_dir, "embeddings", pa.table({
+            "vec_id": np.arange(n_emb, dtype=np.int64),
+            "embedding": pa.array(list(X), pa.list_(pa.float32())),
+            "label": pa.array(rng.integers(0, 10, n_emb), pa.int32()),
+        }))
     return 0
 
 

@@ -1,7 +1,13 @@
 #!/usr/bin/env python
 """Full-registry sf1 sweep: every registered query once (plus a second
-run for the headline set, min kept) at sf1 — the breadth companion to
-tools/scale_run.py's depth sweep. Writes scale_full_results.json."""
+run for the headline set, min kept) at sf1, AND the same single-pass
+sweep at sf0.1 in the SAME session/conditions — so the per-query ratios
+the artifact implies share measurement conditions (the r5 artifact's
+sf0.1 denominators came from the concurrent bench and overstated e.g.
+q_fuzzy_name_match 21x vs its matched 17x output growth). The breadth
+companion to tools/scale_run.py's depth sweep (which stays the
+apples-to-apples solo min-of-3 record). Writes scale_full_results.json
+with both sweeps and matched ratios."""
 import json
 import os
 import sys
@@ -14,32 +20,42 @@ from bench import HEADLINE
 from hive_json_spark.registry import QUERIES
 from hive_json_spark.session import get_spark
 
-sf_dir = os.path.join(REPO, "_scaledata", "sf1")
+SF1_DIR = os.path.join(REPO, "_scaledata", "sf1")
+SF01_DIR = "/root/testdata/sf0.1"
 spark = get_spark("hive-json-spark-scale-full")
 spark.sparkContext.setLogLevel("ERROR")
 QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
 n = spark.sparkContext.defaultParallelism
 spark.range(0, n * 4, 1, n).mapInPandas(lambda it: it, "id long").write.format("noop").mode("overwrite").save()
 
-timings = {}
-for name in sorted(QUERIES):
-    runs = 2 if name in HEADLINE else 1
-    best = None
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        el = time.perf_counter() - t0
-        best = el if best is None else min(best, el)
-        spark.catalog.clearCache()
-    timings[name] = round(best, 3)
-    print(f"sf1 {name}: {timings[name]}", flush=True)
+def sweep(label: str, sf_dir: str) -> dict:
+    timings = {}
+    for name in sorted(QUERIES):
+        runs = 2 if name in HEADLINE else 1
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+        print(f"{label} {name}: {timings[name]}", flush=True)
+    return timings
 
+
+t01 = sweep("sf0.1", SF01_DIR)
+t1 = sweep("sf1", SF1_DIR)
 out = {
-    "sf": 1.0,
-    "n_queries": len(timings),
-    "total": round(sum(timings.values()), 3),
-    "queries": timings,
+    "provenance": "both sweeps same session, same single-pass conditions "
+                  "(2 runs min-kept for HEADLINE); ratios are matched",
+    "n_queries": len(t1),
+    "sf0.1": {"total": round(sum(t01.values()), 3), "queries": t01},
+    "sf1": {"total": round(sum(t1.values()), 3), "queries": t1},
+    "ratio_sf1_over_sf0.1": {
+        q: round(t1[q] / max(t01[q], 1e-9), 2) for q in t1
+    },
     "load_avg": [round(x, 2) for x in os.getloadavg()],
 }
 json.dump(out, open(os.path.join(REPO, "scale_full_results.json"), "w"), indent=1, sort_keys=True)
-print("TOTAL", out["total"], flush=True)
+print("TOTAL sf0.1", out["sf0.1"]["total"], "sf1", out["sf1"]["total"], flush=True)
