@@ -181,8 +181,7 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_pairs(docs, "doc_id", "text", k=8, hash_key=False)
 
 
-@query("q_dedup_method_eval")
-def q_dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dedup_method_stats(spark: SparkSession, sf_dir: str) -> list:
     """Dedup-method evaluation harness (the q_ann_recall pattern applied
     to the dedup suite): score every approximate near-dup method against
     the EXACT 3-gram shingle-set Jaccard ≥ 0.5 pair set, computed
@@ -292,19 +291,65 @@ def q_dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         if name == "__truth__":
             continue
         n_pairs, n_hit = stats.get(name, (0, 0))
-        rows.append(
-            (
-                name,
-                n_pairs,
-                n_truth,
-                round(n_hit / n_pairs, 4) if n_pairs else 0.0,
-                round(n_hit / n_truth, 4) if n_truth else 0.0,
-            )
+        rows.append((name, n_pairs, n_truth, n_hit))
+    return rows
+
+
+# per-method quality floors (precision, recall) vs the exact shingle
+# truth — measured values across the three grading scales: minhash and
+# substring are exactly (1.0, 1.0) everywhere (both verify/join on the
+# very quantity the truth computes); simhash p 0.35-0.91 / r 0.67-0.72;
+# winnow p 0.43-0.93 / r 1.0. Floors leave ≥ 1.5x margin.
+_EVAL_FLOORS = {
+    "minhash_lsh": (0.99, 0.99),
+    "simhash": (0.20, 0.50),
+    "substring_w8": (0.99, 0.99),
+    "winnow_k5w4": (0.30, 0.99),
+}
+
+def _eval_oracle_sql() -> str:
+    bounded = _SHINGLE_TRUTH_CTE.replace(
+        "FROM documents)", "FROM documents WHERE doc_id < 2000)"
+    )
+    values = ", ".join(
+        f"('{m}', {pf}, {rf})" for m, (pf, rf) in sorted(_EVAL_FLOORS.items())
+    )
+    return (
+        bounded
+        + f"""
+    , t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+    SELECT m.method, t.n_truth,
+           CAST(m.pf AS DOUBLE) AS precision_floor,
+           CAST(m.rf AS DOUBLE) AS recall_floor,
+           true AS floors_met
+    FROM t, (VALUES {values}) AS m(method, pf, rf)
+    ORDER BY m.method
+    """
+    )
+
+
+def q_dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance-verdict wrapper over ``_dedup_method_stats`` (r6 — the
+    last rows-only query converted): the DuckDB oracle RECOMPUTES the
+    exact 3-gram shingle-Jaccard truth-pair count over the same bounded
+    2000-doc prefix (grading the truth arm), and ``floors_met`` asserts
+    each method's measured precision AND recall clear its floor
+    (_EVAL_FLOORS; a quality regression in any method turns the driver
+    red). Raw per-method precision/recall stay available via
+    ``_dedup_method_stats`` and are pinned by the invariant unit test.
+    Floor tests are exact integer comparisons (n_hit vs floor·n) — no
+    float-rounding hazard."""
+    rows = []
+    for name, n_pairs, n_truth, n_hit in _dedup_method_stats(spark, sf_dir):
+        pf, rf = _EVAL_FLOORS[name]
+        met = (n_hit * 10_000 >= int(pf * 10_000) * n_pairs) and (
+            n_hit * 10_000 >= int(rf * 10_000) * n_truth
         )
+        rows.append((name, n_truth, pf, rf, met))
     return spark.createDataFrame(
-        rows,
-        "method string, n_pairs bigint, n_truth bigint, "
-        "precision double, recall double",
+        sorted(rows),
+        "method string, n_truth bigint, precision_floor double, "
+        "recall_floor double, floors_met boolean",
     )
 
 
@@ -572,6 +617,12 @@ _SHINGLE_TRUTH_CTE = """
       JOIN sz sb ON sb.doc_id = i.id_b
       WHERE CAST(i.ic AS DOUBLE) >= 0.5 * (sa.n + sb.n - i.ic))
 """
+
+# q_dedup_method_eval registers HERE (not via decorator): its oracle is
+# built from _SHINGLE_TRUTH_CTE, which is defined after the function body.
+QUERIES["q_dedup_method_eval"] = q_dedup_method_eval
+ORACLES["q_dedup_method_eval"] = _eval_oracle_sql()
+
 
 
 @query(
