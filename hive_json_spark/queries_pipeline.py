@@ -182,7 +182,7 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_method_stats(spark: SparkSession, sf_dir: str) -> list:
-    """Dedup-method evaluation harness (the q_ann_recall pattern applied
+    """Raw stats for the dedup-method evaluation harness (the q_ann_recall pattern applied
     to the dedup suite): score every approximate near-dup method against
     the EXACT 3-gram shingle-set Jaccard ≥ 0.5 pair set, computed
     all-pairs via the shingle equi-join (order-SENSITIVE similarity —
@@ -197,8 +197,10 @@ def _dedup_method_stats(spark: SparkSession, sf_dir: str) -> list:
     exact shingle Jaccard) and its recall measures pure LSH candidate
     coverage; the span methods (substring/winnow) trade recall on
     shuffled-but-similar docs for verbatim-run guarantees; SimHash sits
-    between. Rows-only by nature (MinHash/SimHash have no SQL form);
-    every per-method pair set is itself unit-tested upstream.
+    between. The raw per-method pair sets are impl-specific (seeded
+    hash families — no SQL form); the graded wrapper below converts
+    these stats into the oracle-checkable acceptance verdict, and every
+    per-method pair set is itself unit-tested upstream.
 
     Scale: truth is the substring-join shape (distinct (id, shingle) →
     equi-join → per-pair counts — bounded by shared-shingle pairs, which
