@@ -985,8 +985,15 @@ def edit_distance_pairs(
     ).select("_eid", "_s", "_sl", *block_cols, F.xxhash64("_v").alias("_vh"))
     # Catalyst sizes explode output at the pre-explode estimate, so left to
     # itself it BROADCASTS the ~C(L,2)×|rows| variant frame (3.1 GiB at
-    # sf1). Pin the strategy: shuffle-hash self-join on the variant hash.
-    a, b = vrows.alias("a"), vrows.hint("shuffle_hash").alias("b")
+    # sf1). Pin the strategy: SORT-MERGE self-join on the variant hash —
+    # unlike shuffle_hash (r5), SMJ never materializes a per-partition
+    # hash map of the build side, it SPILLS: the r6 Zipfian census OOMed
+    # the r5 hint ("not enough memory to build hash map" — 26M variant
+    # rows split over 32 partitions exceeds the 8 GiB local JVM's
+    # per-task execution memory; incompressible non-sequential names
+    # tipped what sequential names just fit). Same shuffle, same output;
+    # the sort is on the join key the shuffle already clustered.
+    a, b = vrows.alias("a"), vrows.hint("merge").alias("b")
     cond = (
         (F.col("a._vh") == F.col("b._vh"))
         & (F.col("a._eid") < F.col("b._eid"))
