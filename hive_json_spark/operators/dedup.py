@@ -135,7 +135,9 @@ def shingle_jaccard_truth_pairs(
         return _set_similarity_pairs(
             base, threshold, salt_grid=1, impl="prefix", max_tokens=0
         ).select("id_a", "id_b")
-    sharr = df.select(F.col(id_col).alias("_id"), sh_expr.alias("_ss"))
+    sharr = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), sh_expr.alias("_ss")
+    )
     sh = sharr.select("_id", F.explode("_ss").alias("_s")).select(
         "_id", F.xxhash64("_s").alias("_h")
     )
@@ -941,10 +943,17 @@ def edit_distance_pairs(
             )
         ).cast("string"),
     ).otherwise(s0)
-    base = df.select(
-        F.col(id_col).alias("_eid"),
-        guarded.alias("_s"),
-        *[F.col(c) for c in block_cols],
+    # ensure_parallelism BEFORE the 172x explode: a single-file scan is
+    # one input partition, and the variant fanout multiplies whatever
+    # parallelism the scan had — the r6 Zipf census measured the explode
+    # running 28 s on ONE core at sf1 (26M variants) because this was
+    # missing; repartitioned it is ~1 s on local[32].
+    base = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("_eid"),
+            guarded.alias("_s"),
+            *[F.col(c) for c in block_cols],
+        )
     )
     s = F.col("_s")
     sL = F.length("_s")

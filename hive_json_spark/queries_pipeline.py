@@ -2375,16 +2375,18 @@ def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: clustering is the block-local union-find of
     q_dedup_clusters (blocked_components — one pass, no rounds); the
     election is one row_number window and the member count rides the same
-    cluster_id partitioning. The oracle closes the identical graph with a
-    recursive CTE and runs the identical window — both engines elect the
-    same rows.
+    cluster_id partitioning. Pair generation goes through
+    ``_blocked_jaccard_pairs`` — the pair-volume-dispatching helper the
+    other two blocked-jaccard queries use (the r6 Zipf census caught this
+    query still calling the raw all-pairs kernel: 34 s at zipf-sf1 for
+    the same 15.6M-pair quadratic the helper avoids; identical pair set).
+    The oracle closes the identical graph with a recursive CTE and runs
+    the identical window — both engines elect the same rows.
     """
     from hive_json_spark.operators.dedup import blocked_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs, "doc_id", "text", ["lang", "source"], 0.5, keep_block_cols=True
-    )
+    pairs = _blocked_jaccard_pairs(docs, 0.5)
     clusters = blocked_components(pairs, ["lang", "source"])
     everyone = (
         docs.select("doc_id", "n_chars")
