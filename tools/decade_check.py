@@ -34,6 +34,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--only", default="")
+    ap.add_argument("--corpus", default="", help='"" (small-vocab) or "zipf-"')
     args = ap.parse_args()
 
     from hive_json_spark.registry import QUERIES
@@ -42,13 +43,13 @@ def main() -> int:
     names = [n for n in (args.only.split(",") if args.only else WORST) if n in QUERIES]
     spark = get_spark("hive-json-spark-decade")
     spark.sparkContext.setLogLevel("ERROR")
-    QUERIES["q_dedup_exact"](spark, os.path.join(REPO, "_scaledata", "sf1")).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    QUERIES["q_dedup_exact"](
+        spark, os.path.join(REPO, "_scaledata", f"{args.corpus}sf1")
+    ).write.format("noop").mode("overwrite").save()
 
     results: dict[str, dict] = {}
     for sf_label in ("sf1", "sf10"):
-        sf_dir = os.path.join(REPO, "_scaledata", sf_label)
+        sf_dir = os.path.join(REPO, "_scaledata", f"{args.corpus}{sf_label}")
         stats = {}
         for name in names:
             best, rows = None, None
@@ -65,6 +66,7 @@ def main() -> int:
 
     out = {
         "runs": args.runs,
+        "corpus": args.corpus or "small-vocab",
         "queries": {
             q: {
                 "sf1": results["sf1"][q],
@@ -81,7 +83,8 @@ def main() -> int:
         "load_avg_sf1": results["sf1_load_avg"],
         "load_avg_sf10": results["sf10_load_avg"],
     }
-    with open(os.path.join(REPO, "decade_results.json"), "w") as f:
+    suffix = "_zipf" if args.corpus else ""
+    with open(os.path.join(REPO, f"decade_results{suffix}.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps({q: (v["ratio"], v["rows_ratio"]) for q, v in out["queries"].items()}, sort_keys=True))
     return 0
