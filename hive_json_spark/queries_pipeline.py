@@ -236,6 +236,32 @@ def _dedup_method_stats(spark: SparkSession, sf_dir: str) -> list:
     # scale with the corpus — the methods' own scale behavior is audited
     # separately (SCALE.md); only their quality is graded here. The
     # checkpoint is bounded by the same constant the prefix is.
+    #
+    # Shuffle partitions are sized to the harness's CONSTANT data (2000
+    # docs), not the session default: five concurrent ~6-stage pipelines
+    # x 32 tasks/stage is ~1000 near-empty task dispatches, and the
+    # scheduler overhead was the wall (measured min-of-3 solo sf0.1:
+    # 3.32 s at 32 partitions -> 2.36 s at 8). Corpus-scale operators
+    # keep the session default; restored in finally.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _dedup_method_stats_run(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _dedup_method_stats_run(spark: SparkSession, sf_dir: str) -> list:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from hive_json_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        shingle_jaccard_truth_pairs,
+        simhash_near_dup_pairs,
+        substring_dup_pairs,
+        winnow_dup_pairs,
+    )
+
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 2000)
