@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from hive_json_spark.functions.text import PY_ASCII_WS, token_count, tokens
+from hive_json_spark.operators.util import ensure_parallelism
 
 # candidate generation must tokenize EXACTLY like the verify phase's
 # tokens() (JVM \s+, which is ASCII whitespace) or the pigeonhole superset
@@ -64,6 +65,12 @@ def heavy_hitters(
     s = int(min_count) if min_count is not None else math.ceil(freq_threshold * total)
     s = max(1, s)
 
+    # repartition BEFORE sizing the per-partition floor: a single-file
+    # scan is one partition, which would run the candidate Counter on one
+    # core over the whole corpus (the edit_distance_pairs r6 lesson). The
+    # pigeonhole floor stays sound under ANY partitioning: a token with
+    # global count >= s has >= s/n_parts occurrences in some partition.
+    df = ensure_parallelism(df)
     n_parts = max(1, df.rdd.getNumPartitions())
     local_floor = max(1, s // n_parts)
 
