@@ -417,3 +417,28 @@ def test_aqe_splits_skewed_join_and_stays_fast(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_heavy_explode_operators_parallelize_single_partition_input(spark):
+    """The r6 lesson, pinned: operators whose cost is a large per-row
+    fanout (the 172x deletion-neighborhood explode) must repartition a
+    single-partition input BEFORE the fanout — a single-file scan is one
+    partition, and the fanout multiplies whatever parallelism the scan
+    had (measured: 28 s one-core vs ~1 s on local[32] at sf1). The plan
+    must show the ensure_parallelism round-robin exchange below the
+    explode."""
+    from pyspark.sql import functions as F
+
+    from hive_json_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"name{i:05d}") for i in range(200)], "id bigint, s string"
+    ).coalesce(1)
+    out = edit_distance_pairs(df, "id", "s", max_dist=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan, plan[:2000]
+    # and the operator still computes the right pairs on this input:
+    # consecutive zero-padded names differ by 1 substitution = lev 1 only
+    # when the decimal strings differ in exactly one digit
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (0, 1) in got and (0, 10) in got and (0, 11) not in got
