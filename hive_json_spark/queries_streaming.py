@@ -1,0 +1,404 @@
+"""Driver-gradeable streaming queries: each entry stages the input table as
+a multi-file parquet directory, runs the Structured Streaming operator to
+completion with an ``availableNow`` trigger sliced into REAL micro-batches
+(``maxFilesPerTrigger=1``), and returns the final state table. The DuckDB
+oracle recomputes the same result as one batch query — valid because every
+operator's state fold is associative/idempotent, so the final state is
+independent of how the stream was sliced (the replay-idempotence protocol
+each sink documents).
+
+This is the streaming counterpart of the reference's only "stream": the
+incremental one-file fold whose schema accumulator is its entire state
+(JsonSchemaFinder.java:239-245). Here state = counts / cells / rollup rows /
+snapshot — bounded by the RESULT cardinality, never the stream volume.
+
+Determinism notes per entry:
+- topk/cms/drift counts are integer sums — associative, slice-free.
+- rollup sums exact integer cents (int_units), not raw doubles.
+- merge stages the changelog hash-partitioned BY KEY, so each key's whole
+  history lands in one micro-batch and batch-local last-wins equals global
+  last-wins regardless of file delivery order.
+- session/join stages are time-split so no row ever arrives behind the
+  watermark (nothing is dropped; drained result == batch result).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hive_json_spark.functions.exact import int_units
+from hive_json_spark.sources import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _stage(df: DataFrame, src_dir: str, n_files: int, by=None) -> DataFrame:
+    """Write ``df`` as ``n_files`` parquet files and return a file-source
+    stream over them that delivers ONE FILE PER MICRO-BATCH. ``by`` hash-
+    partitions on a column (key-colocated slicing); default is round-robin."""
+    rep = df.repartition(n_files, by) if by is not None else df.repartition(n_files)
+    rep.write.mode("overwrite").parquet(src_dir)
+    spark = df.sparkSession
+    return (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+
+def _read_state_or_empty(spark: SparkSession, path: str, schema_ddl: str) -> DataFrame:
+    """Read a sink's state table; an absent path means the drained stream
+    had zero rows (the sinks skip the first write on an empty batch), which
+    folds to an empty state table — not an error."""
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return spark.createDataFrame([], schema_ddl)
+
+
+def _finalize(result: DataFrame, tmp: str) -> DataFrame:
+    """Materialize the final state off the temp dir (eager localCheckpoint —
+    executor-side, bounded by the state table's size) so the staging dir can
+    be deleted before the caller ever acts on the frame."""
+    out = result.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# --- streaming top-k ---------------------------------------------------------
+
+@query(
+    "q_stream_topk_final",
+    """
+    SELECT CAST(user_id AS BIGINT) AS key, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+    ORDER BY n DESC, key ASC LIMIT 10
+    """,
+)
+def q_stream_topk_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/topk.py run to completion over a 3-micro-batch event
+    stream; returns the final top-10 view. Per-key counts are associative
+    integer sums, so the final table is independent of batch slicing; the
+    count-desc/key-asc tiebreak makes the k-row view totally ordered."""
+    from hive_json_spark.streaming.topk import streaming_topk
+
+    tmp = tempfile.mkdtemp(prefix="q_stream_topk_")
+    stream = _stage(load_table(spark, sf_dir, "events"), f"{tmp}/src", 3)
+    q = streaming_topk(stream, "user_id", f"{tmp}/state", f"{tmp}/ckpt", k=10)
+    q.awaitTermination()
+    final = (
+        spark.read.parquet(f"{tmp}/state/topk")
+        .select(F.col("key").cast("bigint").alias("key"), F.col("n").cast("bigint").alias("n"))
+    )
+    return _finalize(final, tmp)
+
+
+# --- streaming count-min sketch ---------------------------------------------
+
+@query(
+    "q_stream_cms_cells",
+    """
+    WITH depths AS (SELECT unnest([0, 1, 2, 3]) AS j)
+    SELECT CAST(d.j AS INT) AS j,
+           CAST(CAST('0x' || substr(md5(CAST(d.j AS VARCHAR) || ':'
+                                        || CAST(e.user_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 512 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e CROSS JOIN depths d
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/cms.py run to completion over a 3-micro-batch event
+    stream; returns the final 4x512 cell table. CMS cells are mergeable
+    integer counts (partial sketches fold cell-wise), so the drained state
+    equals the one-pass batch sketch — and the md5-arithmetic hash family
+    (operators/sketch.py:_cms_bucket) lets DuckDB recompute the CELLS, not
+    just the estimates."""
+    from hive_json_spark.streaming.cms import streaming_cms
+
+    tmp = tempfile.mkdtemp(prefix="q_stream_cms_")
+    stream = _stage(load_table(spark, sf_dir, "events"), f"{tmp}/src", 3)
+    q = streaming_cms(stream, "user_id", f"{tmp}/state", f"{tmp}/ckpt", depth=4, width=512)
+    q.awaitTermination()
+    final = spark.read.parquet(f"{tmp}/state").select(
+        F.col("j").cast("int").alias("j"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    return _finalize(final, tmp)
+
+
+# --- continuous rollup -------------------------------------------------------
+
+@query(
+    "q_stream_rollup_final",
+    """
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_rollup_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/rollup.py (the hypertable continuous-aggregate pattern)
+    run to completion over a 3-micro-batch event stream; returns the final
+    (day, event_type) rollup. Values are summed as exact integer cents
+    (functions/exact.py int_units) so the fold is order- and slice-free;
+    each micro-batch read back and dynamically overwrote ONLY its touched
+    day partitions — the 100 TB property this entry grades."""
+    from hive_json_spark.streaming.rollup import continuous_rollup
+
+    tmp = tempfile.mkdtemp(prefix="q_stream_rollup_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", int_units("value").alias("cents")
+    )
+    stream = _stage(ev, f"{tmp}/src", 3)
+    q = continuous_rollup(
+        stream, "ts", ["event_type"], "cents", f"{tmp}/state", f"{tmp}/ckpt"
+    )
+    q.awaitTermination()
+    state = _read_state_or_empty(
+        spark, f"{tmp}/state",
+        "day date, event_type string, n bigint, total bigint, _batch_id bigint",
+    )
+    final = state.select(
+        F.col("day").cast("date").alias("day"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total").cast("bigint").alias("total_cents"),
+    )
+    return _finalize(final, tmp)
+
+
+# --- streaming CDC merge (upsert/delete snapshot) ----------------------------
+
+@query(
+    "q_stream_merge_snapshot",
+    """
+    WITH chg AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+             o_totalprice, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey DESC) AS rn
+      FROM orders)
+    SELECT o_custkey, o_totalprice, o_orderdate
+    FROM chg WHERE rn = 1 AND op = 'U'
+    """,
+)
+def q_stream_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/merge.py (CDC apply) run to completion over a changelog
+    derived from orders: key = o_custkey, sequence = o_orderkey, every 7th
+    order a delete. The changelog is staged hash-partitioned BY KEY, so
+    each key's entire history arrives in one micro-batch and the sink's
+    batch-local last-wins equals global last-wins no matter which file the
+    source delivers first. Final snapshot = last change per key, deletes
+    removed — exactly the oracle's row_number window."""
+    from hive_json_spark.streaming.merge import streaming_merge_upsert
+
+    tmp = tempfile.mkdtemp(prefix="q_stream_merge_")
+    chg = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "o_totalprice",
+        "o_orderdate",
+    )
+    stream = _stage(chg, f"{tmp}/src", 3, by=F.col("o_custkey"))
+    q = streaming_merge_upsert(
+        stream,
+        key_col="o_custkey",
+        op_col="op",
+        seq_col="o_orderkey",
+        payload_cols=["o_totalprice", "o_orderdate"],
+        out_dir=f"{tmp}/state",
+        checkpoint_dir=f"{tmp}/ckpt",
+        n_buckets=8,
+    )
+    q.awaitTermination()
+    final = _read_state_or_empty(
+        spark, f"{tmp}/state",
+        "o_custkey bigint, o_totalprice double, o_orderdate timestamp, bucket int",
+    ).select("o_custkey", "o_totalprice", "o_orderdate")
+    return _finalize(final, tmp)
+
+
+# --- streaming distribution drift (PSI) --------------------------------------
+
+@query(
+    "q_stream_psi_final",
+    """
+    WITH ref AS (
+      SELECT event_type AS category, CAST(COUNT(*) AS DOUBLE) AS n_ref
+      FROM events GROUP BY 1),
+    cur AS (
+      SELECT event_type AS category, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events WHERE event_id % 2 = 0 GROUP BY 1)
+    SELECT COALESCE(r.category, c.category) AS category,
+           ROUND(r.n_ref / (SELECT SUM(n_ref) FROM ref), 6) AS p_ref,
+           ROUND(c.n / (SELECT SUM(n) FROM cur), 6) AS p_cur,
+           ROUND((c.n / (SELECT SUM(n) FROM cur)
+                  - r.n_ref / (SELECT SUM(n_ref) FROM ref))
+                 * LN((c.n / (SELECT SUM(n) FROM cur))
+                      / (r.n_ref / (SELECT SUM(n_ref) FROM ref))), 6) AS psi_term
+    FROM ref r FULL OUTER JOIN cur c ON r.category = c.category
+    """,
+)
+def q_stream_psi_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/drift.py run to completion: the monitored stream is the
+    even-event_id half of events, the reference distribution the full
+    table; returns the final PSI table. Cumulative per-category counts are
+    associative integer sums (slice-free); the psi terms are one final
+    double formula over exact counts — the [[cross-engine-float-
+    determinism]] pattern every log-based oracle here uses."""
+    from hive_json_spark.streaming.drift import streaming_psi
+
+    tmp = tempfile.mkdtemp(prefix="q_stream_psi_")
+    ev = load_table(spark, sf_dir, "events")
+    stream = _stage(ev.filter(F.col("event_id") % 2 == 0), f"{tmp}/src", 3)
+    q = streaming_psi(stream, "event_type", ev, f"{tmp}/state", f"{tmp}/ckpt")
+    q.awaitTermination()
+    final = spark.read.parquet(f"{tmp}/state/psi").select(
+        "category", "p_ref", "p_cur", "psi_term"
+    )
+    return _finalize(final, tmp)
+
+
+# --- native session windows on the stream ------------------------------------
+
+@query(
+    "q_stream_session_final",
+    """
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - COALESCE(LAG(ts) OVER w, ts - INTERVAL 1 HOUR)
+                       >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      FROM seq)
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, seq
+    """,
+)
+def q_stream_session_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window_counts (streaming/infer_stream.py) drained over a
+    TIME-SPLIT 2-batch stream with complete-mode output: per-user session
+    windows maintained in the streaming state store, finalized when the
+    stream drains. The oracle is the lag/gap-cumsum batch rewrite with the
+    `>= gap` boundary (an event landing exactly on last+gap opens a new
+    session — q_session_window_native pins the same identity for batch).
+
+    The stage is split at the time midpoint so every batch-2 row is newer
+    than the batch-1 watermark (nothing dropped); complete mode re-emits
+    the full session table at the end."""
+    from hive_json_spark.streaming.infer_stream import session_window_counts
+
+    tmp = tempfile.mkdtemp(prefix="q_stream_session_")
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.timestamp_micros(
+            ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2).cast("long")
+        ).alias("m")
+    ).first()["m"]
+    src = f"{tmp}/src"
+    ev.filter(F.col("ts") <= F.lit(mid)).coalesce(1).write.parquet(src)
+    ev.filter(F.col("ts") > F.lit(mid)).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = session_window_counts(stream, gap="30 minutes", watermark="1 hour")
+    name = f"stream_session_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.table(name).select(
+        "user_id", "session_start", "session_end", F.col("n_events").cast("bigint").alias("n_events")
+    )
+    final = _finalize(final, tmp)
+    spark.catalog.dropTempView(name)
+    return final
+
+
+# --- watermarked stream-stream join ------------------------------------------
+
+@query(
+    "q_stream_join_pairs",
+    """
+    SELECT l.user_id,
+           l.event_id AS click_id,
+           r.event_id AS purchase_id,
+           CAST(r.ts AS TIMESTAMP) AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_stream_join (streaming/infer_stream.py) drained: clicks
+    joined to purchases by the same user within 30 minutes AFTER the
+    click, both sides watermarked (the state-eviction contract). Staged as
+    one batch per side so no match can straddle a watermark advance — the
+    drained inner join emits exactly the batch time-range join the oracle
+    runs."""
+    from hive_json_spark.streaming.infer_stream import stream_stream_join
+
+    tmp = tempfile.mkdtemp(prefix="q_stream_join_")
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    clicks.write.parquet(f"{tmp}/clicks")
+    purchases.write.parquet(f"{tmp}/purchases")
+    ls = spark.readStream.schema(clicks.schema).parquet(f"{tmp}/clicks")
+    rs = spark.readStream.schema(purchases.schema).parquet(f"{tmp}/purchases")
+    joined = stream_stream_join(
+        ls, rs, "user_id", "click_ts", "purchase_ts", watermark="1 hour", within="30 minutes"
+    ).select("user_id", "click_id", "purchase_id", "purchase_ts")
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = _finalize(spark.table(name), tmp)
+    spark.catalog.dropTempView(name)
+    return final

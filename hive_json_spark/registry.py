@@ -13,6 +13,7 @@ from hive_json_spark import (
     queries_quality,
     queries_relational,
     queries_scale,
+    queries_streaming,
     queries_training,
 )
 
@@ -23,6 +24,7 @@ _MODULES = [
     queries_training,
     queries_quality,
     queries_scale,
+    queries_streaming,
 ]
 
 try:  # pipeline queries land in a later milestone; registry tolerates absence
