@@ -4,17 +4,19 @@ distribution, updated every micro-batch — the continuous version of
 `q_distribution_drift` (queries_quality.py).
 
 State is the cumulative per-category count table (|categories| rows —
-KB-sized no matter how large the stream), kept as a parquet table. Each
-batch rewrites the |categories|-row counts and psi tables — O(k) IO per
-batch regardless of stream volume.
+KB-sized no matter how large the stream), kept as VERSIONED parquet
+(`streaming/state.py`). Each batch commits the |categories|-row counts as
+a new version and rewrites the derived psi table — O(k) IO per batch
+regardless of stream volume.
 
 Replay safety: foreachBatch is at-least-once — after a crash between the
-counts write and the offset commit, the engine re-delivers the same
-batch. The read-add-overwrite accumulation is NOT naturally idempotent,
-so every counts overwrite carries the applied batch id (a constant
-``_batch_id`` column, atomic with the counts themselves); a re-delivered
-batch whose id is already applied skips the add and only recomputes the
-derived psi table.
+counts commit and the offset commit, the engine re-delivers the same
+batch. The version directory name carries the applied batch id, so a
+re-delivered batch whose id is already committed skips the add and only
+recomputes the derived psi table. Write-new-then-prune keeps a committed
+counts copy on stable storage at every instant (the old in-place
+overwrite had a delete-then-write crash window), and the merge reads the
+previous version's live files — no driver collect, any category type.
 
 Identity caveat: batch ids restart at 0 per checkpoint lineage, so an
 ``out_dir`` is bound to ONE logical stream — restarting the same stream
@@ -27,7 +29,8 @@ streams get new out_dirs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.utils import AnalysisException
+
+from hive_json_spark.streaming.state import commit_version, latest_version, read_state
 
 
 def streaming_psi(
@@ -55,7 +58,7 @@ def streaming_psi(
     )
 
     def _write_psi(spark) -> None:
-        cur = spark.read.parquet(counts_dir).select("category", "n")
+        cur = read_state(spark, counts_dir).select("category", "n")
         joined = ref_counts.join(cur, "category", "full_outer")
         p_ref = F.col("n_ref") / F.sum("n_ref").over(Window.partitionBy())
         p_cur = F.col("n") / F.sum("n").over(Window.partitionBy())
@@ -69,47 +72,27 @@ def streaming_psi(
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        last = latest_version(spark, counts_dir)
+        if last is not None and batch_id <= last:
+            # re-delivered batch: counts already include it — re-derive the
+            # psi view only
+            _write_psi(spark)
+            return
         part = (
             batch_df.groupBy(F.col(category_col).alias("category"))
             .agg(F.count("*").alias("n"))
         )
-        try:
-            existing = spark.read.parquet(counts_dir)
-        except AnalysisException:
-            existing, last = None, None
-        else:
-            # state written before the batch-id protocol has no _batch_id
-            # column: keep its counts (last=None applies the batch on top)
-            # instead of misreading the AnalysisException as "no state"
-            last = (
-                existing.agg(F.max("_batch_id")).collect()[0][0]
-                if "_batch_id" in existing.columns
-                else None
-            )
-        if last is not None and batch_id <= last:
-            # re-delivered batch: counts already include it — re-derive the
-            # psi view only; rewriting identical counts would open a
-            # delete-then-write crash window on the only state copy
-            _write_psi(spark)
-            return
-        if existing is not None:
-            merged = (
-                existing.select("category", "n")
-                .unionByName(part)
-                .groupBy("category")
-                .agg(F.sum("n").alias("n"))
-            )
-        else:
-            merged = part
-        # schema comes from the frame itself so non-string category columns
-        # (int codes, dates) round-trip; collect BEFORE the overwrite so the
-        # lazy self-read never races the rewrite
-        schema = merged.schema
-        rows = merged.collect()  # |categories| rows — driver-sized
-        applied = max(batch_id, last) if last is not None else batch_id
-        spark.createDataFrame(rows, schema).withColumn(
-            "_batch_id", F.lit(applied).cast("bigint")
-        ).coalesce(1).write.mode("overwrite").parquet(counts_dir)
+        existing = read_state(spark, counts_dir)  # None, version, or flat
+        merged = (
+            existing.select("category", "n")
+            .unionByName(part)
+            .groupBy("category")
+            .agg(F.sum("n").alias("n"))
+            if existing is not None
+            else part
+        )
+        # |categories| rows — one file is the right shape
+        commit_version(merged.coalesce(1), counts_dir, batch_id)
         _write_psi(spark)
 
     return (

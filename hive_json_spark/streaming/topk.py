@@ -2,15 +2,19 @@
 stream, updated every micro-batch — the continuous counterpart of the
 batch heavy-hitter surface (`operators/sketch.py`, `q_heavy_hitters`).
 
-State is the cumulative per-key count table kept as parquet — the
-KEY-cardinality is the state bound, not the stream volume; the top-k view
-is re-derived from it each batch (a k-row TakeOrderedAndProject over the
-counts table, never over the stream).
+State is the cumulative per-key count table kept as VERSIONED parquet
+(`streaming/state.py`): the KEY-cardinality is the state bound, not the
+stream volume; the top-k view is re-derived from it each batch (a k-row
+TakeOrderedAndProject over the counts table, never over the stream).
 
-Replay safety: same protocol as `streaming/drift.py` — foreachBatch is
-at-least-once and read-add-overwrite is not naturally idempotent, so each
-counts overwrite carries the applied ``_batch_id`` atomically; a
-re-delivered batch skips the add and only re-derives the view.
+Replay safety: foreachBatch is at-least-once, so each applied batch
+commits the merged counts as `counts/v=<batch_id>`; a re-delivered batch
+whose id is <= the committed version only re-derives the view. The
+write-new-then-prune protocol keeps a committed copy on stable storage at
+every instant (the r6 localCheckpoint variant could lose the only state
+copy if an executor died while the in-place overwrite was deleting the
+old files), and the merge plan reads the previous version's live files —
+no driver collect at any cardinality.
 
 100 TB note: for vocabularies too large to keep exact (per-shingle
 counts), compose with the batch two-phase candidate pass — keep exact
@@ -23,7 +27,8 @@ this operator is exact.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.utils import AnalysisException
+
+from hive_json_spark.streaming.state import commit_version, latest_version, read_state
 
 
 def streaming_topk(
@@ -34,15 +39,15 @@ def streaming_topk(
     k: int = 10,
 ):
     """Start an availableNow stream maintaining ``<out_dir>/counts`` (full
-    per-key counts, replay-idempotent) and ``<out_dir>/topk`` (the k most
-    frequent keys, count-desc then key-asc for a total deterministic
-    order). Returns the StreamingQuery."""
+    per-key counts, versioned, replay-idempotent) and ``<out_dir>/topk``
+    (the k most frequent keys, count-desc then key-asc for a total
+    deterministic order). Returns the StreamingQuery."""
     counts_dir = f"{out_dir}/counts"
     topk_dir = f"{out_dir}/topk"
 
     def _write_view(spark) -> None:
         top = (
-            spark.read.parquet(counts_dir)
+            read_state(spark, counts_dir)
             .select("key", "n")
             .orderBy(F.col("n").desc(), F.col("key").asc())
             .limit(k)
@@ -51,44 +56,24 @@ def streaming_topk(
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        last = latest_version(spark, counts_dir)
+        if last is not None and batch_id <= last:
+            # replayed batch: state already includes it — refresh the view
+            _write_view(spark)
+            return
         part = batch_df.groupBy(F.col(key_col).alias("key")).agg(
             F.count("*").alias("n")
         )
-        try:
-            existing = spark.read.parquet(counts_dir)
-        except AnalysisException:
-            existing, last = None, None
-        else:
-            # pre-protocol state (no _batch_id column) keeps its counts
-            last = (
-                existing.agg(F.max("_batch_id")).collect()[0][0]
-                if "_batch_id" in existing.columns
-                else None
-            )
-        if last is not None and batch_id <= last:
-            # replayed batch: state already includes it — refresh the view
-            # only, never delete-and-rewrite identical counts (a crash
-            # between delete and write would destroy the only state copy)
-            _write_view(spark)
-            return
-        if existing is not None:
-            merged = (
-                existing.select("key", "n")
-                .unionByName(part)
-                .groupBy("key")
-                .agg(F.sum("n").alias("n"))
-            )
-        else:
-            merged = part
-        # localCheckpoint (eager) materializes the merged counts on the
-        # executors and truncates lineage off the parquet files that the
-        # overwrite below is about to delete — the read→overwrite-same-path
-        # cycle breaks WITHOUT routing the state through the driver (a
-        # collect here would be unbounded for a high-cardinality key).
-        merged = merged.localCheckpoint()
-        merged.withColumn(
-            "_batch_id", F.lit(batch_id).cast("bigint")
-        ).write.mode("overwrite").parquet(counts_dir)
+        existing = read_state(spark, counts_dir)  # None, version, or flat
+        merged = (
+            existing.select("key", "n")
+            .unionByName(part)
+            .groupBy("key")
+            .agg(F.sum("n").alias("n"))
+            if existing is not None
+            else part
+        )
+        commit_version(merged, counts_dir, batch_id)
         _write_view(spark)
 
     return (
