@@ -797,8 +797,13 @@ def prefix_filter_jaccard_pairs(
     """
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(F.split(F.col(text_col), " ")).alias("_tok"),
-    )
+        F.array_distinct(tokens(text_col)).alias("_tok"),
+    # token-less documents leave the join: Jaccard over two empty sets is
+    # 0/0, and before the r7 tokenizer unification (single-space split
+    # kept "" as a token) the identical-set collapse would have paired
+    # empty docs at jaccard=1 while any token-join formulation (the
+    # oracle's shape) can never produce them
+    ).filter(F.size("_tok") > 0)
     if impl == "auto":
         deletion_ok = (
             int(max_tokens * (1 - threshold) / threshold) <= 3

@@ -158,12 +158,18 @@ _INT_CASE = """CASE
 # P1/P2 render parity as a GRADED query: the oracle rebuilds the exact
 # create-table string (2-space indent, trailing newline —
 # JsonSchemaFinder.java:203-221) from the raw JSON's value range, so the
-# renderer AND the sizing lattice are both on the hook.
+# renderer AND the sizing lattice are both on the hook. The oracle
+# hard-codes the corpus's single-key {"k": int} props shape (TESTDATA.md);
+# a corpus with other keys needs a different oracle, not a laxer one. The
+# n = 0 branch mirrors the query's empty-corpus 'void' sentinel — min/max
+# are NULL there, and the CASE would otherwise fall through to a full
+# bigint DDL the query never emits.
 @query(
     "q_render_ddl",
     f"""
-    SELECT 'create table tbl (' || chr(10) || '  k ' || {_INT_CASE}
-             || chr(10) || ')' || chr(10) AS ddl,
+    SELECT CASE WHEN n = 0 THEN 'void' || chr(10)
+           ELSE 'create table tbl (' || chr(10) || '  k ' || {_INT_CASE}
+                || chr(10) || ')' || chr(10) END AS ddl,
            CAST(n AS BIGINT) AS records
     FROM (SELECT MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
@@ -194,14 +200,18 @@ def q_render_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # P3 flat render (printFlat parity): one row per flat line, ordered.
+# Same single-key corpus assumption and empty-corpus mirror as
+# q_render_ddl: zero documents → zero flat lines on both engines.
 @query(
     "q_flat_render",
     f"""
     SELECT CAST(0 AS BIGINT) AS line_no,
            'root.k: ' || {_INT_CASE} AS flat_line
     FROM (SELECT MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-                 MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+                 MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                 COUNT(*) AS n
           FROM events WHERE props IS NOT NULL)
+    WHERE n > 0
     """,
 )
 def q_flat_render(spark: SparkSession, sf_dir: str) -> DataFrame:

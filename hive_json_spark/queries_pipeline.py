@@ -64,9 +64,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.tok, b.tok))), 4) AS jaccard
     FROM (SELECT doc_id, lang, source,
-                 list_distinct(string_split(text, ' ')) AS tok FROM documents) a
+                 list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS tok FROM documents) a
     JOIN (SELECT doc_id, lang, source,
-                 list_distinct(string_split(text, ' ')) AS tok FROM documents) b
+                 list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS tok FROM documents) b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
     WHERE ROUND(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
                 / len(list_distinct(list_concat(a.tok, b.tok))), 4) >= 0.5
@@ -121,7 +121,13 @@ def _blocked_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
             keep_block_cols=True,
         )
     # block-prefixed tokens: "<lang>\x01<source>\x01<token>" — bijective
-    # per doc, so distinct-set Jaccard within a block is unchanged
+    # per doc, so distinct-set Jaccard within a block is unchanged. ONE
+    # tokenizer on both arms: tokens() (\s+, empties filtered) here, the
+    # py_tokens mirror inside the all-pairs kernel — text with tabs/
+    # newlines/double spaces now takes the same token boundaries on
+    # either dispatch path (and in the oracle's string_split_regex).
+    from hive_json_spark.functions.text import tokens
+
     prefixed = docs.select(
         "doc_id",
         "lang",
@@ -129,7 +135,7 @@ def _blocked_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
         F.concat_ws(
             " ",
             F.transform(
-                F.split(F.col("text"), " "),
+                tokens("text"),
                 lambda t: F.concat_ws("\x01", F.col("lang"), F.col("source"), t),
             ),
         ).alias("_btxt"),
@@ -324,15 +330,18 @@ def _dedup_method_stats_run(spark: SparkSession, sf_dir: str) -> list:
 
 
 # per-method quality floors (precision, recall) vs the exact shingle
-# truth — measured values across the three grading scales: minhash and
-# substring are exactly (1.0, 1.0) everywhere (both verify/join on the
-# very quantity the truth computes); simhash p 0.35-0.91 / r 0.67-0.72;
-# winnow p 0.43-0.93 / r 1.0. Floors leave ≥ 1.5x margin.
+# truth, as integer BASIS POINTS so the floor tests are exact integer
+# comparisons end to end (floats here would re-enter via int(pf*10_000),
+# which truncates representation error: 0.99 → 9899). Measured values
+# across the three grading scales: minhash and substring are exactly
+# (1.0, 1.0) everywhere (both verify/join on the very quantity the truth
+# computes); simhash p 0.35-0.91 / r 0.67-0.72; winnow p 0.43-0.93 /
+# r 1.0. Floors leave ≥ 1.5x margin.
 _EVAL_FLOORS = {
-    "minhash_lsh": (0.99, 0.99),
-    "simhash": (0.20, 0.50),
-    "substring_w8": (0.99, 0.99),
-    "winnow_k5w4": (0.30, 0.99),
+    "minhash_lsh": (9900, 9900),
+    "simhash": (2000, 5000),
+    "substring_w8": (9900, 9900),
+    "winnow_k5w4": (3000, 9900),
 }
 
 def _eval_oracle_sql() -> str:
@@ -347,8 +356,8 @@ def _eval_oracle_sql() -> str:
         + f"""
     , t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
     SELECT m.method, t.n_truth,
-           CAST(m.pf AS DOUBLE) AS precision_floor,
-           CAST(m.rf AS DOUBLE) AS recall_floor,
+           m.pf / 10000.0 AS precision_floor,
+           m.rf / 10000.0 AS recall_floor,
            true AS floors_met
     FROM t, (VALUES {values}) AS m(method, pf, rf)
     ORDER BY m.method
@@ -365,15 +374,15 @@ def q_dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_EVAL_FLOORS; a quality regression in any method turns the driver
     red). Raw per-method precision/recall stay available via
     ``_dedup_method_stats`` and are pinned by the invariant unit test.
-    Floor tests are exact integer comparisons (n_hit vs floor·n) — no
-    float-rounding hazard."""
+    Floor tests are exact integer comparisons (n_hit·10000 vs bp·n, with
+    the floors STORED as basis points) — no float-rounding hazard."""
     rows = []
     for name, n_pairs, n_truth, n_hit in _dedup_method_stats(spark, sf_dir):
-        pf, rf = _EVAL_FLOORS[name]
-        met = (n_hit * 10_000 >= int(pf * 10_000) * n_pairs) and (
-            n_hit * 10_000 >= int(rf * 10_000) * n_truth
+        pf_bp, rf_bp = _EVAL_FLOORS[name]
+        met = (n_hit * 10_000 >= pf_bp * n_pairs) and (
+            n_hit * 10_000 >= rf_bp * n_truth
         )
-        rows.append((name, n_truth, pf, rf, met))
+        rows.append((name, n_truth, pf_bp / 10_000, rf_bp / 10_000, met))
     return spark.createDataFrame(
         sorted(rows),
         "method string, n_truth bigint, precision_floor double, "
@@ -569,7 +578,7 @@ def q_winnow_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_setsim_prefix_join",
     """
-    WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+    WITH d AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS toks
                FROM documents),
          t AS (SELECT doc_id, len(toks) AS sz, unnest(toks) AS tok FROM d),
          inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -758,7 +767,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_doc_fingerprint",
     """
     SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           md5(array_to_string(list_sort(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))), ' '))
              AS fingerprint
     FROM documents
     """,
@@ -1927,9 +1936,9 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM (SELECT doc_id, lang, source,
-                   list_distinct(string_split(text, ' ')) AS tok FROM documents) a
+                   list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS tok FROM documents) a
       JOIN (SELECT doc_id, lang, source,
-                   list_distinct(string_split(text, ' ')) AS tok FROM documents) b
+                   list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS tok FROM documents) b
         ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
             / len(list_distinct(list_concat(a.tok, b.tok))) >= 0.5),
@@ -2361,9 +2370,9 @@ def q_text_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM (SELECT doc_id, lang, source,
-                   list_distinct(string_split(text, ' ')) AS tok FROM documents) a
+                   list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS tok FROM documents) a
       JOIN (SELECT doc_id, lang, source,
-                   list_distinct(string_split(text, ' ')) AS tok FROM documents) b
+                   list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS tok FROM documents) b
         ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
             / len(list_distinct(list_concat(a.tok, b.tok))) >= 0.5),
