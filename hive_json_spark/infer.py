@@ -43,6 +43,7 @@ from hive_json_spark.types import (
     infer_type,
     iter_json_documents,
     merge_types,
+    to_hive_ddl,
 )
 
 __all__ = [
@@ -475,6 +476,7 @@ def infer_schema_by_group(
     *,
     canonical: bool = True,
     on_error: str = "raise",
+    render: str = "compact",
 ):
     """Per-group schema inference: the lattice fold as a *grouped aggregate*.
 
@@ -497,8 +499,16 @@ def infer_schema_by_group(
     rows, so a 100 TB group costs the same state as a 100-row one. (A naive
     one-level ``groupBy().applyInPandas`` would materialize entire groups
     in pandas.)
+
+    ``render``: ``"compact"`` emits ``str(htype)`` in ``hive_type``;
+    ``"ddl"`` emits the full ``to_hive_ddl`` create-table string per group
+    (printTopType parity at depth — `JsonSchemaFinder.java:203-221`), with
+    the ``"void\\n"`` sentinel for a group whose every document was skipped.
     """
     import pandas as pd
+
+    if render not in ("compact", "ddl"):
+        raise ValueError(f"render must be 'compact' or 'ddl', got {render!r}")
 
     gtype = dict(df.dtypes)[group_col]
 
@@ -537,10 +547,14 @@ def infer_schema_by_group(
             bad += pbad
         if canonical and t is not None:
             t = canonicalize(t)
+        if render == "ddl":
+            rendered = to_hive_ddl(t) if t is not None else "void\n"
+        else:
+            rendered = str(t) if t is not None else "void"
         return pd.DataFrame(
             {
                 group_col: [pdf[group_col].iloc[0]],
-                "hive_type": [str(t) if t is not None else "void"],
+                "hive_type": [rendered],
                 "records": [n],
                 "corrupt": [bad],
             }

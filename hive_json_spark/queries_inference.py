@@ -155,6 +155,89 @@ _INT_CASE = """CASE
              ELSE 'bigint' END"""
 
 
+def _size_case(lo: str, hi: str) -> str:
+    """The lattice's integer sizing rule (JsonSchemaFinder.java:67-78) as a
+    DuckDB CASE over a (min, max) column pair — the reusable core of
+    _INT_CASE for oracles that size several independent ranges."""
+    return f"""CASE
+             WHEN {lo} >= -128 AND {hi} < 128 THEN 'tinyint'
+             WHEN {lo} >= -32768 AND {hi} < 32768 THEN 'smallint'
+             WHEN {lo} >= -2147483648 AND {hi} < 2147483648 THEN 'int'
+             ELSE 'bigint' END"""
+
+
+# T4 at DDL depth, grouped and distributed: a nested/union-heavy derived
+# corpus (three deterministic document shapes per event) is inferred
+# PER GROUP with the two-level partial+final fold, and the oracle rebuilds
+# each group's full create-table string — union branch canonical order,
+# nested struct/array indent, and THREE independently-sized integer ranges
+# per group. Assumes every group holds all three shapes (true at every
+# grading scale: ≥600 rows per (event_type, event_id%3) cell at sf0.01);
+# an empty corpus yields zero rows on both engines.
+@query(
+    "q_infer_by_group_ddl",
+    f"""
+    WITH base AS (
+      SELECT event_type, event_id, user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE props IS NOT NULL),
+    g AS (
+      SELECT event_type,
+             MIN(CASE WHEN event_id % 3 = 0 THEN k * event_id END) AS amin,
+             MAX(CASE WHEN event_id % 3 = 0 THEN k * event_id END) AS amax,
+             MIN(CASE WHEN event_id % 3 = 0 THEN user_id END) AS dmin,
+             MAX(CASE WHEN event_id % 3 = 0 THEN user_id END) AS dmax,
+             MIN(CASE WHEN event_id % 3 = 2 THEN k - 200 END) AS tmin,
+             MAX(CASE WHEN event_id % 3 = 2 THEN k - 200 END) AS tmax,
+             COUNT(*) AS n
+      FROM base GROUP BY event_type)
+    SELECT event_type,
+           'create table tbl (' || chr(10)
+           || '  a uniontype <' || {_size_case("amin", "amax")} || ',string>,' || chr(10)
+           || '  nest struct <' || chr(10)
+           || '    deep: uniontype <decimal(2,1),array <'
+           || {_size_case("dmin", "dmax")} || '>>>,' || chr(10)
+           || '  tags array <uniontype <' || {_size_case("tmin", "tmax")}
+           || ',string>>' || chr(10)
+           || ')' || chr(10) AS ddl,
+           CAST(n AS BIGINT) AS records
+    FROM g
+    """,
+)
+def q_infer_by_group_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped inference over a union-heavy nested corpus, graded at DDL
+    depth. Each event derives one of three JSON shapes — an int+nested-
+    array doc, a string+decimal doc, a mixed-type-list doc — so every
+    group's merged type exercises union creation (int|string, decimal|
+    array, int|string inside a list), struct nesting, and range-driven
+    integer sizing on three separate value sets. The fold is
+    `infer.infer_schema_by_group` (mapInPandas partials + grouped merge —
+    nothing collects; shuffle carries schema-sized accumulators, not
+    rows), rendered per group with `types.to_hive_ddl` (render="ddl")."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("long")
+    m = F.col("event_id") % 3
+    doc = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('{"a": '),
+                (k * F.col("event_id")).cast("string"),
+                F.lit(', "nest": {"deep": ['),
+                F.col("user_id").cast("string"),
+                F.lit("]}}"),
+            ),
+        )
+        .when(m == 1, F.lit('{"a": "s", "nest": {"deep": 1.5}}'))
+        .otherwise(
+            F.concat(F.lit('{"tags": ['), (k - 200).cast("string"), F.lit(', "x"]}'))
+        )
+    )
+    corpus = ev.select("event_type", doc.alias("doc"))
+    out = infer_schema_by_group(corpus, "event_type", "doc", render="ddl")
+    return out.select("event_type", F.col("hive_type").alias("ddl"), "records")
+
+
 # P1/P2 render parity as a GRADED query: the oracle rebuilds the exact
 # create-table string (2-space indent, trailing newline —
 # JsonSchemaFinder.java:203-221) from the raw JSON's value range, so the

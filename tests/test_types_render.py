@@ -193,3 +193,40 @@ def test_to_spark_type_total(a, b):
     t = merge_types(infer_type(via_json(a)), infer_type(via_json(b)))
     to_spark_type(t)
     to_spark_type(t, union_mode="string")
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(json_values, min_size=2, max_size=6),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_canonical_fold_is_permutation_invariant(vs, seed):
+    """The distributed-determinism claim behind ``canonicalize``
+    (types.py): folding the SAME type multiset in ANY order — and any
+    reduction shape — canonicalizes to one identical tree. This is the
+    property the partial+final tree-reduce in infer.py depends on: Spark
+    gives no ordering guarantee across partitions, and the reference's
+    union branch order is fold-order-sensitive (UnionType.java:89-100),
+    so only canonicalize(fold(perm)) being constant makes the distributed
+    result well-defined. Sequential folds over 10 random permutations
+    plus 5 random binary reduction trees must all agree."""
+    import functools
+    import random as _random
+
+    from hive_json_spark.types import merge_types as _merge
+
+    ts = [infer_type(via_json(v)) for v in vs]
+    rnd = _random.Random(seed)
+
+    base = canonicalize(functools.reduce(_merge, ts))
+    for _ in range(10):
+        order = list(range(len(ts)))
+        rnd.shuffle(order)
+        assert canonicalize(functools.reduce(_merge, [ts[i] for i in order])) == base
+    for _ in range(5):
+        pool = list(ts)
+        while len(pool) > 1:  # random pairwise reduction tree
+            a = pool.pop(rnd.randrange(len(pool)))
+            b = pool.pop(rnd.randrange(len(pool)))
+            pool.append(_merge(a, b))
+        assert canonicalize(pool[0]) == base
