@@ -61,6 +61,38 @@ HEADLINE = [
 ]
 
 
+def _stage_snapshot(ui_base: str) -> dict[int, dict]:
+    """Completed stages from the status REST API, keyed by (stageId,
+    attempt). Used differentially around each query so bench_detail.json
+    carries per-query shuffle/spill/memory high-water marks — the r6 OOM
+    (shuffle_hash build over a 26M-row self-join) was found by accident;
+    a spill ledger finds the next one on purpose."""
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(f"{ui_base}/stages?status=complete", timeout=10) as r:
+            stages = json.load(r)
+    except Exception:
+        return {}
+    return {(s["stageId"], s.get("attemptId", 0)): s for s in stages}
+
+
+def _aggregate_stages(stages: list[dict]) -> dict:
+    mb = 1024 * 1024
+    return {
+        "shuffle_write_mb": round(sum(s.get("shuffleWriteBytes", 0) for s in stages) / mb, 2),
+        "shuffle_read_mb": round(sum(s.get("shuffleReadBytes", 0) for s in stages) / mb, 2),
+        "spill_memory_mb": round(sum(s.get("memoryBytesSpilled", 0) for s in stages) / mb, 2),
+        "spill_disk_mb": round(sum(s.get("diskBytesSpilled", 0) for s in stages) / mb, 2),
+        # max over stages of the stage-aggregated task peak — the largest
+        # single-stage execution-memory footprint the query reached
+        "peak_stage_exec_mem_mb": round(
+            max((s.get("peakExecutionMemory", 0) for s in stages), default=0) / mb, 2
+        ),
+        "n_stages": len(stages),
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -69,8 +101,14 @@ def main() -> int:
     from hive_json_spark.registry import QUERIES
     from hive_json_spark.session import get_spark
 
+    # enable the UI for this session only: the status REST API is where the
+    # per-stage shuffle/spill telemetry comes from (SparkListeners are not
+    # reachable from plain PySpark without a jar)
+    os.environ.setdefault("SPARK_GRAFT_UI", "true")
     spark = get_spark("hive-json-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    ui = spark.sparkContext.uiWebUrl  # None if another session won the port race
+    ui_base = f"{ui}/api/v1/applications/{spark.sparkContext.applicationId}" if ui else None
 
     # warmup: JVM + codegen paths, plus the Python worker pool (workers are
     # reused across stages — spark.python.worker.reuse — so spawning all of
@@ -86,6 +124,8 @@ def main() -> int:
     headline_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     tail_runs = min(2, headline_runs)
     timings: dict[str, float] = {}
+    telemetry: dict[str, dict] = {}
+    seen_stages = _stage_snapshot(ui_base) if ui_base else {}
     for name in HEADLINE + sorted(set(QUERIES) - set(HEADLINE)):
         fn = QUERIES[name]
         runs = headline_runs if name in HEADLINE else tail_runs
@@ -96,6 +136,15 @@ def main() -> int:
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
+        if ui_base:
+            now = _stage_snapshot(ui_base)
+            fresh = [s for k, s in now.items() if k not in seen_stages]
+            seen_stages = now
+            if fresh:
+                # metrics cover ALL runs of the query; divide the volume
+                # counters by `runs` for a per-execution figure (the peak
+                # is per-stage either way)
+                telemetry[name] = {**_aggregate_stages(fresh), "runs": runs}
         # ~30 registry queries persist() intermediates; without this the
         # cache accumulates across 186 queries and storage-memory churn
         # taxes whichever heavy query runs late in the list
@@ -120,6 +169,7 @@ def main() -> int:
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in load_end],
         "headline_runs": headline_runs,
+        "telemetry": telemetry,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
     with open(detail_path, "w") as f:

@@ -31,6 +31,8 @@ def get_spark(app_name: str = "hive-json-spark", shuffle_partitions: int | None 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test/CI noise); bench.py turns it on to read
+        # per-stage shuffle/spill telemetry from the status REST API
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     return builder.getOrCreate()
