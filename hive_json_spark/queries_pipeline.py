@@ -2248,37 +2248,37 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top 20. The classic sparse-retrieval baseline next to the dense
     (embedding) similarity queries.
 
-    Scale shape: the corpus explodes ONCE into the (doc, term, freq)
-    postings frame — dl re-aggregates it by doc (sum of freqs) and df by
-    term (postings are already distinct per doc-term, so a plain count) —
-    then the frame is pinned so the three consumers don't re-run the
-    explode. df for the query's terms is tiny → broadcast back; N is a
-    scalar broadcast. Filtering tf to the query terms BEFORE the joins
-    keeps the scored frame proportional to matching postings, not the
-    corpus. Top-k is TakeOrderedAndProject. Each tf*idf term is rounded
-    to integer micro-units per row before the per-doc sum (SCALE.md
-    rule), so neither summation order nor ln() ulp differences can flip
-    the score or the ranking."""
+    Scale shape (r7 shuffle-budget rewrite, same ledger as _bm25_scores):
+    doc length is ``size(tokens(text))`` — a map-side projection riding
+    into the postings groupBy as a per-doc constant — and the query-term
+    filter sits BELOW the first shuffle, so the one postings exchange
+    carries matching postings only; df over the filtered frame equals df
+    of the query terms (the only ones the score reads). N is a scalar
+    broadcast. 4 bounded exchanges; no corpus-sized shuffle, no persist.
+    Top-k is TakeOrderedAndProject. Each tf*idf term is rounded to
+    integer micro-units per row before the per-doc sum (SCALE.md rule),
+    so neither summation order nor ln() ulp differences can flip the
+    score or the ranking."""
     docs = load_table(spark, sf_dir, "documents")
     from hive_json_spark.functions.text import tokens
 
     query_terms = ["vector", "filter", "merge"]
-    terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = (
-        terms.groupBy("doc_id", "term")
-        .agg(F.count("*").cast("double").alias("f"))
-        .persist()
+    base = docs.select("doc_id", tokens("text").alias("toks"))
+    n = base.agg(F.count("*").cast("double").alias("total"))
+    postings = base.select(
+        "doc_id",
+        F.size("toks").cast("double").alias("len"),
+        F.explode("toks").alias("term"),
+    ).filter(F.col("term").isin(query_terms))
+    tf = postings.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("f"),
+        F.min("len").alias("len"),  # constant per doc_id
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("f").alias("len"))
-    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("dfreq"))
-    n = docs.agg(F.count("*").cast("double").alias("total"))
-    scored = (
-        tf.filter(F.col("term").isin(query_terms))
-        .join(dl, "doc_id")
-        .join(F.broadcast(df.filter(F.col("term").isin(query_terms)).withColumnRenamed("term", "df_term")),
-              F.col("term") == F.col("df_term"))
-        .join(F.broadcast(n))
-    )
+    # df as a window count over the small filtered tf — a second groupBy
+    # arm would re-expand (and re-scan) the postings subtree
+    scored = tf.withColumn(
+        "dfreq", F.count("*").over(Window.partitionBy("term")).cast("double")
+    ).join(F.broadcast(n))
     term_units = F.round(
         F.lit(1000000)
         * ((F.col("f") / F.col("len")) * F.log(F.col("total") / F.col("dfreq")))
@@ -2866,37 +2866,53 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bm25_scores(spark: SparkSession, sf_dir: str, query_terms: list) -> DataFrame:
     """(doc_id, score) BM25 frame shared by q_bm25_topk and q_rrf_fusion —
     integer-micro-unit per-posting rounding per the SCALE.md determinism
-    rule (see q_bm25_topk docstring for the full plan notes)."""
+    rule (see q_bm25_topk docstring for the full plan notes).
+
+    r7 shuffle-budget rewrite (PLANS.md exchange ledger): the old plan
+    shuffled the FULL (doc, term, freq) postings frame once and the full
+    term VOCABULARY again for df, then re-exchanged to join doc lengths
+    back — 8 exchanges, two of them corpus-sized. Three identities remove
+    all of that:
+
+    - a document's length is ``size(tokens(text))`` — a map-side
+      projection, so ``len`` rides INTO the postings groupBy as a constant
+      per doc_id (``min`` picks it back up) and the dl arm + its join
+      disappear;
+    - BM25 only ever reads df for the QUERY terms, and df restricted to a
+      term set equals df of the pre-filtered postings — so the filter
+      moves below the first shuffle and even the postings exchange now
+      carries matching postings only, never the corpus;
+    - corpus count and avgdl are one global agg over the same base frame
+      (sum of token counts / count), broadcast as a 1-row frame;
+    - df over the filtered tf is a WINDOW count per term, not a separate
+      groupBy arm — referencing tf twice would expand (and re-scan) the
+      postings subtree, since exchange reuse does not fire across the
+      agg difference.
+
+    3 hash exchanges + 1 single-partition agg, every one bounded by
+    query-match volume or constant-size; the two corpus-sized shuffles
+    are gone. Same math, same oracle, hash-identical scores."""
     from hive_json_spark.functions.text import tokens
 
     k1, b = 1.2, 0.75
     docs = load_table(spark, sf_dir, "documents")
-    terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = (
-        terms.groupBy("doc_id", "term")
-        .agg(F.count("*").cast("double").alias("f"))
-        .persist()
+    base = docs.select("doc_id", tokens("text").alias("toks"))
+    stats = base.agg(
+        F.count("*").cast("double").alias("total"),
+        (F.sum(F.size("toks")).cast("double") / F.count("*")).alias("avgdl"),
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("f").cast("bigint").alias("len"))
-    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("dfreq"))
-    n = docs.agg(F.count("*").cast("double").alias("total"))
-    a = dl.agg(
-        (F.sum("len").cast("double") / F.count("*")).alias("avgdl")
+    postings = base.select(
+        "doc_id",
+        F.size("toks").alias("len"),
+        F.explode("toks").alias("term"),
+    ).filter(F.col("term").isin(query_terms))
+    tf = postings.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("f"),
+        F.min("len").alias("len"),  # constant per doc_id
     )
-    scored = (
-        tf.filter(F.col("term").isin(query_terms))
-        .join(dl, "doc_id")
-        .join(
-            F.broadcast(
-                df.filter(F.col("term").isin(query_terms)).withColumnRenamed(
-                    "term", "df_term"
-                )
-            ),
-            F.col("term") == F.col("df_term"),
-        )
-        .join(F.broadcast(n))
-        .join(F.broadcast(a))
-    )
+    scored = tf.withColumn(
+        "dfreq", F.count("*").over(Window.partitionBy("term")).cast("double")
+    ).join(F.broadcast(stats))
     idf = F.log(
         1 + (F.col("total") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
     )
