@@ -356,7 +356,12 @@ def minhash_dedup_pairs(
 
     ``shingles_col``: precomputed ``shingled_docs`` array column — both
     the signature kernel and the verify kernel consume it directly
-    (no re-tokenize anywhere in this pipeline).
+    (no re-tokenize anywhere in this pipeline). Deliberately NOT derived
+    internally when absent: the interpreted-HOF ``word_shingles`` costs
+    more than the Python kernels' in-pass shingling (measured 3.6 s vs
+    1.1 s for the whole signature phase at zipf-sf1), so JVM pre-shingling
+    only pays when a caller already needs the arrays for something else
+    (the dedup-method eval harness).
     """
     # Pin the candidate pairs: they are tiny (LSH collisions only) but the
     # plan references them twice, and each recompute would redo the whole
@@ -384,17 +389,35 @@ def minhash_dedup_pairs(
     pre_shingled = shingles_col is not None
 
     def verify(batches):
-        def shingle_set(payload_val):
-            if pre_shingled:
-                return set(payload_val)
-            toks = py_tokens(payload_val)
-            count = max(len(toks) - n + 1, 1)
-            return {" ".join(toks[i : i + n]) for i in range(count)}
-
         for pdf in batches:
+            # per-batch id -> frozenset cache: the r7 zipf-sf10 census
+            # showed candidate volume is input-quadratic at the r=2 band
+            # setting (84x candidates for 10x docs — organic cross-doc
+            # Jaccard makes 2-row band collisions common), and a hot
+            # document appears in MANY of those pairs. Shingling runs
+            # once per (batch, id), not once per pair — the quadratic
+            # term pays set-intersection cost only.
+            cache: dict = {}
+
+            def shingle_set(doc_id, payload_val):
+                s = cache.get(doc_id)
+                if s is None:
+                    if pre_shingled:
+                        s = frozenset(payload_val)
+                    else:
+                        toks = py_tokens(payload_val)
+                        count = max(len(toks) - n + 1, 1)
+                        s = frozenset(
+                            " ".join(toks[i : i + n]) for i in range(count)
+                        )
+                    cache[doc_id] = s
+                return s
+
             jac = []
-            for ta, tb in zip(pdf["_ta"], pdf["_tb"]):
-                sa, sb = shingle_set(ta), shingle_set(tb)
+            for ia, ib, ta, tb in zip(
+                pdf["id_a"], pdf["id_b"], pdf["_ta"], pdf["_tb"]
+            ):
+                sa, sb = shingle_set(ia, ta), shingle_set(ib, tb)
                 union = len(sa | sb)
                 jac.append(_round4_half_up(len(sa & sb), union))
             yield pdf[["id_a", "id_b"]].assign(jaccard=jac)

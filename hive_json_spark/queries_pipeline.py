@@ -2265,7 +2265,9 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query_terms = ["vector", "filter", "merge"]
     base = docs.select("doc_id", tokens("text").alias("toks"))
     n = base.agg(F.count("*").cast("double").alias("total"))
-    postings = base.select(
+    # doc-level prefilter before the explode (see _bm25_scores note)
+    qarr = F.array(*[F.lit(t) for t in query_terms])
+    postings = base.filter(F.arrays_overlap("toks", qarr)).select(
         "doc_id",
         F.size("toks").cast("double").alias("len"),
         F.explode("toks").alias("term"),
@@ -2901,7 +2903,13 @@ def _bm25_scores(spark: SparkSession, sf_dir: str, query_terms: list) -> DataFra
         F.count("*").cast("double").alias("total"),
         (F.sum(F.size("toks")).cast("double") / F.count("*")).alias("avgdl"),
     )
-    postings = base.select(
+    # doc-level prefilter BEFORE the explode: Catalyst cannot push the
+    # term filter through Generate, so without this every token of every
+    # document is exploded just to be discarded (measured 45 s at
+    # zipf-sf10 where the query matches zero docs; arrays_overlap makes
+    # non-matching docs exit at scan cost)
+    qarr = F.array(*[F.lit(t) for t in query_terms])
+    postings = base.filter(F.arrays_overlap("toks", qarr)).select(
         "doc_id",
         F.size("toks").alias("len"),
         F.explode("toks").alias("term"),
