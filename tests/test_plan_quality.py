@@ -74,11 +74,16 @@ def test_decontaminate_split_filters_push_below_kernel(spark):
     assert "BroadcastHashJoin" in plan  # benchmark grams broadcast
 
 
-def test_tfidf_postings_cached_once(spark):
-    # tf/dl/df all read the pinned postings frame instead of re-exploding
-    # the corpus (InMemoryTableScan per consumer, single cached explode)
+def test_tfidf_single_pass_postings(spark):
+    # r7 shape: ONE corpus scan, arrays_overlap doc prefilter below the
+    # explode (Catalyst can't push a term filter through Generate), df via
+    # window over the tf frame — 3 hash exchanges, all bounded by
+    # query-match volume, no cache, no corpus-sized shuffle
     plan = plan_of(spark, "q_tfidf_topk")
-    assert plan.count("InMemoryTableScan") >= 3
+    assert "arrays_overlap" in plan
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
 
 
@@ -213,15 +218,18 @@ def test_inverted_index_caps_postings_before_collect(spark):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
-def test_bm25_postings_cached_once_and_scalars_broadcast(spark):
-    # same pinned-postings shape as TF-IDF: one InMemoryRelation, the
-    # query-term df slice + N + avgdl all broadcast, no nested-loop joins
-    # except the 1-row scalar cross joins
+def test_bm25_single_pass_postings_and_scalars_broadcast(spark):
+    # same r7 single-pass shape as TF-IDF: arrays_overlap prefilter below
+    # the one explode, df via window over tf, the 1-row N/avgdl stats arm
+    # joined as a broadcast nested-loop (the only join), 3 bounded hash
+    # exchanges, no corpus-sized shuffle
     plan = plan_of(spark, "q_bm25_topk")
-    assert "InMemoryTableScan" in plan
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "TakeOrderedAndProject" in plan
+    assert "arrays_overlap" in plan
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row stats frame
     assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_zorder_straddle_rescan_pushes_key_ranges(spark):
@@ -442,3 +450,55 @@ def test_heavy_explode_operators_parallelize_single_partition_input(spark):
     # when the decimal strings differ in exactly one digit
     got = {(r.id_a, r.id_b) for r in out.collect()}
     assert (0, 1) in got and (0, 10) in got and (0, 11) not in got
+
+
+def test_single_row_group_scan_is_repartitioned(spark, tmp_path):
+    """The r7 trap, pinned: a large SINGLE-row-group parquet file plans
+    size/maxPartitionBytes byte-range splits, but a row group is atomic —
+    one split receives every row and the rest are EMPTY, so
+    getNumPartitions() looks parallel while the kernel stage runs on one
+    core (zipf-sf10 minhash signatures: 39 s single-core behind 24
+    planned splits, 6 s after the fix). ensure_parallelism must see
+    through the planned-split count via the parquet footer and
+    repartition anyway."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_json_spark.operators.util import ensure_parallelism
+
+    path = str(tmp_path / "one_rg.parquet")
+    n = 50_000
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"id": range(n), "text": ["word " * 40] * n})
+        ),
+        path,
+        row_group_size=n,  # ONE row group on purpose
+    )
+    saved = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        scan = spark.read.parquet(path)
+        planned = scan.rdd.getNumPartitions()
+        target = spark.sparkContext.defaultParallelism
+        assert planned >= max(target // 2, 2), planned  # the trap scenario
+        fixed = ensure_parallelism(scan)
+        assert "RoundRobinPartitioning" in fixed._jdf.queryExecution().executedPlan().toString()
+        # the probe is footer-driven: the same data written with MANY row
+        # groups planned the same way is left alone (no spurious shuffle)
+        path2 = str(tmp_path / "many_rg.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame({"id": range(n), "text": ["word " * 40] * n})
+            ),
+            path2,
+            row_group_size=n // 64,
+        )
+        scan2 = spark.read.parquet(path2)
+        assert ensure_parallelism(scan2) is scan2
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        else:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
