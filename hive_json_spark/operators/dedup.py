@@ -917,6 +917,15 @@ def prefix_filter_jaccard_pairs(
     # empty docs at jaccard=1 while any token-join formulation (the
     # oracle's shape) can never produce them
     ).filter(F.size("_tok") > 0)
+    # Materialize the tokenized corpus ONCE: the auto-dispatch probe, the
+    # fingerprint/members frame and the representative base each consume
+    # `base`, and without the checkpoint each re-runs the regex tokenize
+    # over the full corpus (r7 census find: 3+ evaluations × ~18 s at
+    # zipf-sf10 — the dominant cost of the whole join). Same idiom and
+    # same storage class as the members/rbase checkpoints below; at scale
+    # this is the tokenized corpus pinned to executor storage exactly as
+    # long as the join needs it.
+    base = base.localCheckpoint()
     if impl == "auto":
         deletion_ok = (
             int(max_tokens * (1 - threshold) / threshold) <= 3

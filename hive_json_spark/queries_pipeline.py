@@ -127,8 +127,16 @@ def _blocked_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     # newlines/double spaces now takes the same token boundaries on
     # either dispatch path (and in the oracle's string_split_regex).
     from hive_json_spark.functions.text import tokens
+    from hive_json_spark.operators.util import ensure_parallelism
 
-    prefixed = docs.select(
+    # Repartition BEFORE the token build: the projection is the expensive
+    # expression here (regex split + per-token prefix concat), and on a
+    # single-row-group scan it would otherwise evaluate on one core
+    # below the exchange ensure_parallelism adds around the whole frame
+    # (r7 census find: ~18 s single-core per evaluation at zipf-sf10).
+    prefixed = ensure_parallelism(
+        docs.select("doc_id", "lang", "source", "text")
+    ).select(
         "doc_id",
         "lang",
         "source",
