@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from hive_json_spark.functions.text import py_tokens, tokens, word_shingles
 from hive_json_spark.operators.util import ensure_parallelism
@@ -919,13 +920,17 @@ def prefix_filter_jaccard_pairs(
     ).filter(F.size("_tok") > 0)
     # Materialize the tokenized corpus ONCE: the auto-dispatch probe, the
     # fingerprint/members frame and the representative base each consume
-    # `base`, and without the checkpoint each re-runs the regex tokenize
-    # over the full corpus (r7 census find: 3+ evaluations × ~18 s at
-    # zipf-sf10 — the dominant cost of the whole join). Same idiom and
-    # same storage class as the members/rbase checkpoints below; at scale
-    # this is the tokenized corpus pinned to executor storage exactly as
-    # long as the join needs it.
-    base = base.localCheckpoint()
+    # `base`, and without this each re-runs the regex tokenize over the
+    # full corpus (r7 census find: 3+ evaluations × ~18 s at zipf-sf10 —
+    # the dominant cost of the whole join). persist(MEMORY_AND_DISK), NOT
+    # localCheckpoint: this frame is CORPUS-sized, and checkpoint blocks
+    # are non-evictable and survive catalog.clearCache(), so back-to-back
+    # heavy queries accumulated them until the 8g JVM OOMed (measured:
+    # the r7 census died in the query AFTER two of these checkpoints).
+    # Persisted blocks evict under pressure (lineage intact → recompute,
+    # never wrong) and release with the cache. members/rbase below stay
+    # checkpoints — they are rep-sized, not corpus-sized.
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     if impl == "auto":
         deletion_ok = (
             int(max_tokens * (1 - threshold) / threshold) <= 3
