@@ -2909,7 +2909,14 @@ def _bm25_scores(spark: SparkSession, sf_dir: str, query_terms: list) -> DataFra
     base = docs.select("doc_id", tokens("text").alias("toks"))
     stats = base.agg(
         F.count("*").cast("double").alias("total"),
-        (F.sum(F.size("toks")).cast("double") / F.count("*")).alias("avgdl"),
+        # avgdl averages over docs with >=1 token: the oracle's dl arm is
+        # GROUP BY over exploded terms, so token-less docs contribute no
+        # row to it (r7 fuzz catch — the corpus tables have no empty docs,
+        # the random fuzz corpus does)
+        (
+            F.sum(F.size("toks")).cast("double")
+            / F.count_if(F.size("toks") > 0)
+        ).alias("avgdl"),
     )
     # doc-level prefilter BEFORE the explode: Catalyst cannot push the
     # term filter through Generate, so without this every token of every
