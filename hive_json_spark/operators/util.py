@@ -72,11 +72,17 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     floor = max(target // 2, 2)
     if df.rdd.getNumPartitions() < floor:
         return df.repartition(target)
-    # The row-group probe applies only to scan-rooted frames: a frame
-    # whose plan already contains a shuffle exchange has its output
-    # partitioning determined by that shuffle, not by the file layout
-    # (inputFiles() would still return the underlying files and the
-    # probe would force a pointless extra repartition).
+    # Footer probe first — it is cached per file and cheap, and in the
+    # common case (well-written many-row-group inputs) it exits without
+    # touching the physical plan.
+    rg = _scan_row_groups(df)
+    if rg is None or rg >= floor:
+        return df
+    # The trap case. The repartition applies only to scan-rooted frames:
+    # a frame whose plan already contains a shuffle exchange has its
+    # output partitioning determined by that shuffle, not by the file
+    # layout (inputFiles() would still return the underlying files and
+    # the probe would force a pointless extra repartition).
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
     except Exception:
@@ -91,7 +97,4 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
         )
     ):
         return df
-    rg = _scan_row_groups(df)
-    if rg is not None and rg < floor:
-        return df.repartition(target)
-    return df
+    return df.repartition(target)
