@@ -65,6 +65,17 @@ def streaming_merge_upsert(
             .select(key_col, op_col, *payload_cols)
             .withColumn("bucket", F.pmod(F.hash(key_col), F.lit(n_buckets)))
         )
+        # net feeds both the bucket probe and the snapshot join: persist the
+        # post-dedup frame (≤ one row per key in the batch — net-change-
+        # sized, spills to disk if a batch is huge) so the ranking window
+        # over the raw batch runs once.
+        net = net.persist()
+        try:
+            _apply(spark, net)
+        finally:
+            net.unpersist()
+
+    def _apply(spark, net: DataFrame) -> None:
         # bounded collect: distinct pmod values — ≤ n_buckets rows by
         # construction; limit() enforces the bound in-plan.
         buckets = [

@@ -71,6 +71,16 @@ def continuous_rollup(
                 "total",
             )
         )
+        # part is consumed twice (touched-day probe, then the merge write):
+        # persist the POST-aggregation frame — bounded by days x keys, never
+        # the batch — so the batch scan+aggregate runs once per batch.
+        part = part.persist()
+        try:
+            _apply(spark, part, batch_id)
+        finally:
+            part.unpersist()
+
+    def _apply(spark, part: DataFrame, batch_id: int) -> None:
         # enforced cap: limit(cap+1) bounds the collect IN-PLAN (the
         # driver sees at most cap+1 date rows no matter what the batch
         # holds), and cap+1 rows means the batch is over budget → refuse.
@@ -128,7 +138,13 @@ def continuous_rollup(
         try:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             (
-                merged.withColumn("_batch_id", F.lit(batch_id).cast("bigint"))
+                # co-locate each day before the partitioned write: without
+                # this, every task holding rows for a day emits its own file
+                # into that day's partition (tasks x days small files); with
+                # it, each day writes exactly one file — the healthy layout
+                # for a rollup table read back with partition pruning.
+                merged.repartition(F.col("day"))
+                .withColumn("_batch_id", F.lit(batch_id).cast("bigint"))
                 .write.mode("overwrite")
                 .partitionBy("day")
                 .parquet(out_dir)
