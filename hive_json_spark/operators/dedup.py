@@ -929,8 +929,13 @@ def prefix_filter_jaccard_pairs(
     # the r7 census died in the query AFTER two of these checkpoints).
     # Persisted blocks evict under pressure (lineage intact → recompute,
     # never wrong) and release with the cache. members/rbase below stay
-    # checkpoints — they are rep-sized, not corpus-sized.
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # checkpoints — they are rep-sized, not corpus-sized. scoped_persist
+    # registers the frame so the graded wrapper unpersists it when the
+    # next query starts (r7 ADVICE: a bare persist leaked one resident
+    # corpus cache per invocation for callers that never clearCache()).
+    from hive_json_spark.functions.caching import scoped_persist
+
+    base = scoped_persist(base)
     if impl == "auto":
         deletion_ok = (
             int(max_tokens * (1 - threshold) / threshold) <= 3

@@ -2498,11 +2498,16 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: dedup to (type, user) FIRST (one shuffle, map-side
     partial distinct), then the self-join fans out per user only by the
     types that user touches (≤ |types| rows) — never a user×user or
-    row×row product; the final matrix is |types|² cells. The
-    sketch-path swap at extreme scale is HLL per type + inclusion-
-    exclusion (q_hll_intersect's documented pattern)."""
+    row×row product; the final matrix is |types|² cells. The distinct
+    frame feeds three arms (pair join ×2 + per-type totals), so it is
+    scoped-persisted — the r7 ledger's flagged fusion: one distinct
+    shuffle instead of three. The sketch-path swap at extreme scale is
+    HLL per type + inclusion-exclusion (q_hll_intersect's documented
+    pattern)."""
+    from hive_json_spark.functions.caching import scoped_persist
+
     ev = load_table(spark, sf_dir, "events")
-    a = ev.select("event_type", "user_id").distinct()
+    a = scoped_persist(ev.select("event_type", "user_id").distinct())
     sz = a.groupBy("event_type").agg(F.count("*").alias("n"))
     x = a.select(F.col("event_type").alias("type_a"), "user_id")
     y = a.select(F.col("event_type").alias("type_b"), "user_id")
@@ -2697,17 +2702,23 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     analysis. The quadratic term is per-basket (C(items,2) with ~4 items
     per order), never corpus-wide: the pair join is an equi-join on the
     order key, baskets bound the fanout, and a 100 TB deployment caps or
-    salts the rare monster basket (documented SCALE.md pattern). Per-part
+    salts the rare monster basket (documented SCALE.md pattern). The
+    per-basket distinct frame feeds four arms (order count, supports,
+    both pair-join sides), so it is scoped-persisted — the r7 ledger's
+    flagged fusion: one distinct shuffle instead of four. Per-part
     supports broadcast back onto the pair frame; lift is one division of
     two exact integer products (identical double both engines, ties
     broken on support then part ids); top-20 via TakeOrderedAndProject.
     """
+    from hive_json_spark.functions.caching import scoped_persist
     from hive_json_spark.operators.relational import top_k
 
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    items = scoped_persist(
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct()
+    )
     n = items.agg(F.countDistinct("ok").alias("n_orders"))
     supp = items.groupBy("pk").agg(F.count("*").alias("s"))
     a = items.select("ok", F.col("pk").alias("part_a"))
