@@ -61,7 +61,7 @@ HEADLINE = [
 ]
 
 
-def _stage_snapshot(ui_base: str) -> dict[int, dict]:
+def _stage_snapshot(ui_base: str) -> dict[tuple[int, int], dict]:
     """Completed stages from the status REST API, keyed by (stageId,
     attempt). Used differentially around each query so bench_detail.json
     carries per-query shuffle/spill/memory high-water marks — the r6 OOM
@@ -75,6 +75,22 @@ def _stage_snapshot(ui_base: str) -> dict[int, dict]:
     except Exception:
         return {}
     return {(s["stageId"], s.get("attemptId", 0)): s for s in stages}
+
+
+def _submission_ms(stage: dict) -> float:
+    """Stage submission time as epoch ms. The REST API formats it like
+    '2026-08-15T18:28:12.123GMT'; an unparseable/absent value returns +inf
+    so the stage is kept (old differential behavior) rather than dropped."""
+    import datetime
+
+    raw = stage.get("submissionTime")
+    if not raw:
+        return float("inf")
+    try:
+        dt = datetime.datetime.strptime(raw.replace("GMT", "+0000"), "%Y-%m-%dT%H:%M:%S.%f%z")
+        return dt.timestamp() * 1000
+    except ValueError:
+        return float("inf")
 
 
 def _aggregate_stages(stages: list[dict]) -> dict:
@@ -130,6 +146,7 @@ def main() -> int:
         fn = QUERIES[name]
         runs = headline_runs if name in HEADLINE else tail_runs
         best = None
+        query_start_ms = time.time() * 1000
         for _ in range(runs):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -138,7 +155,15 @@ def main() -> int:
         timings[name] = round(best, 3)
         if ui_base:
             now = _stage_snapshot(ui_base)
-            fresh = [s for k, s in now.items() if k not in seen_stages]
+            # differential + submission-time filter: a straggler stage from
+            # the PREVIOUS query that completes between snapshots would
+            # otherwise be billed to this query (telemetry-only skew)
+            fresh = [
+                s
+                for k, s in now.items()
+                if k not in seen_stages
+                and _submission_ms(s) >= query_start_ms - 1000
+            ]
             seen_stages = now
             if fresh:
                 # metrics cover ALL runs of the query; divide the volume

@@ -555,11 +555,20 @@ def test_single_row_group_scan_is_repartitioned(spark, tmp_path):
     )
     saved = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
     try:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        # derive the split size from the WRITTEN file size so the planned
+        # split count clears the trap-scenario floor on any core count —
+        # a fixed 64 KB split under-splits the few-hundred-KB compressed
+        # file on high-core machines (r7 ADVICE: environment-dependent
+        # precondition flake, not a product bug)
+        import os
+
+        target = spark.sparkContext.defaultParallelism
+        floor = max(target // 2, 2)
+        split = max(os.path.getsize(path) // (floor * 2), 1024)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
         scan = spark.read.parquet(path)
         planned = scan.rdd.getNumPartitions()
-        target = spark.sparkContext.defaultParallelism
-        assert planned >= max(target // 2, 2), planned  # the trap scenario
+        assert planned >= floor, (planned, floor, split)  # the trap scenario
         fixed = ensure_parallelism(scan)
         assert "RoundRobinPartitioning" in fixed._jdf.queryExecution().executedPlan().toString()
         # the probe is footer-driven: the same data written with MANY row
