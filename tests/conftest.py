@@ -12,6 +12,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "scale: opt-in sf0.01->sf0.1 cost-ratio regression gate "
+        "(skipped by default; run solo with `-m scale` on a quiet box)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    # scale-gate tests are TIMING asserts — meaningful only solo on a
+    # quiet box, so they never run unless explicitly selected with -m
+    if config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="opt-in: run with -m scale")
+    for item in items:
+        if "scale" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     from hive_json_spark.session import get_spark

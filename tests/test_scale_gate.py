@@ -1,0 +1,70 @@
+"""Opt-in scale-regression gate (r8, verdict ask #7).
+
+The r5-r7 censuses each caught a Trap-class scale regression by MANUAL
+measurement (single-row-group one-core kernels, re-evaluated scan-side
+expressions, non-evictable checkpoint accumulation). This gate automates
+the detector: the top-cost registry queries must keep their
+sf0.01 -> sf0.1 (10x data) wall-clock ratio at or below
+``max(12, output-row ratio)`` — a trapped kernel (work serialized onto
+one core, a re-run corpus scan, a quadratic that lost its dispatch)
+blows past that envelope immediately, while healthy distributed plans
+sit well under it (fixed overhead dominates at sf0.01, so measured
+healthy ratios are ~1-6).
+
+Opt-in: `python -m pytest -m scale tests/test_scale_gate.py` — timing
+asserts don't belong in the default correctness suite (they need a
+quiet, solo box; see SCALE.md "CI-style invocation").
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+pytestmark = pytest.mark.scale
+
+# the standing top-cost non-streaming queries (bench_detail.json ranking;
+# refresh the list when the ranking materially changes)
+TOP_COST = [
+    "q_setsim_prefix_join",
+    "q_mad_outliers",
+    "q_dedup_method_eval",
+    "q_ann_recall",
+    "q_fuzzy_name_match",
+]
+
+RATIO_FLOOR = 12.0
+SMALL = "/root/testdata/sf0.01"
+BIG = "/root/testdata/sf0.1"
+
+
+def _best_of(fn, runs: int = 2) -> tuple[float, int]:
+    best, rows = None, 0
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        rows = fn().count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best, rows
+
+
+@pytest.mark.parametrize("name", TOP_COST)
+def test_cost_ratio_within_envelope(spark, name):
+    from hive_json_spark.registry import QUERIES
+
+    spark.catalog.clearCache()
+    t_small, rows_small = _best_of(lambda: QUERIES[name](spark, SMALL))
+    spark.catalog.clearCache()
+    t_big, rows_big = _best_of(lambda: QUERIES[name](spark, BIG))
+    # floor the denominator: sub-200ms sf0.01 runs are pure fixed overhead
+    # and make the ratio meaninglessly twitchy
+    ratio = t_big / max(t_small, 0.2)
+    out_ratio = rows_big / max(rows_small, 1)
+    envelope = max(RATIO_FLOOR, out_ratio)
+    assert ratio <= envelope, (
+        f"{name}: sf0.01->sf0.1 wall ratio {ratio:.1f} exceeds "
+        f"max({RATIO_FLOOR}, output ratio {out_ratio:.1f}) — "
+        f"{t_small:.2f}s -> {t_big:.2f}s for {rows_small} -> {rows_big} rows; "
+        "Trap-class scale regression (see SCALE.md round-7 traps)"
+    )
