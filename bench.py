@@ -77,6 +77,17 @@ def _stage_snapshot(ui_base: str) -> dict[tuple[int, int], dict]:
     return {(s["stageId"], s.get("attemptId", 0)): s for s in stages}
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal ticks, total ticks) from /proc/stat's aggregate cpu line, or
+    None off-Linux. Differenced across the run for cpu_steal_pct."""
+    try:
+        parts = open("/proc/stat").readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except Exception:
+        return None
+
+
 def _submission_ms(stage: dict) -> float:
     """Stage submission time as epoch ms. The REST API formats it like
     '2026-08-15T18:28:12.123GMT'; an unparseable/absent value returns +inf
@@ -137,6 +148,7 @@ def main() -> int:
     ).mode("overwrite").save()
 
     load_start = os.getloadavg()
+    steal_start = _cpu_ticks()
     headline_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     tail_runs = min(2, headline_runs)
     timings: dict[str, float] = {}
@@ -184,6 +196,15 @@ def main() -> int:
     # ("parsed": null). Keep the printed line small (headline only) and
     # flush it explicitly.
     load_end = os.getloadavg()
+    steal_end = _cpu_ticks()
+    # hypervisor CPU steal across the whole run: co-tenant bursts are
+    # INVISIBLE to guest loadavg (several "quiet-host" runs measured 20-40%
+    # slower with load < 1), so the record carries its own adjudication
+    steal_pct = (
+        round(100 * (steal_end[0] - steal_start[0]) / max(steal_end[1] - steal_start[1], 1), 2)
+        if steal_end and steal_start
+        else None
+    )
     detail = {
         "metric": "all_queries_total_wall",
         "value": total,
@@ -194,6 +215,7 @@ def main() -> int:
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in load_end],
         "headline_runs": headline_runs,
+        "cpu_steal_pct": steal_pct,
         "telemetry": telemetry,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
@@ -212,6 +234,7 @@ def main() -> int:
             "load_avg_start": [round(x, 2) for x in load_start],
             "load_avg_end": [round(x, 2) for x in load_end],
             "headline_runs": headline_runs,
+            "cpu_steal_pct": steal_pct,
             "detail": "bench_detail.json",
         },
         separators=(",", ":"),
