@@ -850,3 +850,79 @@ def test_streaming_near_dup_gate_watermarked_state(spark, sf_dir, tmp_path):
         (r.stream_id, r.corpus_id) for r in spark.table("ndg_nowm").collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_session_windows_under_rocksdb_state_store(spark, sf_dir, tmp_path):
+    """The 100 TB state-store escape hatch, pinned: the r8 state census
+    measured the DEFAULT (HDFS-backed) provider holding ~160 MB of
+    session state in executor HEAP at sf1 — heap-resident state is the
+    OOM hazard at real stream volumes. Spark ships the RocksDB provider
+    (native memory + local disk, same API) for exactly this; the session
+    operator must produce identical results under it, so switching
+    providers is a pure config decision (documented in SCALE.md's
+    streaming section), never a semantics change."""
+    from hive_json_spark.sources import load_table
+    from hive_json_spark.streaming import session_window_counts
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_rocks")
+    events.write.parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        out = session_window_counts(stream, gap="30 minutes", watermark="1 hour")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sess_rocksdb")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # the engine must actually have used RocksDB state stores
+        import json as _json
+
+        progresses = [_json.loads(p.json) for p in q.recentProgress]
+        providers = {
+            op.get("customMetrics") is not None and "rocksdb" in str(op).lower()
+            for d in progresses
+            for op in d.get("stateOperators", [])
+        }
+        assert True in providers, "no RocksDB state-operator metrics in progress"
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"]): (
+                r["n_events"],
+                r["total_value"],
+            )
+            for r in spark.sql("select * from sess_rocksdb").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        spark.catalog.dropTempView("sess_rocksdb")
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in events.groupBy(
+            F.session_window("ts", "30 minutes").alias("sess"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .collect()
+    }
+    assert got == expected and len(got) > 0
