@@ -166,3 +166,52 @@ def test_substring_and_winnow_match_bruteforce(spark, seed):
         for r in winnow_dup_pairs(df, k=5, w=4).collect()
     }
     assert got_win == expect_win, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_edit_distance_pairs_fuzz_matches_bruteforce(spark, seed):
+    """Differential fuzz for the r8 FastSS join rewrite (folded-hash
+    candidates + output-sized exact verify): 40 independent random
+    corpora — tiny alphabet to force shared deletion variants and hash
+    bucket collisions, lengths 0-8, duplicate strings, multi-column
+    blocks — run as ONE operator call (the block columns isolate the
+    corpora), compared pair-for-pair against brute-force Levenshtein."""
+    import itertools
+
+    from hive_json_spark.operators.dedup import edit_distance_pairs
+
+    rng = random.Random(seed)
+    rows = []
+    rid = 0
+    for corpus in range(40):
+        blk_a = f"b{corpus % 7}"
+        blk_b = corpus  # second block col: ints — (blk_a, blk_b) is unique
+        for _ in range(rng.randint(2, 12)):
+            s = "".join(rng.choice("abc") for _ in range(rng.randint(0, 8)))
+            rows.append((rid, s, blk_a, blk_b))
+            rid += 1
+    df = spark.createDataFrame(rows, "id bigint, s string, blk string, blk2 int")
+    max_dist = 1 if seed % 2 else 2
+    got = {
+        (r.id_a, r.id_b): r.lev
+        for r in edit_distance_pairs(
+            df, "id", "s", max_dist=max_dist, block_cols=["blk", "blk2"]
+        ).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a):
+            cur = [i + 1]
+            for j, cb in enumerate(b):
+                cur.append(min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    for (i1, s1, a1, b1), (i2, s2, a2, b2) in itertools.combinations(rows, 2):
+        if a1 == a2 and b1 == b2:
+            d = lev(s1, s2)
+            if d <= max_dist:
+                want[(min(i1, i2), max(i1, i2))] = d
+    assert got == want and len(want) > 0
