@@ -1071,7 +1071,8 @@ def edit_distance_pairs(
     drags the strings through (the r8 rewrite: the join output was
     measured output-sized at every scale — 8.8k candidates from 23.7M
     variants at zipf-sf1 — so the join's cost was entirely the sorted
-    bytes, 172 s → 94 s at zipf-sf10, identical 10,499-pair output). Strings longer than ``max_len``
+    bytes, 172 s → 46 s at zipf-sf10 quiet-host (decade_refresh_r8.json),
+    identical 10,499-pair output). Strings longer than ``max_len``
     raise at runtime (raise_error evaluates only on offending rows)
     instead of silently exploding the variant count; long-key workloads
     want the q-gram / PassJoin route instead.

@@ -35,6 +35,12 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--only", default="")
     ap.add_argument("--corpus", default="", help='"" (small-vocab) or "zipf-"')
+    ap.add_argument(
+        "--out",
+        default="",
+        help="output filename (default decade_results[_zipf].json); use a "
+        "distinct name for --only subsets so the full census is not clobbered",
+    )
     args = ap.parse_args()
 
     from hive_json_spark.registry import QUERIES
@@ -84,7 +90,8 @@ def main() -> int:
         "load_avg_sf10": results["sf10_load_avg"],
     }
     suffix = "_zipf" if args.corpus else ""
-    with open(os.path.join(REPO, f"decade_results{suffix}.json"), "w") as f:
+    out_name = args.out or f"decade_results{suffix}.json"
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps({q: (v["ratio"], v["rows_ratio"]) for q, v in out["queries"].items()}, sort_keys=True))
     return 0
