@@ -93,3 +93,20 @@ def test_ab_test_buckets_are_exhaustive(spark):
     n_users = ev.select("user_id").distinct().count()
     row = QUERIES["q_ab_test"](spark, SF_DIR).first()
     assert row["n_a"] + row["n_b"] == n_users
+
+
+def test_scoped_persist_release_keeps_late_frames_correct(spark, sf_dir):
+    """The functions/caching.py lifecycle releases a query's scoped
+    persists when a DIFFERENT graded query starts. A caller that holds
+    the earlier frame and materializes it late must still get the right
+    answer — release only unpersists (lineage intact, recompute), never
+    invalidates."""
+    from hive_json_spark.registry import QUERIES
+
+    held = QUERIES["q_audience_overlap"](spark, sf_dir)
+    first = sorted(tuple(r) for r in held.collect())
+    assert len(first) > 0
+    # a different graded entry triggers release of the held frame's cache
+    QUERIES["q_dedup_exact"](spark, sf_dir).count()
+    again = sorted(tuple(r) for r in held.collect())
+    assert again == first
