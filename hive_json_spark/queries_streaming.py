@@ -509,6 +509,14 @@ def q_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs."""
     from hive_json_spark.streaming.infer_stream import stream_stream_join
 
+    # the join keeps FOUR state stores per shuffle partition (left/right x
+    # keyToNumValues/keyWithIndexToValue) and availableNow adds a flush
+    # batch that re-commits them all, so this entry is the most
+    # store-commit-bound of the module: 4 partitions measured faster than
+    # the module's 8 in three independent A/Bs (~0.8 s); the wrapper
+    # restores the session value afterwards
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
     def side(event_type: str, id_alias: str, ts_alias: str):
         return lambda: (
             load_table(spark, sf_dir, "events")
