@@ -983,31 +983,34 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: TVD = Σ|cnt·N − gcnt·n| / (2·n·N) — the numerator is an
     exact integer sum (counts ×, never the ratio doubles), so the one
     division makes the rounded output layout/engine-free. Scale shape:
-    one (class, band) agg with map-side partials; the spread join runs
-    on the band-domain × class-domain frame (bounded by the value
-    domains, not the row count)."""
+    ONE (class, band) agg over the single corpus scan; class/band/global
+    marginals are windows OVER that domain-bounded frame (segments ×
+    bands rows, never the row count), so no second scan and no join.
+    Bands absent from a class contribute Σ_missing gcnt·class_n =
+    class_n·(total − Σ_present gcnt) — computed algebraically instead of
+    materializing zero cells with a domain cross-join."""
     cust = load_table(spark, sf_dir, "customer")
     band = F.floor(F.col("c_acctbal") / 2000).cast("bigint")
     g = cust.groupBy(F.col("c_mktsegment"), band.alias("band")).agg(
         F.count("*").alias("cnt")
     )
-    n = g.groupBy("c_mktsegment").agg(F.sum("cnt").cast("bigint").alias("class_n"))
-    tot = g.groupBy("band").agg(F.sum("cnt").cast("bigint").alias("gcnt"))
-    nn = tot.agg(F.sum("gcnt").cast("bigint").alias("total"))
-    spread = (
-        n.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(nn))
-        .join(g, ["c_mktsegment", "band"], "left")
-        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+    enriched = g.select(
+        "c_mktsegment",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("c_mktsegment")).alias("class_n"),
+        F.sum("cnt").over(Window.partitionBy("band")).alias("gcnt"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
     )
-    return spread.groupBy("c_mktsegment").agg(
-        F.any_value("class_n").cast("bigint").alias("class_size"),
+    class_n = F.any_value("class_n")
+    total = F.any_value("total")
+    present = F.sum(
+        F.abs(F.col("cnt") * F.col("total") - F.col("gcnt") * F.col("class_n"))
+    )
+    missing = class_n * (total - F.sum("gcnt"))
+    return enriched.groupBy("c_mktsegment").agg(
+        class_n.cast("bigint").alias("class_size"),
         F.round(
-            F.sum(
-                F.abs(F.col("cnt") * F.col("total") - F.col("gcnt") * F.col("class_n"))
-            ).cast("double")
-            / (2.0 * F.any_value("class_n") * F.any_value("total")),
-            6,
+            (present + missing).cast("double") / (2.0 * class_n * total), 6
         ).alias("tvd"),
     )
 
