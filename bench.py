@@ -154,7 +154,14 @@ def main() -> int:
     timings: dict[str, float] = {}
     telemetry: dict[str, dict] = {}
     seen_stages = _stage_snapshot(ui_base) if ui_base else {}
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to a subset (solo
+    # re-measure / regression triage); the official driver run leaves it
+    # unset and covers the whole registry
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    only_set = set(only.split(",")) if only else None
     for name in HEADLINE + sorted(set(QUERIES) - set(HEADLINE)):
+        if only_set is not None and name not in only_set:
+            continue
         fn = QUERIES[name]
         runs = headline_runs if name in HEADLINE else tail_runs
         best = None

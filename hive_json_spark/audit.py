@@ -23,7 +23,51 @@ def audit_plan(plan: str) -> dict:
         + plan.count("BatchEvalPython")
         + plan.count("MapInPandas")
         + plan.count("FlatMapGroupsInPandas"),
+        # effective source-scan count: each live FileScan is one full pass
+        # over a base table at execution time; FileScans nested under an
+        # InMemoryRelation run only when the cache materializes, so each
+        # DISTINCT cached subtree (the printer re-emits one per consumer
+        # with renumbered expr ids) contributes its scans ONCE. A query
+        # paying k passes over the same table at 100 TB is the smell the
+        # t-closeness rewrite removed.
+        "scans": _effective_scans(plan),
     }
+
+
+def _tree_depth(line: str) -> int:
+    """Depth of a node line in Spark's plan toString() = length of the
+    box-drawing prefix (spaces, ':', '+-', '*')."""
+    return len(re.match(r"^[\s:+\-*]*", line).group(0))
+
+
+def _effective_scans(plan: str) -> int:
+    """FileScans that execute as real base-table passes: live ones count
+    each occurrence; ones inside cached (InMemoryRelation) subtrees count
+    once per DISTINCT cached plan — the printer inlines the same cache at
+    every consumer with fresh expression ids, so subtrees are deduped
+    after normalizing `#NNN` ids and plan_ids."""
+    lines = plan.splitlines()
+    live = 0
+    cached: set[str] = set()
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if "InMemoryRelation" in line:
+            depth = _tree_depth(line)
+            j = i + 1
+            block = [line]
+            while j < len(lines) and _tree_depth(lines[j]) > depth:
+                block.append(lines[j])
+                j += 1
+            cached.add(
+                re.sub(r"#\d+|plan_id=\d+", "#x", "\n".join(ln.lstrip(" :+-*") for ln in block))
+            )
+            i = j
+        else:
+            if "FileScan parquet" in line:
+                live += 1
+            i += 1
+    return live + sum(s.count("FileScan parquet") for s in cached)
 
 
 # Exchange ledger (r7 shuffle-budget audit): every ≥7-exchange plan from the
@@ -110,10 +154,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
     print("Generated by `python -m hive_json_spark.audit`. Columns: shuffle")
     print("exchanges / broadcast joins / top-k short-circuit / filters pushed to")
     print("scan / Python-boundary operators (Arrow-batched kernels only — no")
-    print("row-at-a-time UDF appears anywhere).")
+    print("row-at-a-time UDF appears anywhere) / base-table FileScan count (a")
+    print("plan scanning the same table k times pays k corpus passes at scale;")
+    print("multi-table queries legitimately count one per table).")
     print()
-    print("| query | shuffles | broadcasts | top-k | pushdown | python ops |")
-    print("|---|---|---|---|---|---|")
+    print("| query | shuffles | broadcasts | top-k | pushdown | python ops | scans |")
+    print("|---|---|---|---|---|---|---|")
     for name in sorted(QUERIES):
         try:
             df = QUERIES[name](spark, sf_dir)
@@ -121,10 +167,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
             a = audit_plan(plan)
             print(
                 f"| {name} | {a['shuffles']} | {a['broadcasts']} | "
-                f"{'✓' if a['topk'] else ''} | {'✓' if a['pushed'] else ''} | {a['python']} |"
+                f"{'✓' if a['topk'] else ''} | {'✓' if a['pushed'] else ''} | "
+                f"{a['python']} | {a['scans']} |"
             )
         except Exception as exc:  # keep the report complete even if one plan fails
-            print(f"| {name} | — | — | — | — | error: {type(exc).__name__} |")
+            print(f"| {name} | — | — | — | — | error: {type(exc).__name__} | — |")
     print()
     print("## Exchange ledger (≥7-exchange plans)")
     print()

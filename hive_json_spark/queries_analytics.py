@@ -59,42 +59,61 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered signup→click→purchase funnel: per stage, users whose first
     qualifying event strictly follows their previous stage's first event.
 
-    Plan shape: each stage is a filtered pre-aggregation (tiny: ≤ one row
-    per user) broadcast back onto the filtered fact scan — the events table
-    is scanned once per stage with the event_type predicate pushed down,
-    and never shuffled on user_id more than the groupBy requires. At 100 TB
-    the stage frames stay proportional to |users|, not |events|.
+    Plan shape (r8 rewrite): ONE scan of events (event_type IN pushed to
+    the scan) and ONE shuffle on user_id. The stage dependency chain
+    (c_ts needs s_ts, p_ts needs c_ts) runs as three consecutive window
+    aggregates over the SAME user_id partitioning — Spark inserts one
+    exchange and the second/third windows plus the per-user collapse
+    reuse it. The previous per-stage broadcast-back form re-evaluated
+    earlier stages inside later ones (s three times, c twice: 6 corpus
+    passes); at 100 TB that is 6 scans vs this plan's 1.
     """
-    ev = load_table(spark, sf_dir, "events")
-    s = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s_ts"))
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(s), "user_id")
-        .filter(F.col("ts") > F.col("s_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("c_ts"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
-        .filter(F.col("ts") > F.col("c_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
-
-    def stage(df: DataFrame, label: str) -> DataFrame:
-        return df.agg(F.count("*").alias("users")).select(
-            F.lit(label).alias("stage"), "users"
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "s_ts",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
         )
-
-    return (
-        stage(s, "1_signup")
-        .unionAll(stage(c, "2_click"))
-        .unionAll(stage(p, "3_purchase"))
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("s_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("s_ts").alias("s_ts"),
+        F.max("c_ts").alias("c_ts"),
+        F.max("p_ts").alias("p_ts"),
+    )
+    counts = per_user.agg(
+        F.count("s_ts").alias("n1"),
+        F.count("c_ts").alias("n2"),
+        F.count("p_ts").alias("n3"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, '1_signup', n1, '2_click', n2, '3_purchase', n3) "
+            "AS (stage, users)"
+        )
     )
 
 
@@ -130,44 +149,63 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion only counts inside the attribution window, the form
     marketing/product funnels actually use. Output: users per max level.
 
-    Plan shape: each stage is a filtered pre-aggregation (<= one row per
-    funnel user) rejoined onto the pushed-down event scan; the windowed
-    bound is a plain timestamp comparison against the broadcast stage
-    frame, so the events table never shuffles on anything but the final
-    per-stage groupBy. At 100 TB stage frames stay proportional to
-    |users in stage|, shrinking down the funnel.
+    Plan shape (r8 rewrite, same as q_funnel_conversion): ONE scan of
+    events (type IN pushed down) and ONE user_id exchange feeding three
+    chained window aggregates — t2's window predicate reads t1 from the
+    previous window's output, t3's reads both — then an in-partition
+    per-user collapse and a tiny per-level count. The previous
+    broadcast-back form re-evaluated earlier stages inside later ones
+    (6 corpus passes); this is 1.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
+    )
     week = F.expr("INTERVAL 7 DAYS")
-    s = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(s), "user_id")
-        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + week))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
-        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t1") + week))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    levels = (
-        s.join(c.select(F.col("user_id").alias("c_uid")), s["user_id"] == F.col("c_uid"), "left")
-        .join(p.select(F.col("user_id").alias("p_uid")), s["user_id"] == F.col("p_uid"), "left")
-        .select(
-            F.when(F.col("p_uid").isNotNull(), 3)
-            .when(F.col("c_uid").isNotNull(), 2)
-            .otherwise(1)
-            .cast("bigint")
-            .alias("level")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
         )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1"))
+                    & (F.col("ts") <= F.col("t1") + week),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2"))
+                    & (F.col("ts") <= F.col("t1") + week),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = (
+        staged.groupBy("user_id")
+        .agg(
+            F.max("t1").alias("t1"),
+            F.max("t2").alias("t2"),
+            F.max("t3").alias("t3"),
+        )
+        .filter(F.col("t1").isNotNull())
+    )
+    levels = per_user.select(
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .otherwise(1)
+        .cast("bigint")
+        .alias("level")
     )
     return levels.groupBy("level").agg(F.count("*").alias("n_users"))
 
