@@ -1588,7 +1588,11 @@ def sorted_neighborhood_pairs(
         )
     )
     w = Window.partitionBy("_blk").orderBy("_key", "_id")
-    ranked = (
+    # both stripe sides consume the ranked frame: scoped-persist it so the
+    # rank window (and its corpus scan) runs once, not once per join side
+    from hive_json_spark.functions.caching import scoped_persist
+
+    ranked = scoped_persist(
         base.withColumn("_rn", F.row_number().over(w))
         .join(off_df, "_blk")
         .select("_id", "_key", (F.col("_off") + F.col("_rn")).alias("_rank"))

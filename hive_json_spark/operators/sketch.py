@@ -125,7 +125,11 @@ def _cms_bucket(key_str, j: int, width: int):
 
 
 def count_min_sketch(
-    df: DataFrame, key_col: str, depth: int = 4, width: int = 512
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-min sketch of a key stream as a ``(j, bucket, n)`` frame —
     ``depth x width`` cells regardless of stream size.
@@ -136,6 +140,12 @@ def count_min_sketch(
     100 TB the shuffle carries at most ``partitions x depth x width``
     partial cells, never keys; estimate error is the classic
     ``<= e/width * N`` overcount with probability ``1 - e^-depth``.
+
+    ``weight_col`` sketches a PRE-AGGREGATED (key, weight) frame: cells
+    sum the weights instead of counting rows — bit-identical to sketching
+    the raw stream the aggregate came from, which lets one per-key count
+    frame feed both a sketch and an exact audit without a second corpus
+    pass.
     """
     k = F.col(key_col).cast("string")
     cells = F.explode(
@@ -148,10 +158,12 @@ def count_min_sketch(
             ]
         )
     )
+    extra = [F.col(weight_col).alias("_w")] if weight_col is not None else []
+    agg = F.sum("_w") if weight_col is not None else F.count("*")
     return (
-        df.select(cells.alias("c"))
+        df.select(cells.alias("c"), *extra)
         .groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
-        .agg(F.count("*").alias("n"))
+        .agg(agg.alias("n"))
     )
 
 

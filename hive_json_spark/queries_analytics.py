@@ -1519,27 +1519,39 @@ def q_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-preserving on both engines, so no interpolation float enters
     the hash.
 
-    Scale shape: both stage frames are <= one row per user; the delay
-    frame joins them on the user key and the closing percentile runs
-    over |converted users| rows — proportional to users, never events.
+    Scale shape (r8, the q_funnel_conversion rewrite): ONE pushed-down
+    scan of events and ONE user_id exchange — t1/t2 are chained window
+    aggregates over the same partitioning, the per-user collapse runs
+    in-partition, and the closing percentile runs over |converted users|
+    rows. The previous stage-frame form re-evaluated s inside c and d
+    (3 corpus passes).
     """
-    ev = load_table(spark, sf_dir, "events")
-    s = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "click"))
+        .select("user_id", "ts", "event_type")
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(s), "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    w = Window.partitionBy("user_id")
+    staged = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    ).withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
-    d = s.join(c, "user_id").select(
-        (F.unix_timestamp("t2") - F.unix_timestamp("t1"))
-        .cast("bigint")
-        .alias("ttc")
+    d = (
+        staged.groupBy("user_id")
+        .agg(F.max("t1").alias("t1"), F.max("t2").alias("t2"))
+        .filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+        .select(
+            (F.unix_timestamp("t2") - F.unix_timestamp("t1"))
+            .cast("bigint")
+            .alias("ttc")
+        )
     )
     return d.agg(
         F.count("*").alias("n_converted"),
@@ -2453,10 +2465,16 @@ def q_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the fact table collapses to |days| rows in one partial-agg
     shuffle; the O(days²) sign pairs and the tie groupBy run on the
-    calendar-bounded series (the q_ewma_daily argument)."""
+    calendar-bounded series (the q_ewma_daily argument). The daily frame
+    feeds four consumers (both pair sides, n, tie term): scoped-persisted
+    so the corpus scan+agg runs once, not four times."""
+    from hive_json_spark.functions.caching import scoped_persist
+
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+    daily = scoped_persist(
+        ev.groupBy(F.to_date("ts").alias("day")).agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("x")
+        )
     )
     a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
     b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
@@ -2928,15 +2946,22 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     S(t) = exp(cum/1e9) is one correctly-rounded exp — the BM25 ln-sum
     rule applied to a running product. A time where everyone at risk
     dies (d = n) sends the curve exactly to 0 via a carried flag rather
-    than ln(0). Scale shape: per-user min/max is one combinable agg; the
-    curve windows run over the DISTINCT-duration frame (bounded domain,
-    days), never per user."""
+    than ln(0). Scale shape: per-user min/max is ONE combinable agg over
+    ONE corpus scan — the per-user frame is scoped-persisted (its two
+    consumers each re-ran the scan before r8), and the horizon comes
+    from the frame itself (every event belongs to a user, so
+    max(last_ts) ≡ max(ts)); the curve windows run over the
+    DISTINCT-duration frame (bounded domain, days), never per user."""
+    from hive_json_spark.functions.caching import scoped_persist
+
     ev = load_table(spark, sf_dir, "events")
-    u = ev.groupBy("user_id").agg(
-        F.datediff(F.max("ts"), F.min("ts")).cast("long").alias("dur"),
-        F.max("ts").alias("last_ts"),
+    u = scoped_persist(
+        ev.groupBy("user_id").agg(
+            F.datediff(F.max("ts"), F.min("ts")).cast("long").alias("dur"),
+            F.max("ts").alias("last_ts"),
+        )
     )
-    horizon = ev.agg(F.max("ts").alias("m"))
+    horizon = u.agg(F.max("last_ts").alias("m"))
     obs = u.join(F.broadcast(horizon)).select(
         "dur",
         F.when(
@@ -3100,12 +3125,18 @@ def q_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer cents, the cumulative is a running LONG sum over the
     |cohorts|×|ages| aggregate (order-free), and per-user LTV is one
     closing division. Scale shape: one user_id shuffle builds first-seen
-    and the purchase scan co-partitions onto it (|users| rows is NOT
-    broadcastable at 100 TB — only the cohort-size frame is); the curve
-    windows run on the tiny cohort×age frame."""
+    (scoped-persisted — its two consumers, cohort sizes and the revenue
+    join, would otherwise each re-scan events) and the purchase scan
+    co-partitions onto it (|users| rows is NOT broadcastable at 100 TB —
+    only the cohort-size frame is); the curve windows run on the tiny
+    cohort×age frame."""
+    from hive_json_spark.functions.caching import scoped_persist
+
     ev = load_table(spark, sf_dir, "events")
     month_idx = F.year("ts") * 12 + F.month("ts")
-    first_seen = ev.groupBy("user_id").agg(F.min(month_idx).alias("cohort_m"))
+    first_seen = scoped_persist(
+        ev.groupBy("user_id").agg(F.min(month_idx).alias("cohort_m"))
+    )
     cohort_size = first_seen.groupBy("cohort_m").agg(F.count("*").alias("n_users"))
     rev = (
         ev.filter(F.col("event_type") == "purchase")

@@ -323,16 +323,22 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-degree before the wedge join) which this canonical a<b ordering
     approximates; the node-type graph here is small, the *pattern* — a
     distributed multi-way self-join with canonical orientation — is what
-    the engine pins.
+    the engine pins. The edge list feeds all three join legs:
+    scoped-persisted, so the corpus window+distinct runs once, not three
+    times.
     """
+    from hive_json_spark.functions.caching import scoped_persist
+
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("u"), F.lead("event_type").over(w).alias("v")
     ).filter(F.col("v").isNotNull() & (F.col("u") != F.col("v")))
-    ed = seq.select(
-        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
-    ).distinct()
+    ed = scoped_persist(
+        seq.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        ).distinct()
+    )
     e1 = ed.alias("e1")
     e2 = ed.alias("e2")
     e3 = ed.alias("e3")
@@ -724,11 +730,20 @@ def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(label).alias("constraint"), F.col(col).alias("n_violations")
         )
 
+    # the three row-local counts come from ONE aggregate over ONE scan;
+    # unpivoting that single row (stack) keeps it one scan — unioning
+    # three projections of `rowlocal` would re-run the aggregate (and the
+    # orders scan) once per constraint
+    rowlocal_rows = rowlocal.select(
+        F.expr(
+            "stack(3, 'not_null:o_custkey', nn, "
+            "'accepted_values:o_orderstatus', av, "
+            "'range:o_totalprice>0', rng) AS (constraint, n_violations)"
+        )
+    )
     return (
         labeled(dup, "unique:o_orderkey", "n")
-        .unionByName(labeled(rowlocal, "not_null:o_custkey", "nn"))
-        .unionByName(labeled(rowlocal, "accepted_values:o_orderstatus", "av"))
-        .unionByName(labeled(rowlocal, "range:o_totalprice>0", "rng"))
+        .unionByName(rowlocal_rows)
         .unionByName(labeled(fk, "fk:o_custkey->customer", "n"))
     )
 
@@ -1108,12 +1123,19 @@ def q_unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combined) -> join back on token -> one groupBy(doc). Same
     two-shuffle profile as TF-IDF; the LM side is vocabulary-sized, never
     corpus-sized, and joins shuffle-partitioned on token (broadcast it
-    when the vocabulary fits, as synthetic corpora here do).
+    when the vocabulary fits, as synthetic corpora here do). The (doc,
+    token) frame and the LM are scoped-persisted: dt feeds the LM and
+    the scoring join, lm feeds the total and the join — without the
+    persists each consumer re-ran the tokenizing corpus scan (3 passes).
     """
+    from hive_json_spark.functions.caching import scoped_persist
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    dt = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
-    lm = dt.groupBy("token").agg(F.sum("c").cast("bigint").alias("cw"))
+    dt = scoped_persist(tok.groupBy("doc_id", "token").agg(F.count("*").alias("c")))
+    lm = scoped_persist(
+        dt.groupBy("token").agg(F.sum("c").cast("bigint").alias("cw"))
+    )
     total = lm.agg(F.sum("cw").cast("bigint").alias("n_total"))
     p = F.col("cw") / F.col("n_total").cast("double")
     term = F.round(F.lit(1000000) * F.col("c") * F.log(p)).cast("bigint")
@@ -1362,13 +1384,19 @@ def q_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact longs, so window order and engine agree everywhere (ties break
     on the term string). Scale shape: postings → df by term → join back
     on term (both sides term-partitioned) → per-doc window, PARTITIONED
-    by doc — no global sort anywhere.
+    by doc — no global sort anywhere. The tf frame is scoped-persisted
+    (it feeds the df marginal and the scoring join — each re-ran the
+    tokenizing scan before r8); the corpus count is a stats-only scan
+    (parquet aggregate pushdown).
     """
+    from hive_json_spark.functions.caching import scoped_persist
     from hive_json_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("f"))
+    tf = scoped_persist(
+        toks.groupBy("doc_id", "term").agg(F.count("*").alias("f"))
+    )
     df_t = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("dfreq"))
     n = docs.agg(F.count("*").cast("bigint").alias("total"))
     w_units = F.round(
@@ -1496,8 +1524,15 @@ def q_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a global median precisely because a corpus-wide rank needs a
     global sort while the mean is order-free. Scale shape: one shuffle
     on user_id computes all per-user medians (rank window over the
-    user's own rows, bounded per key); the fallback is a 1-row
-    broadcast; the repair itself is a map-side coalesce."""
+    user's own rows, bounded per key) WITH each user's sum/count riding
+    the same window, so the global fallback is a re-aggregate of the
+    user-sized median frame (scoped-persisted — it feeds the fallback
+    and the repair join) instead of a third corpus pass; the repair
+    itself is a map-side coalesce. Two pushed-down scans total: the
+    median build and the repair — base is a cheap projection, so
+    re-scanning compressed parquet beats caching a corpus-sized frame."""
+    from hive_json_spark.functions.caching import scoped_persist
+
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
         "event_id",
@@ -1511,23 +1546,25 @@ def q_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "cents"
     )
     wu = Window.partitionBy("user_id").orderBy("cents", "event_id")
-    umed = (
+    wun = Window.partitionBy("user_id")
+    umed = scoped_persist(
         known.select(
             "user_id",
             "cents",
             F.row_number().over(wu).alias("rn"),
-            F.count("*").over(Window.partitionBy("user_id")).alias("n"),
+            F.count("*").over(wun).alias("n"),
+            F.sum("cents").over(wun).alias("s"),
         )
         .filter(F.col("rn") == F.expr("(n + 1) div 2"))
-        .select("user_id", F.col("cents").alias("u_med"))
+        .select("user_id", F.col("cents").alias("u_med"), "n", "s")
     )
-    gfb = known.agg(
-        F.round(F.sum("cents").cast("double") / F.count("*"))
+    gfb = umed.agg(
+        F.round(F.sum("s").cast("double") / F.sum("n"))
         .cast("bigint")
         .alias("g_fb")
     )
     repaired = (
-        base.join(umed, "user_id", "left")
+        base.join(umed.select("user_id", "u_med"), "user_id", "left")
         .join(F.broadcast(gfb))
         .select(
             "event_type",

@@ -266,11 +266,14 @@ def q_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     outgrows memory: sketch size is a CONSTANT, mergeable across shards
     and days (cells sum), at the price of a quantified overcount.
     """
+    from hive_json_spark.functions.caching import scoped_persist
     from hive_json_spark.operators.sketch import cms_estimate, count_min_sketch
 
     ev = load_table(spark, sf_dir, "events")
     sketch = count_min_sketch(ev, "user_id", depth=4, width=512)
-    top = (
+    # the exact top-10 feeds the probe AND the final join: persist the
+    # 10-row frame so its corpus groupBy runs once
+    top = scoped_persist(
         ev.groupBy("user_id")
         .agg(F.count("*").alias("exact_n"))
         .orderBy(F.desc("exact_n"), "user_id")
@@ -731,19 +734,28 @@ def q_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch cells themselves engine-portable, so even this estimator is
     fully DuckDB-oracled.
 
-    Scale shape: each sketch build is one combinable groupBy over an
-    explode(depth) (shuffle ≤ partitions × depth·width partial cells);
-    the inner product joins two broadcast-size 2048-cell frames. The
-    exact side (for the audit) pays the real per-key join — which is the
-    point: at 100 TB you run the sketch path and skip the exact one.
-    All-integer arithmetic end to end."""
+    Scale shape (r8): ONE corpus scan — the per-(type, key) count frame
+    is aggregated once and scoped-persisted; both sketches build FROM it
+    with weighted cells (sum of per-key counts ≡ counting the raw rows),
+    and the exact audit reuses the same frame. Each sketch build is one
+    combinable groupBy over an explode(depth) (shuffle ≤ partitions ×
+    depth·width partial cells); the inner product joins two
+    broadcast-size 2048-cell frames. The exact side pays the real
+    per-key join — which is the point: at 100 TB you run the sketch path
+    and skip the exact one. All-integer arithmetic end to end."""
+    from hive_json_spark.functions.caching import scoped_persist
     from hive_json_spark.operators.sketch import count_min_sketch
 
     ev = load_table(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "click").select("user_id")
-    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    ca = count_min_sketch(a, "user_id", depth=4, width=512)
-    cb = count_min_sketch(b, "user_id", depth=4, width=512).select(
+    per_key = scoped_persist(
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    a = per_key.filter(F.col("event_type") == "click").select("user_id", "n")
+    b = per_key.filter(F.col("event_type") == "purchase").select("user_id", "n")
+    ca = count_min_sketch(a, "user_id", depth=4, width=512, weight_col="n")
+    cb = count_min_sketch(b, "user_id", depth=4, width=512, weight_col="n").select(
         F.col("j").alias("jb"), F.col("bucket").alias("bb"), F.col("n").alias("nb")
     )
     ip = (
@@ -752,8 +764,8 @@ def q_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("n") * F.col("nb")).alias("est"))
     )
     est = ip.agg(F.min("est").alias("cms_pairs"))
-    na = a.groupBy("user_id").agg(F.count("*").alias("n_a"))
-    nb = b.groupBy("user_id").agg(F.count("*").alias("n_b"))
+    na = a.select("user_id", F.col("n").alias("n_a"))
+    nb = b.select("user_id", F.col("n").alias("n_b"))
     exact = na.join(nb, "user_id").agg(
         F.coalesce(F.sum(F.col("n_a") * F.col("n_b")), F.lit(0)).alias("exact_pairs")
     )

@@ -120,11 +120,16 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     requires.
 
     Scale shape: the rate table is |langs| rows (an agg over the corpus with
-    map-side partial counts), broadcast back — the big table is filtered
-    map-side with zero extra shuffles before the final per-lang agg.
+    map-side partial counts, scoped-persisted — its two consumers would
+    otherwise each re-scan the corpus), broadcast back — the big table is
+    filtered map-side with zero extra shuffles before the final per-lang agg.
     """
+    from hive_json_spark.functions.caching import scoped_persist
+
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("c"))
+    counts = scoped_persist(
+        docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("c"))
+    )
     tot = counts.agg(
         F.sum("c").cast("double").alias("total"),
         F.count("*").cast("double").alias("n_langs"),
@@ -829,9 +834,19 @@ def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     inclusion-exclusion estimate lands within 5% of the exact union + 10
     (error compounds three lgK=12 sketches; measured worst 3.1% of the
     exact intersection at sf0.1). The exact side is the harness's
-    one-off check — the production pattern stays sketch-only."""
+    one-off check — the production pattern stays sketch-only.
+
+    One events scan total (r8): the distinct (type, user) frame is
+    scoped-persisted and feeds all four consumers — the sketches build
+    FROM it (HLL insertion is idempotent, so sketching the deduped pairs
+    yields identical sketches to sketching the raw stream), the per-type
+    sizes, and both sides of the exact self-join. The previous form
+    re-evaluated per_type twice and du three times: 6 corpus passes."""
+    from hive_json_spark.functions.caching import scoped_persist
+
     ev = load_table(spark, sf_dir, "events")
-    per_type = ev.groupBy("event_type").agg(
+    du = scoped_persist(ev.select("event_type", "user_id").distinct())
+    per_type = du.groupBy("event_type").agg(
         F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(12)).alias("sk"),
     )
     a, b = per_type.alias("a"), per_type.alias("b")
@@ -847,7 +862,6 @@ def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("est_intersect"),
     )
-    du = ev.select("event_type", "user_id").distinct()
     sz = du.groupBy("event_type").agg(F.count("*").alias("n"))
     ix = (
         du.alias("x")
