@@ -40,34 +40,53 @@ def _tree_depth(line: str) -> int:
     return len(re.match(r"^[\s:+\-*]*", line).group(0))
 
 
-def _effective_scans(plan: str) -> int:
-    """FileScans that execute as real base-table passes: live ones count
-    each occurrence; ones inside cached (InMemoryRelation) subtrees count
-    once per DISTINCT cached plan — the printer inlines the same cache at
-    every consumer with fresh expression ids, so subtrees are deduped
-    after normalizing `#NNN` ids and plan_ids."""
-    lines = plan.splitlines()
+def _normalize_block(lines: list[str]) -> str:
+    return re.sub(
+        r"#\d+|plan_id=\d+", "#x", "\n".join(ln.lstrip(" :+-*") for ln in lines)
+    )
+
+
+def _scan_parts(lines: list[str], start: int, end: int) -> tuple[int, dict[str, int]]:
+    """Walk a plan region: returns (live FileScans outside any cache,
+    {normalized cached subtree -> its OWN FileScans, excluding nested
+    caches}). Nested caches surface as their own dict entries, so a cache
+    referenced both top-level and inside another cache dedupes globally."""
     live = 0
-    cached: set[str] = set()
-    i = 0
-    while i < len(lines):
+    blocks: dict[str, int] = {}
+    i = start
+    while i < end:
         line = lines[i]
         if "InMemoryRelation" in line:
             depth = _tree_depth(line)
             j = i + 1
-            block = [line]
-            while j < len(lines) and _tree_depth(lines[j]) > depth:
-                block.append(lines[j])
+            while j < end and _tree_depth(lines[j]) > depth:
                 j += 1
-            cached.add(
-                re.sub(r"#\d+|plan_id=\d+", "#x", "\n".join(ln.lstrip(" :+-*") for ln in block))
-            )
+            inner_live, inner_blocks = _scan_parts(lines, i + 1, j)
+            # dedupe on the block INTERIOR: column aliases applied above a
+            # cache are pushed into the InMemoryRelation header print, so
+            # the same cache appears as [da,xa] / [db,xb] / [day,x] at its
+            # three consumers while the build plan underneath is identical
+            blocks.setdefault(_normalize_block(lines[i + 1 : j]), inner_live)
+            for key, own in inner_blocks.items():
+                blocks.setdefault(key, own)
             i = j
         else:
             if "FileScan parquet" in line:
                 live += 1
             i += 1
-    return live + sum(s.count("FileScan parquet") for s in cached)
+    return live, blocks
+
+
+def _effective_scans(plan: str) -> int:
+    """FileScans that execute as real base-table passes: live ones count
+    each occurrence; ones inside cached (InMemoryRelation) subtrees count
+    once per DISTINCT cached plan, at any nesting depth — the printer
+    inlines the same cache at every consumer with fresh expression ids,
+    so subtrees are deduped after normalizing `#NNN` ids and plan_ids,
+    and a cache built on another cache contributes only its own scans."""
+    lines = plan.splitlines()
+    live, blocks = _scan_parts(lines, 0, len(lines))
+    return live + sum(blocks.values())
 
 
 # Exchange ledger (r7 shuffle-budget audit): every ≥7-exchange plan from the

@@ -588,3 +588,47 @@ def test_single_row_group_scan_is_repartitioned(spark, tmp_path):
             spark.conf.unset("spark.sql.files.maxPartitionBytes")
         else:
             spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+
+
+# --- scan-count budgets (the r8 sweep's regression pin) -----------------------
+
+# Effective base-table scans per query (audit._effective_scans): each live
+# FileScan is a full corpus pass at 100 TB; FileScans under a cached
+# (InMemoryRelation) subtree count once per distinct cache. The r8 sweep cut
+# these plans from 3-6 passes to the budgets below — a refactor that drops a
+# scoped_persist, re-unions a shared 1-row aggregate, or unchains the funnel
+# windows re-inflates the count and fails here before it fails at scale.
+SCAN_BUDGETS = {
+    "q_t_closeness": 1,
+    "q_funnel_conversion": 1,
+    "q_window_funnel": 1,
+    "q_funnel_ttc": 1,
+    "q_hll_intersect": 1,
+    "q_filter_funnel": 1,
+    "q_vocab_drift": 1,
+    "q_bigram_pmi": 1,
+    "q_kaplan_meier": 1,
+    "q_triangle_count": 1,
+    "q_unigram_logloss": 1,
+    "q_keyword_extraction": 2,  # tf build + stats-only corpus count
+    "q_join_size_sketch": 1,
+    "q_dq_constraints": 4,  # 3 distinct orders aggregations + customer
+    "q_trend_mann_kendall": 1,
+    "q_copurchase_lift": 1,
+    "q_audience_overlap": 1,
+    "q_mixture_resample": 2,
+    "q_ltv_curve": 2,
+    "q_cms_topk": 2,
+    "q_impute_missing": 2,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCAN_BUDGETS))
+def test_scan_budget(spark, name):
+    from hive_json_spark.audit import _effective_scans
+    from hive_json_spark.functions.caching import release_scoped
+
+    try:
+        assert _effective_scans(plan_of(spark, name)) <= SCAN_BUDGETS[name]
+    finally:
+        release_scoped()
