@@ -225,7 +225,13 @@ def main() -> int:
         "cpu_steal_pct": steal_pct,
         "telemetry": telemetry,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    if only_set is not None:
+        detail["subset"] = sorted(only_set)
+    # subset (triage) runs must not clobber the official full-run detail
+    # artifact, and their totals are subset totals — keep them in a side
+    # file and mark the record
+    detail_name = "bench_detail.json" if only_set is None else "bench_detail_subset.json"
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
@@ -242,7 +248,8 @@ def main() -> int:
             "load_avg_end": [round(x, 2) for x in load_end],
             "headline_runs": headline_runs,
             "cpu_steal_pct": steal_pct,
-            "detail": "bench_detail.json",
+            "detail": detail_name,
+            **({"subset": sorted(only_set)} if only_set is not None else {}),
         },
         separators=(",", ":"),
     )

@@ -458,8 +458,18 @@ def q_stream_session_final(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     src = f"{_stage_root()}/session_{tag}"
-    if not os.path.exists(f"{src}/_SUCCESS"):
-        build_src(src)
+    if not os.path.exists(src):
+        # build into a scratch dir and rename INTO PLACE only after the
+        # second write and the mtime pinning both land: unlike _staged's
+        # single overwrite write (where _SUCCESS is an end-of-build
+        # marker), this staging is two writes + utime, and _SUCCESS
+        # exists after the FIRST — a mid-build failure must not leave a
+        # half-staged dir that later calls silently reuse. The rename
+        # preserves the pinned per-file mtimes.
+        build = f"{src}.build"
+        shutil.rmtree(build, ignore_errors=True)
+        build_src(build)
+        os.rename(build, src)
     tmp = tempfile.mkdtemp(prefix="q_stream_session_")
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)

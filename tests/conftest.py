@@ -22,8 +22,11 @@ def pytest_configure(config):
 
 def pytest_collection_modifyitems(config, items):
     # scale-gate tests are TIMING asserts — meaningful only solo on a
-    # quiet box, so they never run unless explicitly selected with -m
-    if config.getoption("-m"):
+    # quiet box, so they never run unless the -m expression names the
+    # scale marker (a generic filter like `-m "not slow"` must NOT
+    # un-skip them into a concurrent suite run)
+    expr = config.getoption("-m") or ""
+    if "scale" in expr:
         return
     skip = pytest.mark.skip(reason="opt-in: run with -m scale")
     for item in items:

@@ -46,10 +46,16 @@ def main() -> int:
         wait_quiet()
         print(f"attempt {attempt} start {time.strftime('%H:%M:%S')} "
               f"load {os.getloadavg()}", flush=True)
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            capture_output=True, text=True, timeout=1800, cwd=REPO,
-        )
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                capture_output=True, text=True, timeout=1800, cwd=REPO,
+            )
+        except subprocess.TimeoutExpired:
+            # a hung bench on a degraded host is exactly the condition
+            # the retry loop exists for — count the attempt, keep going
+            print(f"attempt {attempt}: bench timed out after 1800 s", flush=True)
+            continue
         line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
         try:
             rec = json.loads(line)
@@ -63,17 +69,25 @@ def main() -> int:
         print(f"attempt {attempt}: headline={rec['value']} "
               f"load_end={rec['load_avg_end'][0]} steal={rec.get('cpu_steal_pct')} "
               f"clean={clean}", flush=True)
-        if best is None or rec["value"] < best["value"]:
-            best = rec
+        # a clean run always outranks a dirty one; among equals, fastest
+        # wins — and the kept record carries its own adjudication, so a
+        # best that never met the provenance gate is machine-readably
+        # dirty, not a silently-blessed quiet number
+        better = best is None or (
+            (clean, -rec["value"]) > (best["provenance_clean"], -best["value"])
+        )
+        if better:
+            best = {**rec, "provenance_clean": clean}
             with open(os.path.join(REPO, "bench_quiet_best.json"), "w") as f:
-                json.dump(rec, f, indent=1)
+                json.dump(best, f, indent=1)
             shutil.copy(os.path.join(REPO, "bench_detail.json"),
                         os.path.join(REPO, "bench_detail_quiet_best.json"))
         if clean and (args.accept is None or rec["value"] <= args.accept):
             print("clean run accepted", flush=True)
             break
-    print(f"BEST: {best['value'] if best else None}")
-    return 0 if best else 1
+    print(f"BEST: {best['value'] if best else None} "
+          f"clean={best.get('provenance_clean') if best else None}")
+    return 0 if best and best.get("provenance_clean") else 1
 
 
 if __name__ == "__main__":

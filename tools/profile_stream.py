@@ -8,14 +8,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from hive_json_spark.session import get_session
-from hive_json_spark import registry
+from hive_json_spark.registry import QUERIES
+from hive_json_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.1"
 
 
 def main():
-    spark = get_session()
+    spark = get_spark("hive-json-spark-profile-stream")
     names = sys.argv[1:] or [
         "q_stream_topk_final",
         "q_stream_rollup_final",
@@ -25,14 +25,13 @@ def main():
         "q_stream_session_final",
         "q_stream_join_pairs",
     ]
-    qs = registry.queries()
     # warm the session (non-streaming) so JVM/codegen startup isn't billed
-    qs["q1_pricing_summary"](spark, SF_DIR).collect()
+    QUERIES["q1_pricing_summary"](spark, SF_DIR).collect()
     for name in names:
         for run in range(2):
             spark.catalog.clearCache()
             t0 = time.time()
-            df = qs[name](spark, SF_DIR)
+            df = QUERIES[name](spark, SF_DIR)
             n = df.count()
             print(f"{name} run{run}: {time.time()-t0:.2f}s rows={n}", flush=True)
 

@@ -178,8 +178,10 @@ def census_session(spark, sf_dir: str, n_slices: int = 4) -> dict:
     lo, hi = bounds["lo"], bounds["hi"]
     span = hi - lo
     cuts = [lo + span * i / n_slices for i in range(1, n_slices)]
+    import glob
+
     prev = None
-    written = []
+    files: list = []
     for i, cut in enumerate(list(cuts) + [None]):
         part = ev
         if prev is not None:
@@ -188,13 +190,18 @@ def census_session(spark, sf_dir: str, n_slices: int = 4) -> dict:
             part = part.filter(F.col("ts") <= F.lit(cut))
         part.coalesce(1).write.mode("append").parquet(src)
         prev = cut
-    import glob
-
-    files = sorted(glob.glob(f"{src}/part-*"), key=os.path.getmtime)
+        # glob-difference, not mtime, decides write order: sequential
+        # coalesce(1) writes can land in the same mtime granule, and an
+        # mtime sort would then break ties arbitrarily — stamping a later
+        # time-slice as older and dropping its predecessor's rows behind
+        # the advanced watermark (the same hazard q_stream_session_final
+        # pins against)
+        files.extend(
+            p for p in sorted(glob.glob(f"{src}/part-*")) if p not in set(files)
+        )
     base = os.path.getmtime(files[-1])
-    # ascending mtimes in write order (writes are sequential, so per-file
-    # mtime order already matches; pin it explicitly anyway)
-    for j, p in enumerate(sorted(files, key=os.path.getmtime)):
+    # ascending mtimes in write order
+    for j, p in enumerate(files):
         os.utime(p, (base - 3600 * (len(files) - j), base - 3600 * (len(files) - j)))
     stream = (
         spark.readStream.schema(ev.schema)
