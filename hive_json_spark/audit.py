@@ -40,6 +40,29 @@ def _tree_depth(line: str) -> int:
     return len(re.match(r"^[\s:+\-*]*", line).group(0))
 
 
+def _unwrap(lines: list[str]) -> list[str]:
+    """Merge physical continuation lines back into their node line: an
+    expression containing a literal newline (e.g. ``split(col, '\\n')`` in
+    the schema-drift query) wraps the printer's one-node-per-line contract,
+    and the orphaned tail reads as a depth-0 line that would terminate any
+    depth-bounded block walk early (miscounting cached scans as live).
+    Genuine depth-0 lines are the root node, section headers (``=====``)
+    and subquery roots — all start with an uppercase word or '='; a
+    wrapped tail starts mid-expression."""
+    out: list[str] = []
+    for ln in lines:
+        if (
+            out
+            and _tree_depth(ln) == 0
+            and ln
+            and not (ln[0].isupper() or ln[0] == "=")
+        ):
+            out[-1] += " " + ln
+        else:
+            out.append(ln)
+    return out
+
+
 def _normalize_block(lines: list[str]) -> str:
     return re.sub(
         r"#\d+|plan_id=\d+", "#x", "\n".join(ln.lstrip(" :+-*") for ln in lines)
@@ -84,7 +107,7 @@ def _effective_scans(plan: str) -> int:
     inlines the same cache at every consumer with fresh expression ids,
     so subtrees are deduped after normalizing `#NNN` ids and plan_ids,
     and a cache built on another cache contributes only its own scans."""
-    lines = plan.splitlines()
+    lines = _unwrap(plan.splitlines())
     live, blocks = _scan_parts(lines, 0, len(lines))
     return live + sum(blocks.values())
 

@@ -43,6 +43,7 @@ from hive_json_spark.types import (
     infer_type,
     iter_json_documents,
     merge_types,
+    to_flat,
     to_hive_ddl,
 )
 
@@ -503,12 +504,15 @@ def infer_schema_by_group(
     ``render``: ``"compact"`` emits ``str(htype)`` in ``hive_type``;
     ``"ddl"`` emits the full ``to_hive_ddl`` create-table string per group
     (printTopType parity at depth — `JsonSchemaFinder.java:203-221`), with
-    the ``"void\\n"`` sentinel for a group whose every document was skipped.
+    the ``"void\\n"`` sentinel for a group whose every document was skipped;
+    ``"flat"`` emits the ``to_flat`` dotted-path lines (printFlat parity —
+    one ``root.path: leaf`` line per leaf), the machine-diffable form the
+    schema-drift monitor consumes.
     """
     import pandas as pd
 
-    if render not in ("compact", "ddl"):
-        raise ValueError(f"render must be 'compact' or 'ddl', got {render!r}")
+    if render not in ("compact", "ddl", "flat"):
+        raise ValueError(f"render must be 'compact', 'ddl' or 'flat', got {render!r}")
 
     gtype = dict(df.dtypes)[group_col]
 
@@ -549,6 +553,8 @@ def infer_schema_by_group(
             t = canonicalize(t)
         if render == "ddl":
             rendered = to_hive_ddl(t) if t is not None else "void\n"
+        elif render == "flat":
+            rendered = to_flat(t) if t is not None else "void\n"
         else:
             rendered = str(t) if t is not None else "void"
         return pd.DataFrame(

@@ -366,3 +366,158 @@ def q_infer_props_schema_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# Schema DRIFT: the lattice as a day-over-day monitor. A derived corpus
+# plants both drift modes a production JSON feed exhibits — a field whose
+# integer RANGE widens past a sizing boundary (root.a: k scaled by the
+# day index crosses the tinyint/smallint line), and a field that first
+# APPEARS mid-series (root.b from day index 15). Per-(event_type, day)
+# schemas come from the real two-level lattice fold rendered flat
+# (printFlat parity); the drift table is the windowed diff of consecutive
+# OBSERVED days. The oracle re-derives the same per-cell flat schema from
+# the sizing rules (JsonSchemaFinder.java:67-78) and closes the same
+# lag/full-outer diff — both engines COMPUTE the drift, neither hardcodes
+# it. Sparse (event_type, day) cells whose max k is small legitimately
+# flap tinyint<->smallint across days; both engines see identical cells.
+@query(
+    "q_schema_drift",
+    f"""
+    WITH base AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+      WHERE props IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL),
+    d0 AS (SELECT MIN(day) AS d0 FROM base),
+    b2 AS (SELECT event_type, day, k,
+                  date_diff('day', d0.d0, day) AS di
+           FROM base, d0),
+    acell AS (
+      SELECT event_type, day,
+             MIN(k * (di + 1)) AS amin, MAX(k * (di + 1)) AS amax,
+             MAX(CASE WHEN di >= 15 THEN 1 ELSE 0 END) AS has_b
+      FROM b2 GROUP BY event_type, day),
+    cells AS (
+      SELECT event_type, day, 'root.a' AS path,
+             {_size_case("amin", "amax")} AS dtype
+      FROM acell
+      UNION ALL
+      SELECT event_type, day, 'root.b', 'string' FROM acell WHERE has_b = 1),
+    days AS (SELECT DISTINCT event_type, day FROM cells),
+    seqn AS (
+      SELECT * FROM (
+        SELECT event_type, day,
+               LAG(day) OVER (PARTITION BY event_type ORDER BY day) AS prev_day
+        FROM days)
+      WHERE prev_day IS NOT NULL),
+    cur AS (SELECT s.event_type, s.day, c.path, c.dtype AS new_type
+            FROM seqn s JOIN cells c
+              ON c.event_type = s.event_type AND c.day = s.day),
+    prv AS (SELECT s.event_type, s.day, c.path, c.dtype AS prev_type
+            FROM seqn s JOIN cells c
+              ON c.event_type = s.event_type AND c.day = s.prev_day)
+    SELECT COALESCE(cur.event_type, prv.event_type) AS event_type,
+           COALESCE(cur.day, prv.day) AS day,
+           COALESCE(cur.path, prv.path) AS path,
+           CASE WHEN prv.path IS NULL THEN 'added'
+                WHEN cur.path IS NULL THEN 'removed'
+                ELSE 'type_changed' END AS status,
+           prv.prev_type AS prev_type,
+           cur.new_type AS new_type
+    FROM cur FULL JOIN prv
+      ON cur.event_type = prv.event_type AND cur.day = prv.day
+     AND cur.path = prv.path
+    WHERE prv.path IS NULL OR cur.path IS NULL
+       OR cur.new_type <> prv.prev_type
+    """,
+)
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day schema drift from the REAL lattice fold: per-(event_type,
+    day) inference via ``infer_schema_by_group`` (mapInPandas partials +
+    grouped merge — shuffle carries schema-sized accumulators, never rows)
+    rendered ``flat``, exploded to (cell, path, leaf-type) rows, then
+    diffed against each event type's previous observed day with one lag
+    window + one full-outer join on the schema-sized frame. Emits only
+    added / removed / type_changed rows — the sparse alert table a feed
+    monitor tails.
+
+    Scale shape: the corpus pass is the linear inference fold (the 100 TB
+    cost); everything after operates on #cells x #paths rows (days x
+    event types x leaves — thousands at any corpus size), so the window
+    and the full-outer diff are metadata-sized. The day-0 anchor is a
+    1-row broadcast. At 100 TB the fold is the same two-level partial
+    tree the grouped-inference query audits; drift adds no corpus-sized
+    shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("long")
+    ev = ev.filter(k.isNotNull()).select(
+        "event_type", F.to_date("ts").alias("day"), k.alias("k")
+    )
+    d0 = ev.agg(F.min("day").alias("d0"))
+    di = F.datediff("day", "d0")
+    doc = F.concat(
+        F.lit('{"a": '),
+        (F.col("k") * (di + 1)).cast("string"),
+        F.when(di >= 15, F.lit(', "b": "s"')).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    corpus = ev.crossJoin(F.broadcast(d0)).select(
+        F.concat_ws("\x01", "event_type", F.col("day").cast("string")).alias("grp"),
+        doc.alias("doc"),
+    )
+    flat = infer_schema_by_group(corpus, "grp", "doc", render="flat")
+    # cells has THREE consumers (days, cur, prv) and each would re-run
+    # the corpus-sized inference fold without this; the frame itself is
+    # bounded by days x event types x leaf paths (the r8 scan-count rule)
+    from hive_json_spark.functions.caching import scoped_persist
+
+    cells = scoped_persist(
+        flat.select("grp", F.explode(F.split(F.rtrim("hive_type"), "\n")).alias("line"))
+        .filter(F.col("line") != "")
+        .select(
+            F.split_part("grp", F.lit("\x01"), F.lit(1)).alias("event_type"),
+            F.to_date(F.split_part("grp", F.lit("\x01"), F.lit(2))).alias("day"),
+            F.split_part("line", F.lit(": "), F.lit(1)).alias("path"),
+            F.split_part("line", F.lit(": "), F.lit(2)).alias("dtype"),
+        )
+    )
+    from pyspark.sql import Window
+
+    days = cells.select("event_type", "day").distinct()
+    seqn = (
+        days.withColumn(
+            "prev_day",
+            F.lag("day").over(Window.partitionBy("event_type").orderBy("day")),
+        )
+        .filter(F.col("prev_day").isNotNull())
+    )
+    cur = seqn.join(cells, ["event_type", "day"]).select(
+        "event_type", "day", "path", F.col("dtype").alias("new_type")
+    )
+    prv = (
+        seqn.alias("s")
+        .join(
+            cells.alias("c"),
+            (F.col("s.event_type") == F.col("c.event_type"))
+            & (F.col("c.day") == F.col("s.prev_day")),
+        )
+        .select(
+            F.col("s.event_type").alias("event_type"),
+            F.col("s.day").alias("day"),
+            F.col("c.path").alias("path"),
+            F.col("c.dtype").alias("prev_type"),
+        )
+    )
+    diff = cur.join(prv, ["event_type", "day", "path"], "full_outer")
+    return diff.withColumn(
+        "status",
+        F.when(F.col("prev_type").isNull(), F.lit("added"))
+        .when(F.col("new_type").isNull(), F.lit("removed"))
+        .otherwise(F.lit("type_changed")),
+    ).filter(
+        F.col("prev_type").isNull()
+        | F.col("new_type").isNull()
+        | (F.col("new_type") != F.col("prev_type"))
+    ).select("event_type", "day", "path", "status", "prev_type", "new_type")

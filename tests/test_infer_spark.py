@@ -272,6 +272,28 @@ def test_infer_schema_by_group_tolerates_corrupt(spark):
     assert rows["b"] == ("struct<x:string>", 1, 0)
 
 
+def test_infer_schema_by_group_flat_render(spark):
+    """render='flat' emits to_flat's dotted-path lines per group — the
+    machine-diffable form q_schema_drift consumes (one 'root.path: leaf'
+    line per leaf, lists as ._list, trailing newline)."""
+    from hive_json_spark.infer import infer_schema_by_group
+
+    df = spark.createDataFrame(
+        [
+            ("a", '{"x": 1, "nest": {"deep": [7]}}'),
+            ("a", '{"x": 300}'),
+            ("b", '{"y": "s"}'),
+        ],
+        "grp string, payload string",
+    )
+    rows = {
+        r.grp: r.hive_type
+        for r in infer_schema_by_group(df, "grp", "payload", render="flat").collect()
+    }
+    assert rows["a"] == "root.nest.deep._list: tinyint\nroot.x: smallint\n"
+    assert rows["b"] == "root.y: string\n"
+
+
 def test_write_table_format_matrix_roundtrip(spark, tmp_path):
     """Source/sink matrix: the same frame round-trips through every
     locally-available columnar/row format (parquet+zstd, orc+zlib,

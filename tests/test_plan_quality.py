@@ -620,6 +620,7 @@ SCAN_BUDGETS = {
     "q_ltv_curve": 2,
     "q_cms_topk": 2,
     "q_impute_missing": 2,
+    "q_schema_drift": 2,  # events + the 1-row day-0 anchor, both inside the cached cells subtree
 }
 
 
