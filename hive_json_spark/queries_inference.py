@@ -369,10 +369,12 @@ def q_infer_props_schema_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Schema DRIFT: the lattice as a day-over-day monitor. A derived corpus
-# plants both drift modes a production JSON feed exhibits — a field whose
-# integer RANGE widens past a sizing boundary (root.a: k scaled by the
-# day index crosses the tinyint/smallint line), and a field that first
-# APPEARS mid-series (root.b from day index 15). Per-(event_type, day)
+# plants all three drift modes a production JSON feed exhibits — a field
+# whose integer RANGE widens past a sizing boundary (root.a: k scaled by
+# the day index crosses the tinyint/smallint line), a field that first
+# APPEARS mid-series (root.b from day index 15), and a transient field
+# that appears AND disappears (root.c, boolean, day indexes 5-9 — so the
+# 'removed' branch fires too, not just in theory). Per-(event_type, day)
 # schemas come from the real two-level lattice fold rendered flat
 # (printFlat parity); the drift table is the windowed diff of consecutive
 # OBSERVED days. The oracle re-derives the same per-cell flat schema from
@@ -396,14 +398,17 @@ def q_infer_props_schema_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     acell AS (
       SELECT event_type, day,
              MIN(k * (di + 1)) AS amin, MAX(k * (di + 1)) AS amax,
-             MAX(CASE WHEN di >= 15 THEN 1 ELSE 0 END) AS has_b
+             MAX(CASE WHEN di >= 15 THEN 1 ELSE 0 END) AS has_b,
+             MAX(CASE WHEN di >= 5 AND di < 10 THEN 1 ELSE 0 END) AS has_c
       FROM b2 GROUP BY event_type, day),
     cells AS (
       SELECT event_type, day, 'root.a' AS path,
              {_size_case("amin", "amax")} AS dtype
       FROM acell
       UNION ALL
-      SELECT event_type, day, 'root.b', 'string' FROM acell WHERE has_b = 1),
+      SELECT event_type, day, 'root.b', 'string' FROM acell WHERE has_b = 1
+      UNION ALL
+      SELECT event_type, day, 'root.c', 'boolean' FROM acell WHERE has_c = 1),
     days AS (SELECT DISTINCT event_type, day FROM cells),
     seqn AS (
       SELECT * FROM (
@@ -461,6 +466,7 @@ def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('{"a": '),
         (F.col("k") * (di + 1)).cast("string"),
         F.when(di >= 15, F.lit(', "b": "s"')).otherwise(F.lit("")),
+        F.when((di >= 5) & (di < 10), F.lit(', "c": true')).otherwise(F.lit("")),
         F.lit("}"),
     )
     corpus = ev.crossJoin(F.broadcast(d0)).select(
