@@ -32,6 +32,7 @@ NEVER_SAMPLED = [
     "q_stream_session_final",
     "q_stream_join_pairs",
     "q_time_rollup",  # the one historical driver red (r2), re-pinned
+    "q_schema_drift",  # new in r8 — never sampled by construction
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
