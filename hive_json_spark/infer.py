@@ -478,6 +478,7 @@ def infer_schema_by_group(
     canonical: bool = True,
     on_error: str = "raise",
     render: str = "compact",
+    distinct_docs: bool = False,
 ):
     """Per-group schema inference: the lattice fold as a *grouped aggregate*.
 
@@ -508,6 +509,17 @@ def infer_schema_by_group(
     ``"flat"`` emits the ``to_flat`` dotted-path lines (printFlat parity —
     one ``root.path: leaf`` line per leaf), the machine-diffable form the
     schema-drift monitor consumes.
+
+    ``distinct_docs``: pre-aggregate ``(group, doc) -> count`` JVM-side
+    before the Python fold, so each distinct document is parsed ONCE and
+    folded with its multiplicity (the fold already scales records by
+    frequency). Opt-in because it trades a full-corpus shuffle for the
+    dedup: the right trade for template-heavy corpora (a handful of
+    distinct docs per group — measured 3.5 s → 0.9 s on the drift
+    monitor's derived corpus), the wrong one for mostly-unique free-text
+    JSON, where the shuffle would carry every document's bytes while the
+    per-partition ``value_counts`` dedup already handles what little
+    repetition exists.
     """
     import pandas as pd
 
@@ -521,7 +533,12 @@ def infer_schema_by_group(
         for pdf in batches:
             for g, sub in pdf.groupby(group_col, dropna=False):
                 t, n, bad = accs.get(g, (None, 0, 0))
-                for text, freq in sub[column].value_counts().items():
+                pairs = (
+                    zip(sub[column], sub["_freq"])
+                    if "_freq" in sub.columns
+                    else sub[column].value_counts().items()
+                )
+                for text, freq in pairs:
                     pt, pn, pbad = _fold_texts([text], on_error)
                     t = merge_types(t, pt)
                     n += pn * int(freq)
@@ -536,8 +553,14 @@ def infer_schema_by_group(
 
     from hive_json_spark.operators.util import ensure_parallelism
 
-    partials = ensure_parallelism(df.select(group_col, column)).mapInPandas(
-        fold_partials, schema=f"{group_col} {gtype}, partial binary"
+    base = df.select(group_col, column)
+    if distinct_docs:
+        from pyspark.sql import functions as F
+
+        base = base.groupBy(group_col, column).agg(F.count("*").alias("_freq"))
+    partials = ensure_parallelism(base).mapInPandas(
+        fold_partials,
+        schema=f"{group_col} {gtype}, partial binary",
     )
 
     def merge_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
