@@ -40,6 +40,16 @@ def _tree_depth(line: str) -> int:
     return len(re.match(r"^[\s:+\-*]*", line).group(0))
 
 
+# Depth-0 lines that are genuine plan roots rather than wrapped expression
+# tails: the tree root (AdaptiveSparkPlan / a named physical node at line
+# start), `Execute ...` command wrappers, subquery roots, and `== ... ==`
+# section headers. Everything else at depth 0 is a continuation.
+_PLAN_ROOT_RE = re.compile(
+    r"^(AdaptiveSparkPlan\b|Execute\b|Subquery\b|ResultQueryStage\b|=="
+    r"|[A-Z][A-Za-z]*\s*\()"
+)
+
+
 def _unwrap(lines: list[str]) -> list[str]:
     """Merge physical continuation lines back into their node line: an
     expression containing a literal newline (e.g. ``split(col, '\\n')`` in
@@ -47,15 +57,18 @@ def _unwrap(lines: list[str]) -> list[str]:
     and the orphaned tail reads as a depth-0 line that would terminate any
     depth-bounded block walk early (miscounting cached scans as live).
     Genuine depth-0 lines are the root node, section headers (``=====``)
-    and subquery roots — all start with an uppercase word or '='; a
-    wrapped tail starts mid-expression."""
+    and subquery roots; anchor on those known plan-root patterns rather
+    than guessing by first-character case (an expression tail can begin
+    with an uppercase char — e.g. a split literal '\\nERROR' or an
+    uppercase column name — and a future plan root could begin
+    lowercase)."""
     out: list[str] = []
     for ln in lines:
         if (
             out
             and _tree_depth(ln) == 0
             and ln
-            and not (ln[0].isupper() or ln[0] == "=")
+            and not _PLAN_ROOT_RE.match(ln)
         ):
             out[-1] += " " + ln
         else:

@@ -533,9 +533,12 @@ def infer_schema_by_group(
         for pdf in batches:
             for g, sub in pdf.groupby(group_col, dropna=False):
                 t, n, bad = accs.get(g, (None, 0, 0))
+                # closes over distinct_docs directly — column-name sniffing
+                # ("_freq" in sub.columns) would misfire if the user's doc
+                # or group column were literally named _freq
                 pairs = (
                     zip(sub[column], sub["_freq"])
-                    if "_freq" in sub.columns
+                    if distinct_docs
                     else sub[column].value_counts().items()
                 )
                 for text, freq in pairs:
@@ -557,6 +560,11 @@ def infer_schema_by_group(
     if distinct_docs:
         from pyspark.sql import functions as F
 
+        if "_freq" in (group_col, column):
+            raise ValueError(
+                "distinct_docs=True reserves the internal column name "
+                "'_freq'; rename the input column"
+            )
         base = base.groupBy(group_col, column).agg(F.count("*").alias("_freq"))
     partials = ensure_parallelism(base).mapInPandas(
         fold_partials,

@@ -1,4 +1,5 @@
 import os
+import re
 import sys
 
 import pytest
@@ -26,7 +27,9 @@ def pytest_collection_modifyitems(config, items):
     # scale marker (a generic filter like `-m "not slow"` must NOT
     # un-skip them into a concurrent suite run)
     expr = config.getoption("-m") or ""
-    if "scale" in expr:
+    # word-boundary match: a future marker merely containing "scale"
+    # (prescale, autoscaled) in a -m expression must not un-skip the gate
+    if re.search(r"\bscale\b", expr):
         return
     skip = pytest.mark.skip(reason="opt-in: run with -m scale")
     for item in items:
