@@ -120,6 +120,30 @@ def _aggregate_stages(stages: list[dict]) -> dict:
     }
 
 
+def _steal_sample(window_s: float = 2.0) -> float | None:
+    """Instantaneous hypervisor-steal %% over a short window — the
+    pre-flight probe for the quiet gate (steal is invisible to loadavg)."""
+    a = _cpu_ticks()
+    if a is None:
+        return None
+    time.sleep(window_s)
+    b = _cpu_ticks()
+    return round(100 * (b[0] - a[0]) / max(b[1] - a[1], 1), 2)
+
+
+def _wait_quiet(deadline: float, l1_max: float = 1.0, steal_max: float = 0.5) -> None:
+    """Block until the host looks quiet (load1 + a 2 s steal window) or the
+    retry budget runs out. Best-effort: on timeout the attempt runs anyway
+    and the record's own provenance fields adjudicate it."""
+    while time.time() < deadline:
+        l1 = os.getloadavg()[0]
+        if l1 < l1_max:
+            s = _steal_sample()
+            if s is None or s <= steal_max:
+                return
+        time.sleep(min(15, max(1, deadline - time.time())))
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -147,53 +171,127 @@ def main() -> int:
         "noop"
     ).mode("overwrite").save()
 
-    load_start = os.getloadavg()
-    steal_start = _cpu_ticks()
+    # Steal-clean by construction (r9, was tools/bench_quiet.py's job): the
+    # OFFICIAL record is whatever this process prints, so the wait-retry-
+    # provenance loop lives on the default path. Bounded: up to
+    # $SPARK_GRAFT_BENCH_ATTEMPTS (3) measurement passes inside a
+    # $SPARK_GRAFT_BENCH_RETRY_BUDGET_S (600 s) budget; each pass pre-waits
+    # for a quiet window (load1 < 1.0 AND a 2 s steal sample <= 0.5%), and
+    # a pass is CLEAN when its own whole-run provenance (cpu_steal_pct
+    # <= 0.5, load_avg_end <= 4.5 — Spark's own 32 threads push load during
+    # the run, so the end gate is loose) holds. First clean pass wins;
+    # if none is clean the best pass is emitted with
+    # "provenance_clean": false — an explicit degraded-host flag, never a
+    # silently-blessed number. Subset (triage) runs skip the retry loop.
+    max_attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3")))
+    retry_budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET_S", "600"))
+    steal_gate = float(os.environ.get("SPARK_GRAFT_QUIET_STEAL_MAX", "0.5"))
+    load_end_gate = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD_END_MAX", "4.5"))
+    deadline = time.time() + retry_budget_s
     headline_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     tail_runs = min(2, headline_runs)
-    timings: dict[str, float] = {}
-    telemetry: dict[str, dict] = {}
-    seen_stages = _stage_snapshot(ui_base) if ui_base else {}
     # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to a subset (solo
     # re-measure / regression triage); the official driver run leaves it
     # unset and covers the whole registry
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     only_set = set(only.split(",")) if only else None
-    for name in HEADLINE + sorted(set(QUERIES) - set(HEADLINE)):
-        if only_set is not None and name not in only_set:
-            continue
-        fn = QUERIES[name]
-        runs = headline_runs if name in HEADLINE else tail_runs
-        best = None
-        query_start_ms = time.time() * 1000
-        for _ in range(runs):
-            start = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - start
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
-        if ui_base:
-            now = _stage_snapshot(ui_base)
-            # differential + submission-time filter: a straggler stage from
-            # the PREVIOUS query that completes between snapshots would
-            # otherwise be billed to this query (telemetry-only skew)
-            fresh = [
-                s
-                for k, s in now.items()
-                if k not in seen_stages
-                and _submission_ms(s) >= query_start_ms - 1000
-            ]
-            seen_stages = now
-            if fresh:
-                # metrics cover ALL runs of the query; divide the volume
-                # counters by `runs` for a per-execution figure (the peak
-                # is per-stage either way)
-                telemetry[name] = {**_aggregate_stages(fresh), "runs": runs}
-        # ~30 registry queries persist() intermediates; without this the
-        # cache accumulates across 186 queries and storage-memory churn
-        # taxes whichever heavy query runs late in the list
-        spark.catalog.clearCache()
 
+    def measure() -> dict:
+        load_start = os.getloadavg()
+        steal_start = _cpu_ticks()
+        timings: dict[str, float] = {}
+        telemetry: dict[str, dict] = {}
+        seen_stages = _stage_snapshot(ui_base) if ui_base else {}
+        for name in HEADLINE + sorted(set(QUERIES) - set(HEADLINE)):
+            if only_set is not None and name not in only_set:
+                continue
+            fn = QUERIES[name]
+            runs = headline_runs if name in HEADLINE else tail_runs
+            best = None
+            query_start_ms = time.time() * 1000
+            for _ in range(runs):
+                start = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - start
+                best = elapsed if best is None else min(best, elapsed)
+            timings[name] = round(best, 3)
+            if ui_base:
+                now = _stage_snapshot(ui_base)
+                # differential + submission-time filter: a straggler stage
+                # from the PREVIOUS query that completes between snapshots
+                # would otherwise be billed to this query (telemetry-only
+                # skew)
+                fresh = [
+                    s
+                    for k, s in now.items()
+                    if k not in seen_stages
+                    and _submission_ms(s) >= query_start_ms - 1000
+                ]
+                seen_stages = now
+                if fresh:
+                    # metrics cover ALL runs of the query; divide the volume
+                    # counters by `runs` for a per-execution figure (the
+                    # peak is per-stage either way)
+                    telemetry[name] = {**_aggregate_stages(fresh), "runs": runs}
+            # ~30 registry queries persist() intermediates; without this the
+            # cache accumulates across 186 queries and storage-memory churn
+            # taxes whichever heavy query runs late in the list
+            spark.catalog.clearCache()
+        load_end = os.getloadavg()
+        steal_end = _cpu_ticks()
+        # hypervisor CPU steal across the whole run: co-tenant bursts are
+        # INVISIBLE to guest loadavg (several "quiet-host" runs measured
+        # 20-40% slower with load < 1), so the record carries its own
+        # adjudication
+        steal_pct = (
+            round(
+                100
+                * (steal_end[0] - steal_start[0])
+                / max(steal_end[1] - steal_start[1], 1),
+                2,
+            )
+            if steal_end and steal_start
+            else None
+        )
+        return {
+            "timings": timings,
+            "telemetry": telemetry,
+            "load_start": load_start,
+            "load_end": load_end,
+            "steal_pct": steal_pct,
+        }
+
+    attempts = 0
+    run = None
+    while True:
+        if only_set is None:
+            _wait_quiet(deadline, steal_max=steal_gate)
+        attempt = measure()
+        attempts += 1
+        attempt["clean"] = (
+            (attempt["steal_pct"] is None or attempt["steal_pct"] <= steal_gate)
+            and attempt["load_end"][0] <= load_end_gate
+        )
+        # a clean attempt always outranks a dirty one; among dirty ones the
+        # fastest total is kept (least-contaminated by construction)
+        if run is None or (attempt["clean"], -sum(attempt["timings"].values())) > (
+            run["clean"],
+            -sum(run["timings"].values()),
+        ):
+            run = attempt
+        if run["clean"] or only_set is not None:
+            break
+        if attempts >= max_attempts or time.time() >= deadline:
+            break
+        print(
+            f"bench: attempt {attempts} dirty (steal={attempt['steal_pct']}, "
+            f"load_end={attempt['load_end'][0]:.2f}) — retrying",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    timings, telemetry = run["timings"], run["telemetry"]
+    load_start, load_end, steal_pct = run["load_start"], run["load_end"], run["steal_pct"]
     total = round(sum(timings.values()), 3)
     headline_total = round(sum(timings[q] for q in HEADLINE if q in timings), 3)
 
@@ -202,16 +300,6 @@ def main() -> int:
     # stdout capture and the round lost its official bench number
     # ("parsed": null). Keep the printed line small (headline only) and
     # flush it explicitly.
-    load_end = os.getloadavg()
-    steal_end = _cpu_ticks()
-    # hypervisor CPU steal across the whole run: co-tenant bursts are
-    # INVISIBLE to guest loadavg (several "quiet-host" runs measured 20-40%
-    # slower with load < 1), so the record carries its own adjudication
-    steal_pct = (
-        round(100 * (steal_end[0] - steal_start[0]) / max(steal_end[1] - steal_start[1], 1), 2)
-        if steal_end and steal_start
-        else None
-    )
     detail = {
         "metric": "all_queries_total_wall",
         "value": total,
@@ -223,6 +311,8 @@ def main() -> int:
         "load_avg_end": [round(x, 2) for x in load_end],
         "headline_runs": headline_runs,
         "cpu_steal_pct": steal_pct,
+        "provenance_clean": run["clean"],
+        "bench_attempts": attempts,
         "telemetry": telemetry,
     }
     if only_set is not None:
@@ -248,6 +338,8 @@ def main() -> int:
             "load_avg_end": [round(x, 2) for x in load_end],
             "headline_runs": headline_runs,
             "cpu_steal_pct": steal_pct,
+            "provenance_clean": run["clean"],
+            "bench_attempts": attempts,
             "detail": detail_name,
             **({"subset": sorted(only_set)} if only_set is not None else {}),
         },

@@ -786,72 +786,132 @@ def _deletion_candidates(
             )
         ).cast("array<string>"),
     ).otherwise(F.array_sort("_tok"))
-    doc = rbase.select("_id", toks.alias("_ts"), sz.alias("sz"))
-    idx = F.sequence(F.lit(0), F.col("sz") - 1)
-    # per-doc deletion budget: D_x = floor(sz*(1-t)/t), capped by the
-    # static bound — combos built as array<array<int>> entirely map-side
-    d_x = F.floor(F.col("sz") * F.lit((1 - threshold) / threshold)).cast("int")
-    c0 = F.array(F.array().cast("array<int>"))
-    c1 = F.transform(idx, lambda i: F.array(i))
-    c2 = F.flatten(
-        F.transform(
-            idx,
-            lambda i: F.transform(
-                F.filter(idx, lambda j: j > i), lambda j: F.array(i, j)
-            ),
-        )
+    # Subset hash by XOR algebra (r9): hash each token ONCE per doc, keep
+    # the full-set XOR, and derive every deletion-subset hash as
+    # total ⊕ (deleted tokens' hashes) — O(D) per combo instead of
+    # re-hashing an O(sz) string concat per combo (the explode emits
+    # C(sz,<=D) combos per doc, so this is the stage's hot loop). XOR is
+    # order-independent, so equal remaining SETS always collide (lossless);
+    # unequal sets collide only by 64-bit accident, and those extras are
+    # removed by exact verification. The remaining-set SIZE joins alongside
+    # the hash — free structural insurance that also shrinks hash buckets.
+    th0 = F.transform(toks, lambda t: F.xxhash64(t))
+    doc = rbase.select(
+        "_id",
+        sz.alias("sz"),
+        th0.alias("_th"),
+        F.aggregate(
+            th0, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x)
+        ).alias("_xall"),
     )
-    c3 = F.flatten(
-        F.flatten(
+
+    def neighborhood(budget):
+        """Explode ``doc`` into one row per <=budget-deletion subset:
+        (_id, sz, _fph subset-XOR-hash, _rsz remaining size)."""
+        idx = F.sequence(F.lit(0), F.col("sz") - 1)
+        c0 = F.array(F.array().cast("array<int>"))
+        c1 = F.transform(idx, lambda i: F.array(i))
+        c2 = F.flatten(
             F.transform(
                 idx,
                 lambda i: F.transform(
-                    F.filter(idx, lambda j: j > i),
-                    lambda j: F.transform(
-                        F.filter(idx, lambda k: k > j), lambda k: F.array(i, j, k)
-                    ),
+                    F.filter(idx, lambda j: j > i), lambda j: F.array(i, j)
                 ),
             )
         )
-    )
-    empty = F.array().cast("array<array<int>>")
-    combos = F.concat(
-        c0,
-        F.when(d_x >= 1, c1).otherwise(empty),
-        F.when(d_x >= 2, c2).otherwise(empty),
-        F.when(d_x >= 3, c3).otherwise(empty),
-    )
-    nbr = doc.select(
-        "_id",
-        "sz",
-        "_ts",
-        F.explode(combos).alias("_del"),
-    ).select(
-        "_id",
-        "sz",
-        F.xxhash64(
-            F.concat_ws(
-                "\x01",
-                F.filter(
-                    F.col("_ts"),
-                    lambda x, i: ~F.array_contains(F.col("_del"), i),
-                ),
+        c3 = F.flatten(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        F.filter(idx, lambda j: j > i),
+                        lambda j: F.transform(
+                            F.filter(idx, lambda k: k > j),
+                            lambda k: F.array(i, j, k),
+                        ),
+                    ),
+                )
             )
-        ).alias("_fph"),
-    )
-    a, b = nbr.alias("a"), nbr.alias("b")
+        )
+        empty = F.array().cast("array<array<int>>")
+        combos = F.concat(
+            c0,
+            F.when(budget >= 1, c1).otherwise(empty),
+            F.when(budget >= 2, c2).otherwise(empty),
+            F.when(budget >= 3, c3).otherwise(empty),
+        )
+        return doc.select(
+            "_id", "sz", "_th", "_xall", F.explode(combos).alias("_del")
+        ).select(
+            "_id",
+            "sz",
+            F.aggregate(
+                F.col("_del"),
+                F.col("_xall"),
+                lambda acc, i: acc.bitwiseXOR(F.element_at(F.col("_th"), i + 1)),
+            ).alias("_fph"),
+            (F.col("sz") - F.size("_del")).alias("_rsz"),
+        )
+
+    # Asymmetric role budgets (r9, PPJoin-style length tightening applied
+    # to FastSS): orient every qualifying pair as (L = larger set, S =
+    # smaller set; ties by id). Both sides must delete down to the SAME
+    # meet subset T ⊆ x∩y, so per-role worst-case budgets follow from
+    # i_min(|x|,|y|) = ceil(t(|x|+|y|)/(1+t)) maximized over the partner
+    # sizes the length filter admits (i_min grows with partner size, so
+    # dx peaks at the smallest partner and dy at the equal-size partner):
+    #   D_L(sz) = sz - i_min(sz, ceil(t*sz))
+    #   D_S(sz) = sz - i_min(sz, sz) = sz - ceil(2t*sz/(1+t))
+    # D_S is (1-t)/(1+t)*sz — at t=0.9 a 31-token doc emits 32 S-rows vs
+    # ~5000 symmetric rows, and a pair's DEEPER common subsets blow the S
+    # budget, so each pair now meets ~once: the join emits near-distinct
+    # pairs instead of 10x duplicates (measured 3.1M -> 0.4M emissions at
+    # sf0.1), halving the shuffle and gutting the distinct. Lossless: the
+    # meet at exactly T = x∩y satisfies both budgets whenever J >= t.
+    # the 1e-9 slack keeps each ceil conservative under float noise: a
+    # mathematically-integer bound must not round UP (that would shrink a
+    # budget and silently drop a qualifying pair); rounding DOWN by the
+    # slack only enlarges a budget, and verification removes the extras
+    tt = F.lit(threshold)
+    eps = F.lit(1e-9)
+    d_l = (
+        F.col("sz")
+        - F.ceil(
+            tt * (F.col("sz") + F.ceil(tt * F.col("sz") - eps)) / F.lit(1 + threshold)
+            - eps
+        )
+    ).cast("int")
+    d_s = (
+        F.col("sz")
+        - F.ceil(F.lit(2) * tt * F.col("sz") / F.lit(1 + threshold) - eps)
+    ).cast("int")
+    # pin a SHUFFLE join: the planner sizes the neighborhoods from their
+    # rep-sized source and under-estimates the explode fanout, so left
+    # unhinted it BROADCASTS the L-neighborhood — the one frame here that
+    # is NOT small (C(sz,<=D) rows per doc; a driver OOM at scale and
+    # measured 30% slower even at sf0.1). shuffle_hash beats merge's sort;
+    # the key is a uniform xxhash64 so partitions can't skew, and
+    # per-partition build sides stay bounded.
+    a = neighborhood(d_l).hint("shuffle_hash").alias("a")
+    b = neighborhood(d_s).alias("b")
     cand = (
         a.join(
             b,
             (F.col("a._fph") == F.col("b._fph"))
-            & (F.col("a._id") < F.col("b._id"))
-            # length filter: J >= t forces min(|x|,|y|) >= t * max(|x|,|y|)
+            & (F.col("a._rsz") == F.col("b._rsz"))
+            # orientation: a is the strictly larger set, or same-size with
+            # the smaller id — each qualifying pair matches exactly one way
             & (
-                F.least(F.col("a.sz"), F.col("b.sz"))
-                >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
-            ),
+                (F.col("a.sz") > F.col("b.sz"))
+                | ((F.col("a.sz") == F.col("b.sz")) & (F.col("a._id") < F.col("b._id")))
+            )
+            # length filter: J >= t forces min(|x|,|y|) >= t * max(|x|,|y|)
+            & (F.col("b.sz") >= tt * F.col("a.sz")),
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .select(
+            F.least("a._id", "b._id").alias("id_a"),
+            F.greatest("a._id", "b._id").alias("id_b"),
+        )
         .distinct()
     )
     return cand
@@ -936,15 +996,6 @@ def prefix_filter_jaccard_pairs(
     from hive_json_spark.functions.caching import scoped_persist
 
     base = scoped_persist(base)
-    if impl == "auto":
-        deletion_ok = (
-            int(max_tokens * (1 - threshold) / threshold) <= 3
-            and base.agg(
-                F.coalesce(F.max(F.size("_tok")), F.lit(0)).alias("m")
-            ).first()["m"]
-            <= max_tokens
-        )
-        impl = "deletion" if deletion_ok else "prefix"
     return _set_similarity_pairs(base, threshold, salt_grid, impl, max_tokens)
 
 
@@ -964,20 +1015,57 @@ def _set_similarity_pairs(
     # carries) shrink both the candidate join (quadratic in |reps|, not
     # |docs|) and per-pair verification (29 k rep pairs vs 965 k doc pairs
     # measured at sf0.1); the expansion back to document ids is two
-    # equi-joins that emit exactly the final rows. localCheckpoint pins
-    # members (3 longs/row) and the rep token sets — the fingerprint
-    # shuffle would otherwise rerun once per downstream branch (3x).
+    # equi-joins that emit exactly the final rows.
+    #
+    # r9 fusion (was: a per-_fp window pass for the member map + a corpus
+    # join for rep selection = two passes over the tokenized cache and a
+    # row-per-doc window sort): ONE partial-aggregating groupBy(_fp) emits
+    # both the representative id (min) and the representative token set
+    # (min_by) — map-side combine means the exchange carries one row per
+    # (partition, fingerprint), never per doc, and rbase falls out of the
+    # checkpoint for free. The member map then joins the cached corpus
+    # against the rep-sized groups frame (AQE broadcasts it while it fits;
+    # beyond broadcast it degrades to the same _fp-keyed shuffle the old
+    # window needed). localCheckpoint pins groups (rep token sets) and
+    # members (3 longs/row) — both bounded, never corpus token arrays.
+    fpd = base.select(
+        "_id", "_tok", F.md5(F.concat_ws("\x01", F.array_sort("_tok"))).alias("_fp")
+    )
+    # repartition BEFORE the checkpoint: AQE coalesces the rep-sized agg
+    # output to one partition, and the checkpoint would freeze that — the
+    # neighborhood/prefix explode downstream (the compute-heavy stage)
+    # would then run single-task (measured 35 s vs 4 s at sf0.1). The
+    # round-robin moves only rep rows.
+    n_parts = fpd.sparkSession.sparkContext.defaultParallelism
+    groups = (
+        fpd.groupBy("_fp")
+        .agg(
+            F.min("_id").alias("_grp"),
+            F.min_by("_tok", "_id").alias("_tok"),
+        )
+        .repartition(n_parts)
+        .localCheckpoint()
+    )
+    rbase = groups.select(F.col("_grp").alias("_id"), "_tok")
     members = (
-        base.withColumn("_fp", F.md5(F.concat_ws("\x01", F.array_sort("_tok"))))
-        .withColumn("_grp", F.min("_id").over(Window.partitionBy("_fp")))
+        fpd.select("_id", "_fp")
+        .join(groups.select("_fp", "_grp"), "_fp")
         .select("_id", "_grp")
         .localCheckpoint()
     )
-    rbase = (
-        base.join(
-            members.filter(F.col("_id") == F.col("_grp")).select("_id"), "_id"
-        ).localCheckpoint()
-    )
+    if impl == "auto":
+        # probe over REPS, not the corpus: identical sets have identical
+        # sizes, so max |tok| over representatives == max over all docs —
+        # the dispatch probe rides the rep-sized checkpoint instead of
+        # paying its own full corpus pass (r9; was base.agg(max(size)))
+        deletion_ok = (
+            int(max_tokens * (1 - threshold) / threshold) <= 3
+            and rbase.agg(
+                F.coalesce(F.max(F.size("_tok")), F.lit(0)).alias("m")
+            ).first()["m"]
+            <= max_tokens
+        )
+        impl = "deletion" if deletion_ok else "prefix"
     if impl == "deletion":
         cand = _deletion_candidates(rbase, threshold, max_tokens)
     else:

@@ -487,12 +487,9 @@ def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = infer_schema_by_group(
         corpus, "grp", "doc", render="flat", distinct_docs=True
     )
-    # cells has THREE consumers (days, cur, prv) and each would re-run
-    # the corpus-sized inference fold without this; the frame itself is
-    # bounded by days x event types x leaf paths (the r8 scan-count rule)
-    from hive_json_spark.functions.caching import scoped_persist
-
-    cells = scoped_persist(
+    # single consumer since the r9 one-pass diff below — no persist needed
+    # (the r8 version cached this for its three consumers)
+    cells = (
         flat.select("grp", F.explode(F.split(F.rtrim("hive_type"), "\n")).alias("line"))
         .filter(F.col("line") != "")
         .select(
@@ -504,32 +501,69 @@ def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    days = cells.select("event_type", "day").distinct()
-    seqn = (
-        days.withColumn(
-            "prev_day",
-            F.lag("day").over(Window.partitionBy("event_type").orderBy("day")),
-        )
-        .filter(F.col("prev_day").isNotNull())
+    # Close the day-over-day diff in ONE pass over cells (r9 exchange
+    # trim, was: three cells consumers — days-distinct + two joins against
+    # the lag'd day sequence + a full-outer join = 14 static exchanges for
+    # a metadata-sized diff; the cached fold subtree re-printed per
+    # consumer). Two range-frame aggregates over the same (event_type,
+    # day-ordered) window spec give each row its event type's next and
+    # previous OBSERVED day without collapsing to a distinct-days frame
+    # (duplicate days per path make lag/lead wrong, range frames not);
+    # each row then emits its diff contributions — itself on its own day
+    # when a predecessor exists (cur side), itself shifted to the next
+    # observed day when one exists (prev side) — and a single groupBy
+    # pairs the sides per (event_type, day, path): each side contributes
+    # at most one row per group, so max() just selects the non-null
+    # partner.
+    di = F.datediff("day", F.lit("1970-01-01"))
+    w = Window.partitionBy("event_type").orderBy(di)
+    far = 1 << 30
+    nxt_i = F.min(di).over(w.rangeBetween(1, far))
+    prv_i = F.max(di).over(w.rangeBetween(-far, -1))
+    null_s = F.lit(None).cast("string")
+    tagged = cells.select(
+        "event_type",
+        "day",
+        "path",
+        "dtype",
+        nxt_i.alias("_ni"),
+        prv_i.alias("_pi"),
     )
-    cur = seqn.join(cells, ["event_type", "day"]).select(
-        "event_type", "day", "path", F.col("dtype").alias("new_type")
-    )
-    prv = (
-        seqn.alias("s")
-        .join(
-            cells.alias("c"),
-            (F.col("s.event_type") == F.col("c.event_type"))
-            & (F.col("c.day") == F.col("s.prev_day")),
+    emit = F.array_compact(
+        F.array(
+            F.when(
+                F.col("_pi").isNotNull(),
+                F.struct(
+                    F.col("day").alias("day"),
+                    F.col("dtype").alias("new_type"),
+                    null_s.alias("prev_type"),
+                ),
+            ),
+            F.when(
+                F.col("_ni").isNotNull(),
+                F.struct(
+                    F.date_add(F.lit("1970-01-01"), F.col("_ni")).alias("day"),
+                    null_s.alias("new_type"),
+                    F.col("dtype").alias("prev_type"),
+                ),
+            ),
         )
+    )
+    diff = (
+        tagged.select("event_type", "path", F.explode(emit).alias("e"))
         .select(
-            F.col("s.event_type").alias("event_type"),
-            F.col("s.day").alias("day"),
-            F.col("c.path").alias("path"),
-            F.col("c.dtype").alias("prev_type"),
+            "event_type",
+            F.col("e.day").alias("day"),
+            "path",
+            F.col("e.new_type").alias("new_type"),
+            F.col("e.prev_type").alias("prev_type"),
+        )
+        .groupBy("event_type", "day", "path")
+        .agg(
+            F.max("new_type").alias("new_type"),
+            F.max("prev_type").alias("prev_type"),
         )
     )
-    diff = cur.join(prv, ["event_type", "day", "path"], "full_outer")
     return diff.withColumn(
         "status",
         F.when(F.col("prev_type").isNull(), F.lit("added"))
