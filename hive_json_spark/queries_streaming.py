@@ -61,7 +61,14 @@ ORACLES = {}
 # the state-store entries (join 7.4->3.5 s, merge 8.3->4.0 s). Production
 # streams on real volumes keep the session default; the operators
 # themselves never assume a partition count.
-_HARNESS_SHUFFLE_PARTITIONS = "8"
+_HARNESS_SHUFFLE_PARTITIONS = "4"
+
+# AQE is also turned OFF inside the harness (r9 streaming-tail trim): a
+# micro-batch here is metadata-sized, so adaptive re-planning buys nothing
+# and its per-shuffle query-stage materialization barriers cost a visible
+# slice of each foreachBatch job (measured ~0.3-0.7 s per entry at sf0.1).
+# Production streams on real volumes keep the session default — this is
+# harness sizing, not an operator assumption.
 
 # sessions whose streaming engine has already run one query (keyed by the
 # JVM SparkContext identity — survives getOrCreate() returning the same
@@ -114,11 +121,14 @@ def query(name: str, oracle: str | None = None):
         def sized(spark: SparkSession, sf_dir: str) -> DataFrame:
             _warm_stream_engine(spark)
             prev = spark.conf.get("spark.sql.shuffle.partitions")
+            prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
             spark.conf.set("spark.sql.shuffle.partitions", _HARNESS_SHUFFLE_PARTITIONS)
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
             try:
                 return fn(spark, sf_dir)
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", prev)
+                spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
         QUERIES[name] = sized
         if oracle is not None:
@@ -149,10 +159,20 @@ def _staged(name: str, sf_dir: str, build, n_files: int = 2, by=None, range_by=N
     return src
 
 
+_STAGED_SCHEMAS: dict[str, object] = {}
+
+
 def _stream_over(spark: SparkSession, src: str) -> DataFrame:
-    """File-source stream over a staged dir, ONE FILE PER MICRO-BATCH."""
+    """File-source stream over a staged dir, ONE FILE PER MICRO-BATCH.
+    The staged dir is immutable for the process lifetime, so its schema is
+    footer-read once and cached (each read.parquet() schema probe is a
+    driver-side listing + footer parse billed to the entry)."""
+    schema = _STAGED_SCHEMAS.get(src)
+    if schema is None:
+        schema = spark.read.parquet(src).schema
+        _STAGED_SCHEMAS[src] = schema
     return (
-        spark.readStream.schema(spark.read.parquet(src).schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )

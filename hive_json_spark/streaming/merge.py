@@ -130,7 +130,14 @@ def streaming_merge_upsert(
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         try:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            merged.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+            # co-locate each bucket before the partitioned write (same
+            # healthy-layout rule as rollup.py): otherwise every join task
+            # holding rows for a bucket emits its own file into that
+            # bucket's partition — tasks x buckets small files that the
+            # next batch's read-back and the final snapshot read pay for
+            merged.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(out_dir)
             # Dynamic overwrite only rewrites partitions PRESENT in `merged`.
             # A bucket whose every remaining row was deleted this batch has
             # no rows in `merged`, so its stale files would survive and the

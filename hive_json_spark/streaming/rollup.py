@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.utils import AnalysisException
 
 
@@ -103,36 +103,45 @@ def continuous_rollup(
         try:
             existing = spark.read.parquet(out_dir).filter(F.col("day").isin(days))
         except AnalysisException:  # first batch: table does not exist yet
-            merged = part
+            merged = part.withColumn("_batch_id", F.lit(batch_id).cast("bigint"))
         else:
             # decide replay PER DAY PARTITION, not per batch: a crash mid
             # dynamic-overwrite can commit some of the batch's partitions
             # and not others, so "max id anywhere >= N" must not skip the
             # partitions that never got N. Pre-protocol state (no
-            # _batch_id column) counts as never-applied. This collect is
-            # bounded by the enforced cap above: `existing` is already
-            # pruned to the ≤ cap touched days, and the groupBy emits one
-            # row per day.
-            if "_batch_id" in existing.columns:
-                applied_days = {
-                    r["day"]
-                    for r in existing.groupBy("day")
-                    .agg(F.max("_batch_id").alias("last"))
-                    .filter(F.col("last") >= batch_id)
-                    .collect()
-                }
-            else:
-                applied_days = set()
-            todo = [d for d in days if d not in applied_days]
-            if not todo:
-                return  # fully applied replay
-            part_todo = part.filter(F.col("day").isin(todo))
+            # _batch_id column) counts as never-applied. The decision is
+            # made IN-PLAN (r9, was a per-batch driver collect): a window
+            # over the pruned existing read tags each day with its stamp;
+            # already-applied days pass their rows through byte-identical
+            # (original stamp kept — a replay must not restamp a day whose
+            # stamp already covers it), unapplied days re-aggregate
+            # existing + this batch's partials and take the new stamp. A
+            # day partition is written atomically with one stamp, so the
+            # per-day max IS the day's stamp. Everything stays bounded by
+            # the ≤ cap pruned days.
+            if "_batch_id" not in existing.columns:
+                existing = existing.withColumn(
+                    "_batch_id", F.lit(-1).cast("bigint")
+                )
+            day_w = Window.partitionBy("day")
+            exw = existing.withColumn("_last", F.max("_batch_id").over(day_w))
+            passthrough = exw.filter(F.col("_last") >= batch_id).select(
+                "day", *key_cols, "n", "total", "_batch_id"
+            )
+            stamps = exw.groupBy("day").agg(F.max("_batch_id").alias("_last"))
+            part_todo = (
+                part.join(F.broadcast(stamps), "day", "left")
+                .filter(F.col("_last").isNull() | (F.col("_last") < batch_id))
+                .select("day", *key_cols, "n", "total")
+            )
             merged = (
-                existing.filter(F.col("day").isin(todo))
-                .select(part.columns)
+                exw.filter(F.col("_last") < batch_id)
+                .select("day", *key_cols, "n", "total")
                 .unionByName(part_todo)
                 .groupBy("day", *key_cols)
                 .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+                .withColumn("_batch_id", F.lit(batch_id).cast("bigint"))
+                .unionByName(passthrough)
             )
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         try:
@@ -144,7 +153,6 @@ def continuous_rollup(
                 # it, each day writes exactly one file — the healthy layout
                 # for a rollup table read back with partition pruning.
                 merged.repartition(F.col("day"))
-                .withColumn("_batch_id", F.lit(batch_id).cast("bigint"))
                 .write.mode("overwrite")
                 .partitionBy("day")
                 .parquet(out_dir)
