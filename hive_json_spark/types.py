@@ -96,6 +96,15 @@ _TIMESTAMP_RE = re.compile(
 )
 _DECIMAL_RE = re.compile(r"^-?(?P<int>[0-9]+)([.](?P<fraction>[0-9]+))?$")
 
+# EXTENSION regex (no reference counterpart): the reference declares
+# Kind.DATE but never produces it — its pickString has no date branch
+# (HiveType.java:32 dead enum member; TestJsonSchemaFinder.java:52-53 pins
+# timestamps-only). ``infer_type(detect_dates=True)`` opts into producing
+# it for bare ISO dates; the default path never consults this regex, so
+# reference parity is untouched (same opt-in-deviation pattern as
+# ``canonicalize``). Same separator family as the timestamp regex.
+_DATE_RE = re.compile(r"^[\"]?[0-9]{4}[-/][0-9]{2}[-/][0-9]{2}[\"]?$")
+
 MAX_DECIMAL_DIGITS = 38  # JsonSchemaFinder.java:51
 _MIN_LONG = -(2**63)
 _MAX_LONG = 2**63 - 1
@@ -459,21 +468,34 @@ def _pick_number(text: str) -> NumericT:
     return _num(Kind.DOUBLE, 0, 0)
 
 
-def _pick_string(text: str) -> StringT:
+def _pick_string(text: str, detect_dates: bool = False) -> StringT:
     if _TIMESTAMP_RE.match(text):
         return StringT(Kind.TIMESTAMP)
+    if detect_dates and _DATE_RE.match(text):
+        return StringT(Kind.DATE)
     if _HEX_RE.match(text):
         return StringT(Kind.BINARY)
     return StringT(Kind.STRING)
 
 
-def infer_type(value: JsonValue) -> HType:
+def infer_type(value: JsonValue, detect_dates: bool = False) -> HType:
     """JSON value → discovered type (pickType parity, JsonSchemaFinder.java:56-134).
 
     For bug-for-bug numeric parity, parse corpora with
     ``iter_json_documents``/``loads_first`` so numbers arrive as
     :class:`JsonNumber` lexical forms. Plain ``int``/``float`` are accepted
     and typed off their canonical Python rendering.
+
+    ``detect_dates`` (default False) is a documented EXTENSION, not parity:
+    the reference's ``Kind.DATE`` is a dead enum member its induction never
+    produces (HiveType.java:32; pickString has timestamp/binary/string
+    branches only, JsonSchemaFinder.java:98-106), and the default here
+    matches that exactly. Opting in types bare ISO dates (``2024-01-31``,
+    the separator family the timestamp regex accepts) as ``date`` leaves —
+    the one user-visible gap a real JSON corpus hits daily. Mixed
+    date/non-date strings still decay to plain ``string`` through the
+    ordinary lattice rule (StringType.java:52-57), and goldens pin the
+    default path byte-identical with the flag absent.
     """
     if value is None:
         return NullT()
@@ -486,14 +508,16 @@ def infer_type(value: JsonValue) -> HType:
     if isinstance(value, float):
         return _pick_number(repr(value))
     if isinstance(value, str):
-        return _pick_string(value)
+        return _pick_string(value, detect_dates)
     if isinstance(value, list):
         element: HType = NullT()
         for child in value:
-            element = merge_types(element, infer_type(child))
+            element = merge_types(element, infer_type(child, detect_dates))
         return ListT(element)
     if isinstance(value, dict):
-        return StructT(tuple((name, infer_type(v)) for name, v in value.items()))
+        return StructT(
+            tuple((name, infer_type(v, detect_dates)) for name, v in value.items())
+        )
     raise TypeError(f"not a JSON value: {type(value)!r}")
 
 
