@@ -18,6 +18,7 @@ quiet, solo box; see SCALE.md "CI-style invocation").
 
 from __future__ import annotations
 
+import os
 import time
 
 import pytest
@@ -67,4 +68,56 @@ def test_cost_ratio_within_envelope(spark, name):
         f"max({RATIO_FLOOR}, output ratio {out_ratio:.1f}) — "
         f"{t_small:.2f}s -> {t_big:.2f}s for {rows_small} -> {rows_big} rows; "
         "Trap-class scale regression (see SCALE.md round-7 traps)"
+    )
+
+
+# --- zipf-vocabulary leg (r9, verdict ask #6) --------------------------------
+# The two census traps that actually fired (the FastSS variant-join blowup,
+# the setsim tokenize re-evaluation) only showed on ZIPFIAN vocabulary —
+# the uniform corpus' 31-token vocab saturates similarity and hides them.
+# Same envelope, 10x leg zipf-sf0.1 -> zipf-sf1 (tools/gen_scaledata.py
+# --vocab zipf; regenerate the dirs if absent — they are gitignored).
+
+ZIPF_SMALL = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "_scaledata",
+    "zipf-sf0.1",
+)
+ZIPF_BIG = ZIPF_SMALL.replace("zipf-sf0.1", "zipf-sf1")
+
+ZIPF_QUERIES = ["q_setsim_prefix_join", "q_fuzzy_name_match"]
+
+
+@pytest.mark.parametrize("name", ZIPF_QUERIES)
+def test_zipf_cost_ratio_within_envelope(spark, name):
+    from hive_json_spark.registry import QUERIES
+
+    if not (os.path.exists(ZIPF_SMALL) and os.path.exists(ZIPF_BIG)):
+        pytest.skip(
+            "zipf corpora absent; generate with "
+            "`python tools/gen_scaledata.py --sf 0.1 --vocab zipf "
+            "--tables documents,customer` (and --sf 1)"
+        )
+    # size shuffle partitions to the leg, not to the suite's sf0.01
+    # default (4): zipf-sf1's fuzzy variant join sorts ~24M rows, and 4
+    # partitions force ~95MB per-task sorts that spill — a harness
+    # sizing artifact that read as a +25% ratio (13.0 -> 10.5 at 32).
+    # A real session at this volume carries a real partition count.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        spark.catalog.clearCache()
+        t_small, rows_small = _best_of(lambda: QUERIES[name](spark, ZIPF_SMALL))
+        spark.catalog.clearCache()
+        t_big, rows_big = _best_of(lambda: QUERIES[name](spark, ZIPF_BIG))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    ratio = t_big / max(t_small, 0.2)
+    out_ratio = rows_big / max(rows_small, 1)
+    envelope = max(RATIO_FLOOR, out_ratio)
+    assert ratio <= envelope, (
+        f"{name}: zipf-sf0.1->zipf-sf1 wall ratio {ratio:.1f} exceeds "
+        f"max({RATIO_FLOOR}, output ratio {out_ratio:.1f}) — "
+        f"{t_small:.2f}s -> {t_big:.2f}s for {rows_small} -> {rows_big} rows; "
+        "Zipf-vocabulary Trap-class scale regression (SCALE.md r8 census)"
     )
