@@ -1,4 +1,7 @@
-"""Quiet-host bench harness: wait for a quiet window, run bench.py, and
+"""Quiet-host bench harness (SUPERSEDED for official records since r9:
+bench.py itself now owns the wait-retry-provenance loop on its default
+path and stamps provenance_clean/bench_attempts; this wrapper remains for
+manual multi-invocation sweeps): wait for a quiet window, run bench.py, and
 retry until a run is clean by its OWN provenance (start loadavg, end
 loadavg, cpu_steal_pct) — the r8 lesson is that co-tenant CPU bursts are
 invisible to guest loadavg until they hit, so single bench invocations on
