@@ -181,16 +181,16 @@ def main() -> int:
     # pass takes ~13 min; budgeting it would make retries unreachable,
     # the bug the first r9 run hit). Each pass pre-waits for a quiet
     # window (load1 < 1.0 AND a 2 s steal sample <= 0.5%), and a pass is
-    # CLEAN when its own whole-run provenance (cpu_steal_pct <= 0.5,
-    # load_avg_end <= 4.5 — Spark's own 32 threads push load during the
-    # run, so the end gate is loose) holds. First clean pass wins; if none
+    # CLEAN when its own whole-run provenance (cpu_steal_pct <= 0.5 and a
+    # loose load_START bound) holds — load_END is deliberately NOT gated,
+    # see the per-attempt note. First clean pass wins; if none
     # is clean the best pass is emitted with "provenance_clean": false —
     # an explicit degraded-host flag, never a silently-blessed number.
     # Subset (triage) runs skip the retry loop.
     max_attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3")))
     retry_budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_BUDGET_S", "600"))
     steal_gate = float(os.environ.get("SPARK_GRAFT_QUIET_STEAL_MAX", "0.5"))
-    load_end_gate = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD_END_MAX", "4.5"))
+    load_start_gate = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD_START_MAX", "4.5"))
     # hard wall for the WHOLE loop: a caller-side timeout that kills the
     # process loses the round's official number outright (the round-1
     # "parsed: null" failure mode), so never start an attempt that could
@@ -283,9 +283,16 @@ def main() -> int:
         attempt = measure()
         last_attempt_s = time.time() - a0
         attempts += 1
+        # clean = hypervisor steal across the run (the contention ground
+        # truth — co-tenant bursts are invisible to guest loadavg) plus a
+        # loose load_START sanity bound (guest-internal co-load; the
+        # pre-wait already enforces <1). load_END is deliberately NOT
+        # gated: it measures the bench's OWN 32-thread tail burst — a
+        # steal-0.35% attempt was observed rejected at load_end 5.8 purely
+        # by its final heavy queries.
         attempt["clean"] = (
             (attempt["steal_pct"] is None or attempt["steal_pct"] <= steal_gate)
-            and attempt["load_end"][0] <= load_end_gate
+            and attempt["load_start"][0] <= load_start_gate
         )
         # a clean attempt always outranks a dirty one; among dirty ones the
         # fastest total is kept (least-contaminated by construction)
