@@ -1464,3 +1464,67 @@ def test_grouped_exact_percentiles_matches_percentile_agg(spark):
     for r in want_rows:
         for p, w in zip(ps, r.pcts):
             assert got[(r.grp, p)] == w, (r.grp, p, got[(r.grp, p)], w)
+
+
+def test_setsim_deletion_matches_bruteforce_across_thresholds(spark):
+    """Ground-truth pin for the r9 asymmetric L/S deletion budgets
+    (operators/dedup._deletion_candidates): for random corpora and several
+    thresholds — including values where the i_min = ceil(t(|x|+|y|)/(1+t))
+    bounds land EXACTLY on integers (the ceil-boundary cases the 1e-9
+    slack protects) — the deletion impl must equal a pure-Python
+    brute-force over all pairs, pair-for-pair and value-for-value. A
+    missing pair here means a budget was computed one too small; the
+    prefix-equality test alone can't distinguish 'both impls wrong the
+    same way' from correct."""
+    import math
+    import random
+
+    from hive_json_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    def brute(rows, t):
+        toks = {i: frozenset(s.split()) for i, s in rows if s.split()}
+        out = []
+        ids = sorted(toks)
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                x, y = toks[ids[a]], toks[ids[b]]
+                i = len(x & y)
+                u = len(x | y)
+                # float compare, NOT rational: the engine's verifier and
+                # the DuckDB oracle both evaluate i >= t*u in IEEE double,
+                # so the ground truth must use identical semantics
+                if u and i >= t * u:
+                    j = math.floor((2 * i * 10_000 + u) / (2 * u)) / 10_000.0
+                    out.append((ids[a], ids[b], j))
+        return sorted(out)
+
+    for seed, t, max_tok in ((11, 0.8, 12), (11, 0.9, 20), (23, 0.95, 20), (23, 1.0, 12)):
+        rnd = random.Random(seed)
+        vocab = [f"w{i}" for i in range(18)]
+        rows, did = [], 0
+        for _ in range(30):
+            n = rnd.randint(1, min(max_tok, 12))
+            toks = rnd.sample(vocab, n)
+            rows.append((did, " ".join(toks))); did += 1
+            r = rnd.random()
+            if r < 0.4:  # near-dup: drop one token (hits exact i_min edges)
+                mut = list(toks)
+                if len(mut) > 1:
+                    mut.pop(rnd.randrange(len(mut)))
+                rows.append((did, " ".join(mut))); did += 1
+            elif r < 0.6:  # exact duplicate (collapse + intra path)
+                rows.append((did, " ".join(toks))); did += 1
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = sorted(
+            map(
+                tuple,
+                prefix_filter_jaccard_pairs(
+                    docs, "doc_id", "text", t, impl="deletion", max_tokens=max_tok
+                ).collect(),
+            )
+        )
+        want = brute(rows, t)
+        assert got == want, (
+            f"seed={seed} t={t}: deletion impl {len(got)} pairs vs "
+            f"brute-force {len(want)}; diff={set(want) ^ set(got)}"
+        )
