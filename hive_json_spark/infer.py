@@ -511,15 +511,18 @@ def infer_schema_by_group(
     schema-drift monitor consumes.
 
     ``distinct_docs``: pre-aggregate ``(group, doc) -> count`` JVM-side
-    before the Python fold, so each distinct document is parsed ONCE and
-    folded with its multiplicity (the fold already scales records by
-    frequency). Opt-in because it trades a full-corpus shuffle for the
-    dedup: the right trade for template-heavy corpora (a handful of
-    distinct docs per group — measured 3.5 s → 0.9 s on the drift
-    monitor's derived corpus), the wrong one for mostly-unique free-text
-    JSON, where the shuffle would carry every document's bytes while the
-    per-partition ``value_counts`` dedup already handles what little
-    repetition exists.
+    before the Python fold, so each distinct document is parsed ONCE
+    globally and folded with its multiplicity (the fold already scales
+    records by frequency). Opt-in, and the bar for opting in is HIGHER
+    than it looks: the per-partition ``value_counts`` dedup inside the
+    fold already collapses repetition map-side (each partition parses
+    each of ITS distinct docs once), so the JVM pre-distinct only wins
+    when per-partition distinct sets are still large AND parsing
+    dominates — and it always costs a full-corpus ``(group, doc)``
+    shuffle. On the drift monitor's template corpus the r9 re-measure
+    reversed the r8 call: dist 3.2 s / nodist 2.0 s at sf0.1, 14.5 s /
+    10.9 s at sf1 (the r8 3.5 -> 0.9 s figure did not reproduce under
+    matched conditions).
     """
     import pandas as pd
 

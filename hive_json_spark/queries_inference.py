@@ -480,12 +480,16 @@ def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("\x01", "event_type", F.col("day").cast("string")).alias("grp"),
         doc.alias("doc"),
     )
-    # distinct_docs: the derived corpus is template-shaped (~2k distinct
-    # docs across 100k events at sf0.1 — and real drift-monitored feeds
-    # repeat docs the same way), so dedup JVM-side and let Python parse
-    # each distinct (cell, doc) once with its multiplicity
+    # distinct_docs=False (r9 re-measure, reversing the r8 choice): the
+    # derived corpus is template-shaped (600 distinct docs across 100k
+    # events at sf0.1), but the per-partition value_counts dedup inside
+    # the fold already collapses that repetition MAP-SIDE — each partition
+    # parses each distinct doc once — so the opt-in JVM pre-distinct only
+    # adds a full-corpus (grp, doc) shuffle on top: measured dist 3.2 s /
+    # nodist 2.0 s at sf0.1 and 14.5 s / 10.9 s at sf1. The no-shuffle
+    # path also matches the 100 TB shape (partials are schema-sized).
     flat = infer_schema_by_group(
-        corpus, "grp", "doc", render="flat", distinct_docs=True
+        corpus, "grp", "doc", render="flat", distinct_docs=False
     )
     # single consumer since the r9 one-pass diff below — no persist needed
     # (the r8 version cached this for its three consumers)
