@@ -131,6 +131,32 @@ def _steal_sample(window_s: float = 2.0) -> float | None:
     return round(100 * (b[0] - a[0]) / max(b[1] - a[1], 1), 2)
 
 
+def _engine_git_sha() -> str | None:
+    """HEAD sha (with a ``-dirty`` suffix if the engine tree has
+    uncommitted changes) stamped into every bench record, so a committed
+    record is machine-checkably tied to the code that produced it — two
+    rounds in a row a committed quiet artifact predated the last engine
+    commit by minutes and the judge had to adjudicate by timestamps."""
+    import subprocess
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=root, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if not sha:
+            return None
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--",
+             "hive_json_spark", "bench.py", "__spark_entry__.py"],
+            cwd=root, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return f"{sha}-dirty" if dirty else sha
+    except Exception:
+        return None
+
+
 def _wait_quiet(deadline: float, l1_max: float = 1.0, steal_max: float = 0.5) -> None:
     """Block until the host looks quiet (load1 + a 2 s steal window) or the
     retry budget runs out. Best-effort: on timeout the attempt runs anyway
@@ -277,8 +303,27 @@ def main() -> int:
     while True:
         if only_set is None:
             w0 = time.time()
-            _wait_quiet(w0 + (retry_budget_s - wait_spent), steal_max=steal_gate)
+            # cap the wait deadline at what the wall leaves for the next
+            # attempt (estimated at the last one's duration; 0 before the
+            # first): the bottom-of-loop wall check alone runs BEFORE this
+            # wait, which can itself sleep most of the retry budget and
+            # push the attempt past the wall (ADVICE r9)
+            _wait_quiet(
+                min(
+                    w0 + (retry_budget_s - wait_spent),
+                    loop_start + wall_s - last_attempt_s,
+                ),
+                steal_max=steal_gate,
+            )
             wait_spent += time.time() - w0
+            # re-check the wall after the wait so the estimate covers
+            # wait time + attempt; the FIRST attempt always runs (a
+            # missing official number is worse than a late one)
+            if (
+                run is not None
+                and time.time() - loop_start + last_attempt_s > wall_s
+            ):
+                break
         a0 = time.time()
         attempt = measure()
         last_attempt_s = time.time() - a0
@@ -320,6 +365,7 @@ def main() -> int:
     load_start, load_end, steal_pct = run["load_start"], run["load_end"], run["steal_pct"]
     total = round(sum(timings.values()), 3)
     headline_total = round(sum(timings[q] for q in HEADLINE if q in timings), 3)
+    engine_sha = _engine_git_sha()
 
     # Full per-query map goes to a side file; stdout gets a COMPACT line.
     # Round-1 lesson: a 129-entry queries map overflowed the driver's
@@ -339,6 +385,7 @@ def main() -> int:
         "cpu_steal_pct": steal_pct,
         "provenance_clean": run["clean"],
         "bench_attempts": attempts,
+        "engine_git_sha": engine_sha,
         "telemetry": telemetry,
     }
     if only_set is not None:
@@ -366,6 +413,7 @@ def main() -> int:
             "cpu_steal_pct": steal_pct,
             "provenance_clean": run["clean"],
             "bench_attempts": attempts,
+            "engine_git_sha": engine_sha,
             "detail": detail_name,
             **({"subset": sorted(only_set)} if only_set is not None else {}),
         },

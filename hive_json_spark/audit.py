@@ -43,10 +43,19 @@ def _tree_depth(line: str) -> int:
 # Depth-0 lines that are genuine plan roots rather than wrapped expression
 # tails: the tree root (AdaptiveSparkPlan / a named physical node at line
 # start), `Execute ...` command wrappers, subquery roots, and `== ... ==`
-# section headers. Everything else at depth 0 is a continuation.
+# section headers. A generic CamelCase node name counts as a root when
+# followed by the printer's operand shapes — `(`, ` [`, a bare number
+# (``CollectLimit 21``), or end of line (simple-mode / non-AQE roots like
+# ``LocalTableScan [v]`` carry no paren) — but NOT by arbitrary text, so a
+# wrapped expression tail that happens to start uppercase (a split literal
+# '\nERROR: x', an uppercase column name mid-expression) still merges into
+# its node line. Everything else at depth 0 is a continuation.
 _PLAN_ROOT_RE = re.compile(
+    # named roots whose operands start lowercase (``Scan parquet …``,
+    # ``Exchange hashpartitioning…``) need explicit entries
     r"^(AdaptiveSparkPlan\b|Execute\b|Subquery\b|ResultQueryStage\b|=="
-    r"|[A-Z][A-Za-z]*\s*\()"
+    r"|(File)?Scan\b|Exchange\b"
+    r"|[A-Z][A-Za-z]*(\s*\(|\s+\[|\s+\d|$))"
 )
 
 

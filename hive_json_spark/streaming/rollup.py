@@ -112,11 +112,14 @@ def continuous_rollup(
             # _batch_id column) counts as never-applied. The decision is
             # made IN-PLAN (r9, was a per-batch driver collect): a window
             # over the pruned existing read tags each day with its stamp;
-            # already-applied days pass their rows through byte-identical
-            # (original stamp kept — a replay must not restamp a day whose
-            # stamp already covers it), unapplied days re-aggregate
-            # existing + this batch's partials and take the new stamp. A
-            # day partition is written atomically with one stamp, so the
+            # unapplied days re-aggregate existing + this batch's partials
+            # and take the new stamp. Already-applied days are NOT written
+            # at all: dynamic partition overwrite only rewrites partitions
+            # present in the output frame, so leaving them out keeps them
+            # byte-identical on disk WITHOUT re-exposing them to the
+            # overwrite's non-atomic delete-then-replace window (a crash
+            # mid-replay must never be able to destroy a committed day).
+            # A day partition is written atomically with one stamp, so the
             # per-day max IS the day's stamp. Everything stays bounded by
             # the ≤ cap pruned days.
             if "_batch_id" not in existing.columns:
@@ -125,9 +128,6 @@ def continuous_rollup(
                 )
             day_w = Window.partitionBy("day")
             exw = existing.withColumn("_last", F.max("_batch_id").over(day_w))
-            passthrough = exw.filter(F.col("_last") >= batch_id).select(
-                "day", *key_cols, "n", "total", "_batch_id"
-            )
             stamps = exw.groupBy("day").agg(F.max("_batch_id").alias("_last"))
             part_todo = (
                 part.join(F.broadcast(stamps), "day", "left")
@@ -141,7 +141,6 @@ def continuous_rollup(
                 .groupBy("day", *key_cols)
                 .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
                 .withColumn("_batch_id", F.lit(batch_id).cast("bigint"))
-                .unionByName(passthrough)
             )
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         try:

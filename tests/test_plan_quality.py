@@ -633,3 +633,23 @@ def test_scan_budget(spark, name):
         assert _effective_scans(plan_of(spark, name)) <= SCAN_BUDGETS[name]
     finally:
         release_scoped()
+
+def test_unwrap_keeps_parenless_depth0_roots():
+    """ADVICE r9: simple-mode / non-AQE explain output can root at depth 0
+    with no paren suffix (``LocalTableScan [v]``, ``CollectLimit 21``);
+    those are genuine nodes, not wrapped expression tails, and must not be
+    merged into the previous line (which miscounts FileScans). Wrapped
+    tails that merely start uppercase still merge."""
+    from hive_json_spark.audit import _unwrap
+
+    roots = ["LocalTableScan [v#1]", "CollectLimit 21", "Union", "Scan parquet [a#2]"]
+    for root in roots:
+        lines = ["AdaptiveSparkPlan isFinalPlan=true", root]
+        assert _unwrap(lines) == lines, root
+
+    # a split-literal tail beginning with an uppercase word is NOT a root
+    wrapped = [
+        "Project [split(text#3, ",
+        "ERROR: , -1) AS parts#4]",
+    ]
+    assert _unwrap(wrapped) == ["Project [split(text#3,  ERROR: , -1) AS parts#4]"]

@@ -567,12 +567,22 @@ def test_continuous_rollup_replay_is_idempotent(spark, sf_dir, tmp_path):
         (str(r.day), r.user_id, r.n, round(r.total, 4))
         for r in spark.read.parquet(out).collect()
     )
+    import glob
+
+    files_before = sorted(glob.glob(f"{out}/day=*/part-*"))
     run("ckpt2")  # same batches re-delivered with the same ids
     second = sorted(
         (str(r.day), r.user_id, r.n, round(r.total, 4))
         for r in spark.read.parquet(out).collect()
     )
     assert first == second
+    # already-applied days must not be rewritten on replay: dynamic
+    # overwrite's delete-then-replace is non-atomic, so re-exposing a
+    # committed day to it risks destroying the day on a crash. A rewrite
+    # would mint fresh part-file UUIDs — identical listings prove the
+    # replay never touched the committed partitions.
+    files_after = sorted(glob.glob(f"{out}/day=*/part-*"))
+    assert files_before == files_after
 
 
 def test_streaming_topk_matches_batch_and_replay(spark, sf_dir, tmp_path):
