@@ -164,27 +164,21 @@ def shingle_jaccard_truth_pairs(
     sharr = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"), sh_expr.alias("_ss")
     )
-    sh = sharr.select("_id", F.explode("_ss").alias("_s")).select(
-        "_id", F.xxhash64("_s").alias("_h")
-    )
-    sizes = sharr.select("_id", F.size("_ss").alias("_sz"))
-    a = sh.select(F.col("_id").alias("id_a"), "_h")
-    b = sh.select(F.col("_id").alias("id_b"), "_h")
-    inter = (
+    # carry each doc's set size THROUGH the explode instead of broadcast-
+    # joining a sizes frame back on afterwards: the two broadcasts cost two
+    # extra materialization jobs (each a driver collect of the sizes frame)
+    # per call, while the carried size is one extra int per exploded row —
+    # r10, measured faster both solo and inside the concurrent eval harness
+    sh = sharr.select(
+        "_id", F.size("_ss").alias("_sz"), F.explode("_ss").alias("_s")
+    ).select("_id", "_sz", F.xxhash64("_s").alias("_h"))
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa"), "_h")
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb"), "_h")
+    return (
         a.join(b, "_h")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "_sa", "_sb")
         .agg(F.count("*").alias("_i"))
-    )
-    return (
-        inter.join(
-            F.broadcast(sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sa"))),
-            "id_a",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_sb"))),
-            "id_b",
-        )
         .filter(
             F.col("_i").cast("double")
             >= threshold * (F.col("_sa") + F.col("_sb") - F.col("_i"))

@@ -62,11 +62,30 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
 
     At real scale inputs are written with many row groups and this is a
     no-op. The round-robin shuffle moves only the projected columns.
+
+    Persisted frames are trusted as-is (no probe): a caller that
+    ``persist()``s before handing a frame to an operator has taken over
+    materialization — and therefore partitioning — management; callers
+    doing so on a raw single-row-group scan must spread it themselves
+    (every in-repo producer of a persisted operator input builds it via
+    this function first, so the guarantee composes).
     """
     if df.isStreaming:
         # partition counts are per-micro-batch on a stream (and .rdd is
         # illegal there); the source's own partitioning governs
         return df
+    # A frame the caller explicitly persisted is a frame whose
+    # materialization (and partitioning) the caller already manages —
+    # e.g. the q_dedup_method_eval shared shingle base feeding five
+    # concurrent arms. The `.rdd.getNumPartitions()` probe below is NOT
+    # free on such frames: building the Python RDD finalizes the AQE
+    # plan, which materializes every exchange in it (measured ~0.4 s per
+    # eval run across the five arms re-probing the same cached base).
+    try:
+        if df.storageLevel.useMemory or df.storageLevel.useDisk:
+            return df
+    except Exception:
+        pass
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     floor = max(target // 2, 2)

@@ -268,19 +268,33 @@ def _dedup_method_stats(spark: SparkSession, sf_dir: str) -> list:
 def _dedup_method_stats_run(spark: SparkSession, sf_dir: str) -> list:
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark.storagelevel import StorageLevel
+
     from hive_json_spark.operators.dedup import (
         minhash_dedup_pairs,
         shingle_jaccard_truth_pairs,
+        shingled_docs,
         simhash_near_dup_pairs,
         substring_dup_pairs,
         winnow_dup_pairs,
     )
 
+    # Shared base (r10): ONE corpus read + ONE Arrow tokenize+shingle pass
+    # feeds all five arms — truth and minhash consume the precomputed
+    # 3-gram shingle sets via shingles_col=, the span/simhash arms read
+    # text from the same cached blocks. A lazily persisted frame (NOT the
+    # r6-rejected localCheckpoint variant, whose eager materialization was
+    # a ~0.5 s serial barrier before any arm could start): the concurrent
+    # arms' first tasks materialize each block once under the block
+    # manager's per-block write lock while the rest proceed, so the shared
+    # pass overlaps the arms instead of preceding them.
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 2000)
         .select("doc_id", "text")
-        .localCheckpoint()
+    )
+    base = shingled_docs(docs, "doc_id", "text", n=3, keep_text=True).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     builders = {
         # 64x8 default: measured FASTER here than the 32x16 config the
@@ -288,27 +302,30 @@ def _dedup_method_stats_run(spark: SparkSession, sf_dir: str) -> list:
         # the 0.25 collision threshold multiplies verify candidates;
         # verified pair sets are identical on this corpus either way
         "__truth__": lambda: shingle_jaccard_truth_pairs(
-            docs, "doc_id", "text", threshold=0.5
+            base, "doc_id", "text", threshold=0.5, shingles_col="shingles"
         ),
         "minhash_lsh": lambda: minhash_dedup_pairs(
-            docs, "doc_id", "text", threshold=0.5
+            base, "doc_id", "text", threshold=0.5, shingles_col="shingles"
         ).select("id_a", "id_b"),
-        "simhash": lambda: simhash_near_dup_pairs(docs, "text", "doc_id").select(
+        "simhash": lambda: simhash_near_dup_pairs(base, "text", "doc_id").select(
             "id_a", "id_b"
         ),
         "substring_w8": lambda: substring_dup_pairs(
-            docs, "doc_id", "text", k=8
+            base, "doc_id", "text", k=8
         ).select("id_a", "id_b"),
         "winnow_k5w4": lambda: winnow_dup_pairs(
-            docs, "doc_id", "text", k=5, w=4
+            base, "doc_id", "text", k=5, w=4
         ).select("id_a", "id_b"),
     }
-    with ThreadPoolExecutor(max_workers=5) as ex:
-        futs = {
-            n: ex.submit(lambda b=b: b().localCheckpoint())
-            for n, b in builders.items()
-        }
-        pinned = {n: f.result() for n, f in futs.items()}
+    try:
+        with ThreadPoolExecutor(max_workers=5) as ex:
+            futs = {
+                n: ex.submit(lambda b=b: b().localCheckpoint())
+                for n, b in builders.items()
+            }
+            pinned = {n: f.result() for n, f in futs.items()}
+    finally:
+        base.unpersist()
     truth = pinned.pop("__truth__")
     n_truth = truth.count()  # checkpointed: a metadata-cheap count
     # ONE final action: tag each pinned pair set, union, left-join the
