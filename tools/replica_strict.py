@@ -56,6 +56,36 @@ SLICES = {
         "q_decontaminate",
         "q_mixture_resample",
     ],
+    # The r10 rotation (verdict ask #4): the training / quality families —
+    # never driver-sampled and never strictly replicated through r9.
+    "training_r10": [
+        "q_bpe_pair_step",
+        "q_tokenizer_fertility",
+        "q_dataset_card",
+        "q_curriculum_stages",
+        "q_negative_sampling",
+        "q_epoch_shuffle",
+        "q_train_test_split",
+        "q_chunk_documents",
+        "q_label_propagation",
+        "q_embedding_outliers",
+        "q_embedding_centroids",
+        "q_unigram_logloss",
+        "q_bigram_lm",
+        "q_pii_scan",
+        "q_pii_scrub",
+        "q_gopher_rules",
+        "q_repetition_filter",
+        "q_lang_id",
+        "q_text_profile",
+        "q_readability",
+        "q_quality_by_source",
+        "q_keyword_extraction",
+        "q_token_entropy",
+        "q_boilerplate_grams",
+        "q_duplicate_ngram_fraction",
+        "q_zipf_audit",
+    ],
 }
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
