@@ -85,7 +85,17 @@ ZIPF_SMALL = os.path.join(
 )
 ZIPF_BIG = ZIPF_SMALL.replace("zipf-sf0.1", "zipf-sf1")
 
-ZIPF_QUERIES = ["q_setsim_prefix_join", "q_fuzzy_name_match"]
+# r10 (verdict ask #6): the dense-output family joins the zipf leg —
+# q_dedup_clusters (13.3x uniform sf1 ratio) and q_ngram_jaccard_pairs
+# (21.8x, output-driven) were the remaining >10x sweep entries with no
+# zipf envelope; the max(12, output-ratio) envelope absorbs their
+# legitimately output-bound growth while still catching a lost dispatch.
+ZIPF_QUERIES = [
+    "q_setsim_prefix_join",
+    "q_fuzzy_name_match",
+    "q_dedup_clusters",
+    "q_ngram_jaccard_pairs",
+]
 
 
 @pytest.mark.parametrize("name", ZIPF_QUERIES)
