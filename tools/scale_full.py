@@ -44,8 +44,44 @@ def sweep(label: str, sf_dir: str) -> dict:
     return timings
 
 
+def _cpu_ticks():
+    v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+    return v[7], sum(v)
+
+
+def _steal_sample(win: float = 2.0) -> float:
+    a = _cpu_ticks()
+    time.sleep(win)
+    b = _cpu_ticks()
+    return 100 * (b[0] - a[0]) / max(b[1] - a[1], 1)
+
+
+# whole-run steal provenance (r10): the r10 first sweep's worst "ratios"
+# (q_power_iteration 18.7, q_survivorship 18.0) dissolved to 4.6 / 8.8 in
+# matched solo re-measures — co-tenant bursts during one leg read as scale
+# regressions. Stamp the record so a dirty sweep is never mistaken for one,
+# and pre-wait (bounded) for a quiet window before the first leg.
+_deadline = time.time() + float(os.environ.get("SPARK_GRAFT_SWEEP_WAIT_S", "600"))
+while time.time() < _deadline:
+    if os.getloadavg()[0] < 1.0 and _steal_sample() <= 0.5:
+        break
+    time.sleep(10)
+_steal0 = _cpu_ticks()
 t01 = sweep("sf0.1", SF01_DIR)
 t1 = sweep("sf1", SF1_DIR)
+_steal1 = _cpu_ticks()
+steal_pct = round(
+    100 * (_steal1[0] - _steal0[0]) / max(_steal1[1] - _steal0[1], 1), 2
+)
+import subprocess
+
+sha = subprocess.run(
+    ["git", "rev-parse", "HEAD"], capture_output=True, text=True, cwd=REPO
+).stdout.strip()
+dirty = subprocess.run(
+    ["git", "status", "--porcelain", "--", "hive_json_spark", "bench.py"],
+    capture_output=True, text=True, cwd=REPO,
+).stdout.strip()
 out = {
     "provenance": "both sweeps same session, same single-pass conditions "
                   "(2 runs min-kept for HEADLINE); ratios are matched",
@@ -56,6 +92,9 @@ out = {
         q: round(t1[q] / max(t01[q], 1e-9), 2) for q in t1
     },
     "load_avg": [round(x, 2) for x in os.getloadavg()],
+    "cpu_steal_pct": steal_pct,
+    "engine_git_sha": sha + ("-dirty" if dirty else ""),
 }
 json.dump(out, open(os.path.join(REPO, "scale_full_results.json"), "w"), indent=1, sort_keys=True)
-print("TOTAL sf0.1", out["sf0.1"]["total"], "sf1", out["sf1"]["total"], flush=True)
+print("TOTAL sf0.1", out["sf0.1"]["total"], "sf1", out["sf1"]["total"],
+      "steal", steal_pct, flush=True)
