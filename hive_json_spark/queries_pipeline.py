@@ -2712,11 +2712,18 @@ def q_cross_dup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     this corpus has ZERO exact cross-source dup texts but thousands of
     shared spans).
 
-    Scale shape: dedup to (source, window) FIRST — the pair fanout per
-    window is then #sources carrying it (bounded by the source count,
-    never the corpus); production swaps the window text for xxhash64
-    exactly as substring_dup_pairs documents, making the shuffle row
-    8 bytes + source."""
+    Scale shape (r10 rewrite, guide §2.3/§2.4): ONE exchange carries the
+    window text. The old form shuffled the (source, window) frame three
+    ways — a distinct exchange plus both sides of a window-keyed
+    self-join (whose build side the planner BROADCAST: a corpus-derived
+    frame on the driver, exactly the mis-sized-broadcast hazard the
+    setsim rewrite removed). Now ``collect_set(source)`` dedups
+    (window, source) map-side and co-locates each window's source set in
+    a single exchange; per-window pairs unfold from the sorted set with
+    array ops (fanout C(#sources,2), bounded by the source count, never
+    the corpus), and only the tiny pair frame re-shuffles. Production
+    swaps the window text for xxhash64 exactly as substring_dup_pairs
+    documents, making the shuffle row 8 bytes + a small set."""
     from hive_json_spark.functions.text import tokens as _tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2731,12 +2738,28 @@ def q_cross_dup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.array_join(F.slice("_tk", i + 1, k), " "),
             )
         ).alias("_win"),
-    ).distinct()
-    a = wins.select(F.col("_win"), F.col("source").alias("src_a"))
-    b = wins.select(F.col("_win"), F.col("source").alias("src_b"))
+    )
+    srcs = (
+        wins.groupBy("_win")
+        .agg(F.array_sort(F.collect_set("source")).alias("_srcs"))
+        .filter(F.size("_srcs") >= 2)
+    )
+    # unfold i<j pairs from the sorted per-window source set: sort order
+    # makes src_a < src_b by construction, matching the join+filter form
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("_srcs"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_srcs"), i + 2, F.size(F.col("_srcs"))),
+                    lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+                ),
+            )
+        )
+    )
     return (
-        a.join(b, "_win")
-        .filter(F.col("src_a") < F.col("src_b"))
+        srcs.select(pair.alias("_p"))
+        .select("_p.src_a", "_p.src_b")
         .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("n_shared_windows"))
     )
