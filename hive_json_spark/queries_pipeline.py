@@ -3331,7 +3331,17 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the pairwise sim matrix is one broadcast self-join of 50 rows.
     Determinism: rel and sims round to 6dp then scale to integer
     micro-units; every argmax is on integers with vec_id tiebreaks, so
-    the unrolled-CTE oracle (same integer fold) matches exactly."""
+    the unrolled-CTE oracle (same integer fold) matches exactly.
+
+    r10 job-count trim (guide §1.2 'per-task work' → fixed cost): the
+    k argmax steps used to run as k Spark ``.first()`` jobs over the
+    ≤50-row checkpointed pool — ~2+k tiny-job round trips (260-390 ms
+    each on this box) for integer comparisons over ≤2450 rows. The pool
+    and sim matrix are HARD-bounded by MMR_POOL (never corpus-sized), so
+    both collect in two bounded jobs — same class as the 14 documented
+    bounded collects — and the identical integer recurrence folds in
+    Python: every sim/rel unit crosses unchanged, every argmax compares
+    the same integers with the same vec_id tiebreak. 12 jobs → 3."""
     from hive_json_spark.functions.vectors import cosine_similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3361,28 +3371,34 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("sim_u"),
         )
-        .localCheckpoint()
     )
+    # bounded collects (≤MMR_POOL rel rows, ≤MMR_POOL² sim rows): the
+    # units are already exact integers computed by the SAME Spark
+    # expressions as before, so the driver-side greedy below replays the
+    # exact argmax/tiebreak sequence the per-step Spark jobs ran
+    rel = {int(r["vec_id"]): int(r["rel_u"]) for r in cand.select("vec_id", "rel_u").collect()}
+    sim: dict[int, dict[int, int]] = {}
+    for r in sims.collect():
+        sim.setdefault(int(r["ia"]), {})[int(r["ib"])] = int(r["sim_u"])
     picked: list[tuple[int, int, int]] = []  # (rank, vec_id, score_units)
     for rank in range(1, MMR_K + 1):
-        remaining = cand.filter(
-            ~F.col("vec_id").isin([p[1] for p in picked]) if picked else F.lit(True)
-        )
-        if picked:
-            penal = (
-                sims.filter(F.col("ib").isin([p[1] for p in picked]))
-                .groupBy(F.col("ia").alias("vec_id"))
-                .agg(F.max("sim_u").alias("pen_u"))
-            )
-            scored = remaining.join(penal, "vec_id").select(
-                "vec_id", (2 * F.col("rel_u") - F.col("pen_u")).alias("score")
-            )
-        else:
-            scored = remaining.select("vec_id", (2 * F.col("rel_u")).alias("score"))
-        top = scored.orderBy(F.col("score").desc(), "vec_id").first()
-        if top is None:
+        chosen = set(p[1] for p in picked)
+        best: tuple[int, int] | None = None  # (score, vec_id), max score / min id
+        for v, r_u in rel.items():
+            if v in chosen:
+                continue
+            if picked:
+                pens = [sim[v][p] for p in chosen if v in sim and p in sim[v]]
+                if not pens:  # inner-join semantics: no sim row → not scored
+                    continue
+                score = 2 * r_u - max(pens)
+            else:
+                score = 2 * r_u
+            if best is None or (score, -v) > (best[0], -best[1]):
+                best = (score, v)
+        if best is None:
             break
-        picked.append((rank, int(top["vec_id"]), int(top["score"])))
+        picked.append((rank, best[1], best[0]))
     if not picked:
         return spark.createDataFrame([], "mmr_rank int, vec_id bigint, mmr_score double")
     return spark.createDataFrame(

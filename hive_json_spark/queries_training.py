@@ -1275,7 +1275,15 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     side); the M-step is the posexplode partial-agg whose reducer state
     is k×d cells regardless of corpus size (q_embedding_centroids
     mechanics); each round localCheckpoints the k×d centroid frame so
-    the plan stays linear in rounds."""
+    the plan stays linear in rounds. r10 trim (guide §1.2 fixed cost):
+    the per-round ASSIGNMENT checkpoint is gone — each round's
+    assignment has exactly one consumer (that round's M-step; the final
+    round's feeds the count agg), so pinning it bought nothing and cost
+    a corpus-sized materialization plus a blocking job per round. Only
+    the k×d centroid frame (the thing two expressions per round actually
+    reuse, and whose checkpoint keeps the lineage flat) stays pinned.
+    Every number is exact-integer, so the recomputed assignment in the
+    final count is bit-identical to the one the M-step consumed."""
     emb = load_table(spark, sf_dir, "embeddings")
     xq = emb.select(
         "vec_id",
@@ -1308,7 +1316,6 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("vec_id", "xu", "cid")
-            .localCheckpoint()
         )
         cent = (
             assigned.select("cid", F.posexplode("xu").alias("ord", "x"))
