@@ -2756,31 +2756,49 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N·supp(a,b) / (supp(a)·supp(b))) with a minimum pair support — the
     association-rule primitive behind recommenders and assortment
     analysis. The quadratic term is per-basket (C(items,2) with ~4 items
-    per order), never corpus-wide: the pair join is an equi-join on the
-    order key, baskets bound the fanout, and a 100 TB deployment caps or
-    salts the rare monster basket (documented SCALE.md pattern). The
-    per-basket distinct frame feeds four arms (order count, supports,
-    both pair-join sides), so it is scoped-persisted — the r7 ledger's
-    flagged fusion: one distinct shuffle instead of four. Per-part
-    supports broadcast back onto the pair frame; lift is one division of
-    two exact integer products (identical double both engines, ties
-    broken on support then part ids); top-20 via TakeOrderedAndProject.
+    per order), never corpus-wide: pairs unfold from each order's sorted
+    distinct-part set with array ops (r10, guide §2.4 — one
+    ``collect_set`` exchange replaces the old distinct shuffle PLUS both
+    order-keyed sides of a self-join, whose sort-merge buffers were this
+    query's 1.3 GB peak-memory stage); baskets bound the fanout, and a
+    100 TB deployment caps or salts the rare monster basket (documented
+    SCALE.md pattern). The basket frame feeds three arms (order count,
+    supports, pairs), so it is scoped-persisted. Per-part supports
+    broadcast back onto the pair frame; lift is one division of two
+    exact integer products (identical double both engines, ties broken
+    on support then part ids); top-20 via TakeOrderedAndProject.
     """
     from hive_json_spark.functions.caching import scoped_persist
     from hive_json_spark.operators.relational import top_k
 
     li = load_table(spark, sf_dir, "lineitem")
-    items = scoped_persist(
-        li.select(
-            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-        ).distinct()
+    # collect_set dedups (order, part) map-side — the basket IS the
+    # distinct item set, sorted so i<j unfolding gives part_a < part_b
+    baskets = scoped_persist(
+        li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+            F.array_sort(F.collect_set(F.col("l_partkey"))).alias("pks")
+        )
     )
-    n = items.agg(F.countDistinct("ok").alias("n_orders"))
-    supp = items.groupBy("pk").agg(F.count("*").alias("s"))
-    a = items.select("ok", F.col("pk").alias("part_a"))
-    b = items.select(F.col("ok").alias("ok_b"), F.col("pk").alias("part_b"))
+    n = baskets.agg(F.count("*").alias("n_orders"))
+    supp = (
+        baskets.select(F.explode("pks").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").alias("s"))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("pks"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("pks"), i + 2, F.size(F.col("pks"))),
+                    lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                ),
+            )
+        )
+    )
     pairs = (
-        a.join(b, (F.col("ok") == F.col("ok_b")) & (F.col("part_a") < F.col("part_b")))
+        baskets.select(pair.alias("_p"))
+        .select("_p.part_a", "_p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("sab"))
         .filter(F.col("sab") >= 3)

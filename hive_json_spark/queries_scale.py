@@ -435,11 +435,17 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (with a frame-valued bounds the optimizer folds such filters into a
     # BroadcastNestedLoopJoin condition, re-evaluating the 40-term
     # z-expression per row OUTSIDE codegen — measured 4-5 s at sf0.1).
+    # r10: count(*) rides the same stats-only job — the NTILE scalars
+    # (base/rem) are pure functions of the total row count, so computing
+    # it here deletes the separate post-checkpoint scalar-agg job the
+    # old plan paid (total == sum(zn) by construction: every row lands
+    # in exactly one z-cell)
     b = li.agg(
         F.min("l_partkey").alias("min_pk"),
         F.max("l_partkey").alias("max_pk"),
         F.min("l_suppkey").alias("min_sk"),
         F.max("l_suppkey").alias("max_sk"),
+        F.count("*").alias("total"),
     ).first()
     if b["min_pk"] is None:  # empty table → empty layout
         return spark.createDataFrame(
@@ -492,20 +498,14 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = local.join(F.broadcast(offsets), "chunk").withColumn(
         "before", F.col("chunk_before") + F.col("local_before")
     )
-    # NTILE scalars, collected from the CHECKPOINTED bounded cell frame
-    # (≤2^domain rows — an O(1)-ish driver read like the quantization
-    # bounds, never a scan of the table). Literal scalars keep ONE
-    # closed-form bucket function for both the whole-cell spans and the
-    # straddle-row ranks — two column/literal twins of the same math
-    # would have to be kept in sync byte-for-byte.
-    base, rem, total = (
-        zcells.agg(
-            F.sum("zn").alias("total"),
-            F.expr(f"sum(zn) div {Z_GROUPS}").alias("base"),
-        )
-        .select("base", (F.col("total") % Z_GROUPS).alias("rem"), "total")
-        .first()
-    )
+    # NTILE scalars: pure integer functions of the total row count,
+    # which arrived with the bounds job (r10 — this used to be its own
+    # scalar-agg job over the checkpointed cell frame). Literal scalars
+    # keep ONE closed-form bucket function for both the whole-cell spans
+    # and the straddle-row ranks — two column/literal twins of the same
+    # math would have to be kept in sync byte-for-byte.
+    total = b["total"]
+    base, rem = total // Z_GROUPS, total % Z_GROUPS
     big = rem * (base + 1)
 
     # NTILE semantics: first `rem` buckets get base+1 rows, the rest base.
