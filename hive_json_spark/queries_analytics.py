@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from hive_json_spark.functions.exact import avg_exact, int_units, sum_exact
 from hive_json_spark.operators.relational import bloom_semi_join, grouped_value_ranks
-from hive_json_spark.sources import load_table
+from hive_json_spark.sources import load_table, table_row_count
 
 QUERIES = {}
 ORACLES = {}
@@ -1086,7 +1086,7 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_json_spark.operators.dedup import edit_distance_pairs
 
     cust = load_table(spark, sf_dir, "customer")
-    if cust.count() <= 50_000:
+    if table_row_count(spark, sf_dir, "customer") <= 50_000:
         block = ["c_nationkey", "c_mktsegment"]
         a = cust.select(
             F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"), *block
@@ -2098,7 +2098,8 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("returnflag"), "l_quantity", "l_extendedprice"
     )
     dec = "decimal(38,0)"
-    if li.count() <= 2_000_000:
+    n_rows = table_row_count(spark, sf_dir, "lineitem")
+    if n_rows <= 2_000_000:
         flag = F.col("returnflag")
         rx = (
             F.lit(2) * F.rank().over(Window.partitionBy(flag).orderBy("l_quantity"))
@@ -2112,13 +2113,30 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(1)
         ).cast("long")
         ranked = li.select(flag.alias("returnflag"), rx.alias("rx"), ry.alias("ry"))
+        # moment lanes: the doubled ranks satisfy rx, ry <= 2n, so every
+        # per-row product is <= 4n^2 and every moment sum <= 4n^3 — for
+        # n <= 1.2M that is < 2^63 and the whole summation fits EXACTLY
+        # in int64 (measured: 128-bit decimal lanes cost +0.5 s on the
+        # 600k-row agg at sf0.1). Above 1.2M the window arm keeps the
+        # decimal lanes. Either way the sums are exact integers, so the
+        # 3-row moments cast to decimal(38,0) feed _spearman_close with
+        # bit-identical values and the closing float tree is unchanged.
+        lane = "long" if n_rows <= 1_200_000 else dec
         s = ranked.groupBy("returnflag").agg(
             F.count("*").cast("long").alias("n"),
-            F.sum(F.col("rx").cast(dec)).alias("sx"),
-            F.sum(F.col("ry").cast(dec)).alias("sy"),
-            F.sum((F.col("rx") * F.col("ry")).cast(dec)).alias("sxy"),
-            F.sum((F.col("rx") * F.col("rx")).cast(dec)).alias("sxx"),
-            F.sum((F.col("ry") * F.col("ry")).cast(dec)).alias("syy"),
+            F.sum(F.col("rx").cast(lane)).alias("sx"),
+            F.sum(F.col("ry").cast(lane)).alias("sy"),
+            F.sum((F.col("rx").cast(lane) * F.col("ry").cast(lane))).alias("sxy"),
+            F.sum((F.col("rx").cast(lane) * F.col("rx").cast(lane))).alias("sxx"),
+            F.sum((F.col("ry").cast(lane) * F.col("ry").cast(lane))).alias("syy"),
+        )
+        # _spearman_close multiplies moments pairwise (n·sxy - sx·sy, …),
+        # which overflows int64 — promote the 3-row result to decimal
+        # lanes (free at this cardinality) so the close is exact.
+        s = s.select(
+            "returnflag",
+            "n",
+            *[F.col(c).cast(dec).alias(c) for c in ("sx", "sy", "sxy", "sxx", "syy")],
         )
         return _spearman_close(s)
     qmap = grouped_value_ranks(li, "returnflag", "l_quantity", 10.0).select(

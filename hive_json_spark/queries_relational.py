@@ -28,7 +28,7 @@ from hive_json_spark.operators.relational import (
     top_k,
     top_k_per_group,
 )
-from hive_json_spark.sources import load_table
+from hive_json_spark.sources import load_table, table_row_count
 
 QUERIES = {}
 ORACLES = {}
@@ -1003,7 +1003,7 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤ 2M rows) and switches above — both plans produce the same
     interpolated values."""
     li = load_table(spark, sf_dir, "lineitem")
-    if li.count() <= 2_000_000:
+    if table_row_count(spark, sf_dir, "lineitem") <= 2_000_000:
         pcts = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.9))")
         return li.groupBy("l_returnflag").agg(
             F.round(pcts[0], 4).alias("p25"),

@@ -1,1 +1,6 @@
-from hive_json_spark.sources.tables import TABLES, load_table, register_all  # noqa: F401
+from hive_json_spark.sources.tables import (  # noqa: F401
+    TABLES,
+    load_table,
+    register_all,
+    table_row_count,
+)
