@@ -13,7 +13,11 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "hive-json-spark", shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "hive-json-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus != "*" else 32
@@ -40,4 +44,9 @@ def get_spark(app_name: str = "hive-json-spark", shuffle_partitions: int | None 
         # per-stage shuffle/spill telemetry from the status REST API
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
+    # experiment hook (tools/config_ab.py): candidate settings are A/B'd
+    # through here so the tool and the engine share ONE config block;
+    # production code never passes extra_conf
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
