@@ -1449,19 +1449,50 @@ def embedding_near_dup_pairs(
     bcast = df.sparkSession.sparkContext.broadcast((ids_all, M))
 
     def kernel(batches):
+        # blocked scores in preallocated buffers (r10, same rationale as
+        # similarity.brute_force_top1_gemm): the one-shot V @ bm.T form
+        # materializes three batch×corpus transients (scores + two bool
+        # masks) that numpy munmaps on free, so every execution re-faults
+        # the pages — pathological under 32 concurrent workers on this
+        # host. Block emission changes only intra-batch row ORDER (pairs
+        # come out block-major), which nothing downstream observes.
         bids, bm = bcast.value
+        n_corpus = bm.shape[0]
+        row_chunk, col_block = 1024, 4096
+        S_buf = {}
         for pdf in batches:
             if not len(pdf):
                 continue
-            ida = pdf[id_col].to_numpy(dtype=np.int64)
-            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-            S = np.round(V @ bm.T, 6)
-            keep = (S >= threshold) & (ida[:, None] < bids[None, :])
-            ii, jj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"id_a": ida[ii], "id_b": bids[jj], "cos_sim": S[ii, jj]}
+            ida_all = pdf[id_col].to_numpy(dtype=np.int64)
+            V_all = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
+            V_all /= np.maximum(
+                np.linalg.norm(V_all, axis=1, keepdims=True), 1e-300
+            )
+            for r0 in range(0, len(V_all), row_chunk):
+                V = V_all[r0 : r0 + row_chunk]
+                ida = ida_all[r0 : r0 + row_chunk]
+                nb = len(V)
+                for c0 in range(0, n_corpus, col_block):
+                    c1 = min(c0 + col_block, n_corpus)
+                    S = S_buf.get((nb, c1 - c0))
+                    if S is None:
+                        S = S_buf[(nb, c1 - c0)] = np.empty((nb, c1 - c0))
+                    np.dot(V, bm[c0:c1].T, out=S)
+                    np.round(S, 6, out=S)
+                    keep = (S >= threshold) & (
+                        ida[:, None] < bids[None, c0:c1]
+                    )
+                    ii, jj = np.nonzero(keep)
+                    if len(ii):
+                        yield pd.DataFrame(
+                            {
+                                "id_a": ida[ii],
+                                "id_b": bids[jj + c0],
+                                "cos_sim": S[ii, jj],
+                            }
+                        )
 
     return (
         ensure_parallelism(df)

@@ -1553,3 +1553,54 @@ def test_setsim_deletion_matches_bruteforce_across_thresholds(spark):
             f"seed={seed} t={t}: deletion impl {len(got)} pairs vs "
             f"brute-force {len(want)}; diff={set(want) ^ set(got)}"
         )
+
+
+def test_blocked_gemm_kernels_match_oneshot_reference(spark):
+    """The r10 blocked/preallocated GEMM kernels must be bit-identical to
+    the one-shot batch×corpus form they replaced: same rounded scores,
+    same argmax tie order (first max = smallest id), same pair set.
+    Random corpus sized to exercise full blocks, the column tail, AND the
+    row-chunk boundary (row_chunk=1024, col_block=4096 in the kernels)."""
+    import numpy as np
+
+    from hive_json_spark.operators.dedup import embedding_near_dup_pairs
+    from hive_json_spark.operators.similarity import brute_force_top1_gemm
+
+    rng = np.random.default_rng(7)
+    n, dim = 1100, 16  # > row_chunk, and 1100 % col_block is a tail block
+    M = rng.standard_normal((n, dim))
+    # plant exact duplicates so rounded-score ties are actually exercised
+    M[50] = M[40]
+    M[51] = M[40]
+    ids = rng.permutation(n).astype("int64")  # unsorted ids: searchsorted path
+    emb = spark.createDataFrame(
+        [(int(ids[i]), [float(x) for x in M[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(7)
+
+    # one-shot reference, computed in numpy exactly as the old kernels did
+    order = np.argsort(ids)
+    bids, bm = ids[order], M[order].astype(np.float64)
+    bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-300)
+    S = np.round(bm @ bm.T, 6)
+    np.fill_diagonal(S, -np.inf)
+    j = np.argmax(S, axis=1)
+    ref_top1 = {
+        int(bids[i]): (int(bids[j[i]]), float(S[i, j[i]])) for i in range(n)
+    }
+    got_top1 = {
+        r["query_id"]: (r["vec_id"], r["cos_sim"])
+        for r in brute_force_top1_gemm(emb).collect()
+    }
+    assert got_top1 == ref_top1
+
+    thr = 0.7
+    iu, ju = np.nonzero((S >= thr) & (bids[:, None] < bids[None, :]))
+    ref_pairs = {
+        (int(bids[a]), int(bids[b]), float(S[a, b])) for a, b in zip(iu, ju)
+    }
+    got_pairs = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_near_dup_pairs(emb, threshold=thr).collect()
+    }
+    assert got_pairs == ref_pairs
