@@ -1287,6 +1287,8 @@ def embedding_near_dup_pairs(
     max_exact_rows: int = 1_000_000,
     n_tables: int = 24,
     max_bucket_rows: int = 32_768,
+    row_chunk: int = 1024,
+    col_block: int = 4096,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity.
 
@@ -1458,8 +1460,11 @@ def embedding_near_dup_pairs(
         # come out block-major), which nothing downstream observes.
         bids, bm = bcast.value
         n_corpus = bm.shape[0]
-        row_chunk, col_block = 1024, 4096
-        S_buf = {}
+        # two reallocate-on-shape-change buffers (not a dict keyed by
+        # shape): a stream of varying batch/tail sizes must stay bounded
+        # at two live buffers, same scheme as brute_force_top1_gemm
+        S_full = np.empty((0, 0))
+        S_tail = np.empty((0, 0))
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1476,9 +1481,14 @@ def embedding_near_dup_pairs(
                 nb = len(V)
                 for c0 in range(0, n_corpus, col_block):
                     c1 = min(c0 + col_block, n_corpus)
-                    S = S_buf.get((nb, c1 - c0))
-                    if S is None:
-                        S = S_buf[(nb, c1 - c0)] = np.empty((nb, c1 - c0))
+                    if c1 - c0 == col_block:
+                        if S_full.shape != (nb, col_block):
+                            S_full = np.empty((nb, col_block))
+                        S = S_full
+                    else:
+                        if S_tail.shape != (nb, c1 - c0):
+                            S_tail = np.empty((nb, c1 - c0))
+                        S = S_tail
                     np.dot(V, bm[c0:c1].T, out=S)
                     np.round(S, 6, out=S)
                     keep = (S >= threshold) & (

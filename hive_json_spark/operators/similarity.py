@@ -63,6 +63,8 @@ def brute_force_top1_gemm(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_corpus_rows: int = 1_000_000,
+    row_chunk: int = 1024,
+    col_block: int = 4096,
 ) -> DataFrame:
     """Exact top-1 cosine neighbor for EVERY corpus vector via broadcast
     GEMM — the all-to-all variant of brute_force_topk. The expression
@@ -118,7 +120,6 @@ def brute_force_top1_gemm(
     def kernel(batches):
         bids, bm = bcast.value
         n_corpus = bm.shape[0]
-        row_chunk, col_block = 1024, 4096
         S_full = np.empty((0, 0))  # reused full-block score buffer
         S_tail = np.empty((0, 0))  # reused tail-block buffer
         for pdf in batches:
@@ -135,11 +136,14 @@ def brute_force_top1_gemm(
                 V = V_all[r0 : r0 + row_chunk]
                 ida = ida_all[r0 : r0 + row_chunk]
                 nb = len(V)
-                # self-exclusion positions: bids is sorted ascending
-                pos = np.searchsorted(bids, ida)
-                has_self = (pos < n_corpus) & (
-                    bids[np.minimum(pos, n_corpus - 1)] == ida
-                )
+                # self-exclusion positions: bids is sorted ascending, so
+                # every corpus row with the query's own id lives in the
+                # contiguous run [pos_l, pos_r) — mask the WHOLE run, not
+                # just its first entry, so a corpus carrying duplicate ids
+                # can never return the query's own duplicate as top-1
+                # (matches the old elementwise ida == bids mask)
+                pos_l = np.searchsorted(bids, ida, side="left")
+                pos_r = np.searchsorted(bids, ida, side="right")
                 best_v = np.full(nb, -np.inf)
                 best_j = np.zeros(nb, dtype=np.int64)
                 rows_ix = np.arange(nb)
@@ -155,8 +159,12 @@ def brute_force_top1_gemm(
                         S = S_tail
                     np.dot(V, bm[c0:c1].T, out=S)
                     np.round(S, 6, out=S)
-                    in_blk = has_self & (pos >= c0) & (pos < c1)
-                    S[np.where(in_blk)[0], pos[in_blk] - c0] = -np.inf
+                    lo = np.maximum(pos_l, c0)
+                    hi = np.minimum(pos_r, c1)
+                    one = hi - lo == 1  # the unique-id common case
+                    S[np.where(one)[0], lo[one] - c0] = -np.inf
+                    for i in np.where(hi - lo > 1)[0]:  # duplicate ids
+                        S[i, lo[i] - c0 : hi[i] - c0] = -np.inf
                     j = np.argmax(S, axis=1)  # first max = smallest id
                     v = S[rows_ix, j]
                     upd = v > best_v  # strict: earlier block keeps ties

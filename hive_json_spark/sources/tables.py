@@ -57,16 +57,25 @@ def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
         import pyarrow.parquet as pq
 
         if os.path.isdir(path):
-            parts = [
-                os.path.join(path, f)
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            ]
+            parts = []
+            for f in os.listdir(path):
+                if f.startswith(("_", ".")):
+                    continue  # _SUCCESS / .crc sidecars, ignored by readers
+                full = os.path.join(path, f)
+                if os.path.isdir(full) or not f.endswith(".parquet"):
+                    # nested (partitioned) or mixed layout: the flat walk
+                    # would silently undercount — take the exact count()
+                    return load_table(spark, sf_dir, name).count()
+                parts.append(full)
             if not parts:
                 raise FileNotFoundError(path)
             return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
         return pq.ParquetFile(path).metadata.num_rows
-    except Exception:
+    except (ImportError, OSError, ValueError):
+        # ImportError: no pyarrow; OSError: remote/odd filesystems;
+        # ValueError covers pyarrow's ArrowInvalid on non-parquet bytes.
+        # Anything else (a real bug) propagates instead of hiding behind
+        # the slow count() fallback.
         return load_table(spark, sf_dir, name).count()
 
 

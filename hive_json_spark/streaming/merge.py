@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+from py4j.protocol import Py4JJavaError
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.utils import AnalysisException
 
@@ -117,16 +118,19 @@ def streaming_merge_upsert(
                 F.coalesce(F.col("bucket"), F.col("_bucket")).alias("bucket"),
             )
         )
-        merged = merged.persist()
-        # Materialize the touched-bucket set BEFORE the overwrite: `merged`'s
-        # lineage reads out_dir, so any post-write recomputation (cache loss)
-        # would scan the files the overwrite just replaced. The collect also
-        # populates the persisted blocks the write then reuses.
-        # bounded collect (≤ n_buckets, same pmod bound + in-plan limit)
-        present = {
-            r["bucket"]
-            for r in merged.select("bucket").distinct().limit(n_buckets).collect()
-        }
+        # The touched-bucket set rides the write itself as an observed
+        # metric (r11): the previous shape persisted `merged`, ran a
+        # separate distinct-collect job to learn `present`, then wrote the
+        # persisted blocks — one extra driver-blocking job and a cached
+        # copy per batch. CollectMetrics computes the same ≤ n_buckets set
+        # (collect_set dedups as it aggregates) during the ONE pass the
+        # write already makes, and the write being the sole action over
+        # `merged` also removes the post-write-recompute hazard the
+        # persist existed to guard.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = merged.observe(obs, F.collect_set("bucket").alias("present"))
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         try:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -135,9 +139,21 @@ def streaming_merge_upsert(
             # holding rows for a bucket emits its own file into that
             # bucket's partition — tasks x buckets small files that the
             # next batch's read-back and the final snapshot read pay for
-            merged.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+            observed.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
                 "bucket"
             ).parquet(out_dir)
+            try:
+                present = set(obs.get["present"] or [])
+            except Py4JJavaError:
+                # A plan that writes ZERO rows (statically empty, or pruned
+                # by empty-relation propagation) never evaluates its
+                # CollectMetrics node, so no metrics row exists and the
+                # scala Observation.getRow asserts. Zero rows written means
+                # exactly that no bucket has a surviving row this batch —
+                # the empty set IS the observed value. Any batch that wrote
+                # rows ran tasks through the observe node and lands in the
+                # try arm.
+                present = set()
             # Dynamic overwrite only rewrites partitions PRESENT in `merged`.
             # A bucket whose every remaining row was deleted this batch has
             # no rows in `merged`, so its stale files would survive and the
@@ -151,7 +167,6 @@ def streaming_merge_upsert(
                     empty.write.mode("overwrite").parquet(f"{out_dir}/bucket={b}")
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-            merged.unpersist()
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

@@ -1559,19 +1559,29 @@ def test_blocked_gemm_kernels_match_oneshot_reference(spark):
     """The r10 blocked/preallocated GEMM kernels must be bit-identical to
     the one-shot batch×corpus form they replaced: same rounded scores,
     same argmax tie order (first max = smallest id), same pair set.
-    Random corpus sized to exercise full blocks, the column tail, AND the
-    row-chunk boundary (row_chunk=1024, col_block=4096 in the kernels)."""
+
+    Runs each kernel twice: once at the production block sizes (the
+    default dispatch) and once with SHRUNK blocks (row_chunk=64,
+    col_block=128 on an 1100-row corpus) so that full column blocks, the
+    column tail, row chunking, the cross-block strictly-greater argmax
+    merge, and the S_full/S_tail buffer reuse are all actually exercised
+    (r10's defaults made the corpus a single tail block, ADVICE r10)."""
     import numpy as np
 
     from hive_json_spark.operators.dedup import embedding_near_dup_pairs
     from hive_json_spark.operators.similarity import brute_force_top1_gemm
 
     rng = np.random.default_rng(7)
-    n, dim = 1100, 16  # > row_chunk, and 1100 % col_block is a tail block
+    n, dim = 1100, 16  # > shrunk row_chunk; 1100 = 8*128 + 76 tail
     M = rng.standard_normal((n, dim))
-    # plant exact duplicates so rounded-score ties are actually exercised
+    # plant exact duplicates so rounded-score ties are actually exercised;
+    # ids are a random permutation, so the duplicate group's sorted
+    # positions scatter across (shrunk) column blocks and the tie must
+    # survive the cross-block merge
     M[50] = M[40]
     M[51] = M[40]
+    M[700] = M[40]
+    M[900] = M[40]
     ids = rng.permutation(n).astype("int64")  # unsorted ids: searchsorted path
     emb = spark.createDataFrame(
         [(int(ids[i]), [float(x) for x in M[i]]) for i in range(n)],
@@ -1588,19 +1598,55 @@ def test_blocked_gemm_kernels_match_oneshot_reference(spark):
     ref_top1 = {
         int(bids[i]): (int(bids[j[i]]), float(S[i, j[i]])) for i in range(n)
     }
-    got_top1 = {
-        r["query_id"]: (r["vec_id"], r["cos_sim"])
-        for r in brute_force_top1_gemm(emb).collect()
-    }
-    assert got_top1 == ref_top1
-
     thr = 0.7
     iu, ju = np.nonzero((S >= thr) & (bids[:, None] < bids[None, :]))
     ref_pairs = {
         (int(bids[a]), int(bids[b]), float(S[a, b])) for a, b in zip(iu, ju)
     }
-    got_pairs = {
-        (r["id_a"], r["id_b"], r["cos_sim"])
-        for r in embedding_near_dup_pairs(emb, threshold=thr).collect()
+
+    for blocks in ({}, {"row_chunk": 64, "col_block": 128}):
+        got_top1 = {
+            r["query_id"]: (r["vec_id"], r["cos_sim"])
+            for r in brute_force_top1_gemm(emb, **blocks).collect()
+        }
+        assert got_top1 == ref_top1, f"top1 mismatch at {blocks or 'defaults'}"
+
+        got_pairs = {
+            (r["id_a"], r["id_b"], r["cos_sim"])
+            for r in embedding_near_dup_pairs(emb, threshold=thr, **blocks).collect()
+        }
+        assert got_pairs == ref_pairs, f"pairs mismatch at {blocks or 'defaults'}"
+
+
+def test_gemm_top1_excludes_every_duplicate_id_row(spark):
+    """A corpus carrying DUPLICATE vec_ids must never return the query's
+    own duplicate row as its top-1 (ADVICE r10: the single-position
+    searchsorted mask excluded only the first equal-id corpus entry; the
+    pre-r10 elementwise mask excluded them all). Two rows share id 5 with
+    identical vectors; with only orthogonal other vectors, a buggy mask
+    would return (5 -> 5, cos 1.0)."""
+    import numpy as np
+
+    from hive_json_spark.operators.similarity import brute_force_top1_gemm
+
+    dim = 8
+    base = np.eye(dim)
+    rows = [
+        (5, [float(x) for x in base[0]]),
+        (5, [float(x) for x in base[0]]),  # duplicate id, identical vector
+        (1, [float(x) for x in base[1]]),
+        (2, [float(x) for x in base[0] * 0.9 + base[2] * 0.435889894354]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # tiny col_block so the duplicate run can straddle a block boundary
+    got = {
+        r["query_id"]: (r["vec_id"], r["cos_sim"])
+        for r in brute_force_top1_gemm(emb, col_block=2).collect()
     }
-    assert got_pairs == ref_pairs
+    # id 5 appears twice -> two result rows keyed 5 collapse in the dict,
+    # but BOTH must point at a non-5 neighbor; assert via full collect
+    all_rows = brute_force_top1_gemm(emb, col_block=2).collect()
+    for r in all_rows:
+        if r["query_id"] == 5:
+            assert r["vec_id"] != 5, f"self-duplicate returned: {r}"
+    assert got[5][0] == 2  # the 0.9-aligned vector, not the dup of itself

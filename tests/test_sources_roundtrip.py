@@ -81,6 +81,18 @@ def test_table_row_count_directory_layout(spark, tmp_path):
     assert table_row_count(spark, str(tmp_path), "t") == 1000
 
 
+def test_table_row_count_partitioned_layout_exact(spark, tmp_path):
+    """A hive-partitioned directory (nested bucket=N subdirs) must return
+    the EXACT count — the flat top-level footer walk sees zero files
+    there and would silently return 0 (ADVICE r10); the probe detects the
+    nested layout and takes the count() fallback instead."""
+    from hive_json_spark.sources import table_row_count
+
+    df = spark.range(0, 500).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    df.write.partitionBy("bucket").parquet(str(tmp_path / "t.parquet"))
+    assert table_row_count(spark, str(tmp_path), "t") == 500
+
+
 def test_table_row_count_fallback_non_parquet(spark, tmp_path):
     """A layout the footer walk cannot read falls back to a real count
     instead of raising (the non-local-filesystem / non-parquet path)."""
