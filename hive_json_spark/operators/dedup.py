@@ -920,6 +920,7 @@ def prefix_filter_jaccard_pairs(
     salt_grid: int = 1,
     impl: str = "prefix",
     max_tokens: int = 35,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard join with NO blocking key.
 
@@ -964,9 +965,18 @@ def prefix_filter_jaccard_pairs(
     Verification touches candidate pairs only, JVM-side, in exact integer
     arithmetic (no float accumulation, no Python round).
     """
+    # ``tokens_col=``: callers that already hold the DISTINCT token set
+    # (e.g. _blocked_jaccard_pairs' block-prefixed arrays) pass it directly
+    # — skipping the rebuild-a-string + second regex tokenize round trip
+    # (measured 4.5 → 3.0 s for the base build at sf1). Same contract as
+    # shingle_jaccard_truth_pairs' shingles_col: the column must be the
+    # distinct-set array the default expression would produce.
+    tok_expr = (
+        F.col(tokens_col) if tokens_col else F.array_distinct(tokens(text_col))
+    )
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(tokens(text_col)).alias("_tok"),
+        tok_expr.alias("_tok"),
     # token-less documents leave the join: Jaccard over two empty sets is
     # 0/0, and before the r7 tokenizer unification (single-space split
     # kept "" as a token) the identical-set collapse would have paired
@@ -1562,7 +1572,20 @@ def blocked_components(
             {"doc_id": nodes, "cluster_id": [find(n) for n in nodes]}
         )
 
-    return pairs.groupBy(*[F.col(c) for c in block_cols]).applyInPandas(
+    # Project to ids + ONE hashed group key BEFORE the exchange (§2.3):
+    # applyInPandas is opaque to column pruning, so without the select the
+    # shuffle ships every pair column (jaccard et al — ~90 MB of doubles
+    # at 11M edges) that the union-find never reads, and grouping on the
+    # raw block strings converts two string columns per edge to Python
+    # objects in the workers. xxhash64(block_cols) is safe even if two
+    # blocks collide into one group: edges never cross blocks, so
+    # union-find over a disjoint union of blocks returns the identical
+    # per-block components (measured at sf1 on the pinned 11M-pair frame:
+    # 4.71 s all-cols → 2.68 s projected → 2.22 s hashed key, min-of-2).
+    edges = pairs.select(
+        F.xxhash64(*[F.col(c) for c in block_cols]).alias("_blk"), id_a, id_b
+    )
+    return edges.groupBy("_blk").applyInPandas(
         uf, "doc_id long, cluster_id long"
     )
 

@@ -82,7 +82,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _blocked_jaccard_pairs(docs, 0.5).select("id_a", "id_b", "jaccard")
 
 
-def _blocked_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+def _blocked_jaccard_pairs(
+    docs: DataFrame, threshold: float, max_allpairs_volume: float = 2_000_000
+) -> DataFrame:
     """(lang, source)-blocked exact Jaccard pairs with auto-dispatch on
     the TOTAL same-block pair volume Σ C(block, 2) (exact, from the
     block-count agg — one cheap probe): the block attributes have FIXED
@@ -115,7 +117,7 @@ def _blocked_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
         .agg(F.coalesce(F.sum(c * (c - 1) / 2), F.lit(0.0)).alias("p"))
         .first()["p"]
     )
-    if total_pairs <= 2_000_000:
+    if total_pairs <= max_allpairs_volume:
         return ngram_jaccard_pairs(
             docs, "doc_id", "text", ["lang", "source"], threshold,
             keep_block_cols=True,
@@ -134,23 +136,29 @@ def _blocked_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     # single-row-group scan it would otherwise evaluate on one core
     # below the exchange ensure_parallelism adds around the whole frame
     # (r7 census find: ~18 s single-core per evaluation at zipf-sf10).
+    # r11: the DISTINCT prefixed-token ARRAY goes straight through
+    # tokens_col= — the old shape rebuilt a space-joined string here only
+    # for prefix_filter_jaccard_pairs to regex-split it again (measured
+    # 4.5 -> 3.0 s for the base build at sf1, identical sets: per-token
+    # prefixing is a bijection and tokens contain no whitespace).
     prefixed = ensure_parallelism(
         docs.select("doc_id", "lang", "source", "text")
     ).select(
         "doc_id",
         "lang",
         "source",
-        F.concat_ws(
-            " ",
+        F.array_distinct(
             F.transform(
                 tokens("text"),
                 lambda t: F.concat_ws("\x01", F.col("lang"), F.col("source"), t),
-            ),
-        ).alias("_btxt"),
+            )
+        ).alias("_btok"),
     )
     attrs = docs.select("doc_id", "lang", "source")
     return (
-        prefix_filter_jaccard_pairs(prefixed, "doc_id", "_btxt", threshold)
+        prefix_filter_jaccard_pairs(
+            prefixed, "doc_id", "_btok", threshold, tokens_col="_btok"
+        )
         .join(
             attrs.select(
                 F.col("doc_id").alias("id_a"),

@@ -103,6 +103,48 @@ def test_ngram_jaccard_blocked(spark):
     assert pairs[0]["jaccard"] == 0.6  # |{a,b,c}|/|{a,b,c,d,e}|
 
 
+def test_blocked_jaccard_dispatch_arms_identical(spark):
+    """_blocked_jaccard_pairs' two arms — the all-pairs Arrow kernel
+    (small Σ C(block,2)) and the block-prefixed AllPairs/PPJoin path —
+    must emit the IDENTICAL (id_a, id_b, lang, source, jaccard) rows.
+    The graded SFs all take the all-pairs arm, so without this pin a
+    prefix-arm change (r11: tokens_col pass-through) would only be
+    exercised by the opt-in -m scale suite."""
+    import random
+
+    from hive_json_spark.queries_pipeline import _blocked_jaccard_pairs
+
+    rnd = random.Random(3)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    did = 0
+    for lang in ("en", "de"):
+        for source in ("s1", "s2"):
+            for _ in range(12):
+                toks = rnd.sample(vocab, rnd.randint(2, 8))
+                rows.append((did, " ".join(toks), lang, source)); did += 1
+                if rnd.random() < 0.5:  # near-dup in the same block
+                    mut = list(toks)
+                    if len(mut) > 1 and rnd.random() < 0.7:
+                        mut.pop(rnd.randrange(len(mut)))
+                    rows.append((did, " ".join(mut), lang, source)); did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+    cols = ["id_a", "id_b", "lang", "source", "jaccard"]
+    allpairs = sorted(
+        tuple(r[c] for c in cols)
+        for r in _blocked_jaccard_pairs(docs, 0.5).select(*cols).collect()
+    )
+    prefix = sorted(
+        tuple(r[c] for c in cols)
+        for r in _blocked_jaccard_pairs(docs, 0.5, max_allpairs_volume=0)
+        .select(*cols)
+        .collect()
+    )
+    assert allpairs == prefix and len(allpairs) > 0
+
+
 def test_token_definition_unified_non_ascii(spark):
     """ONE token definition repo-wide: JVM tokens() (Java \\s = ASCII
     whitespace) and the kernels' py_tokens must produce identical token
