@@ -162,15 +162,27 @@ def _staged(name: str, sf_dir: str, build, n_files: int = 2, by=None, range_by=N
 _STAGED_SCHEMAS: dict[str, object] = {}
 
 
-def _stream_over(spark: SparkSession, src: str) -> DataFrame:
-    """File-source stream over a staged dir, ONE FILE PER MICRO-BATCH.
-    The staged dir is immutable for the process lifetime, so its schema is
-    footer-read once and cached (each read.parquet() schema probe is a
-    driver-side listing + footer parse billed to the entry)."""
+def _staged_schema(spark: SparkSession, src: str):
+    """Schema of a staged dir: driver-side footer read (zero Spark jobs;
+    r11 — each ``spark.read.parquet().schema`` probe was a 1-task
+    inference JOB billed to the entry), cached for the process lifetime
+    because staged dirs are immutable. Falls back to Spark inference for
+    any layout/type the footer mapping doesn't cover — same contract as
+    ``sources.tables.parquet_schema``, which pins mapping equality."""
     schema = _STAGED_SCHEMAS.get(src)
     if schema is None:
-        schema = spark.read.parquet(src).schema
+        from hive_json_spark.sources.tables import parquet_schema
+
+        schema = parquet_schema(src)
+        if schema is None:
+            schema = spark.read.parquet(src).schema
         _STAGED_SCHEMAS[src] = schema
+    return schema
+
+
+def _stream_over(spark: SparkSession, src: str) -> DataFrame:
+    """File-source stream over a staged dir, ONE FILE PER MICRO-BATCH."""
+    schema = _staged_schema(spark, src)
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -492,7 +504,7 @@ def q_stream_session_final(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.rename(build, src)
     tmp = tempfile.mkdtemp(prefix="q_stream_session_")
     stream = (
-        spark.readStream.schema(spark.read.parquet(src).schema)
+        spark.readStream.schema(_staged_schema(spark, src))
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
@@ -557,8 +569,8 @@ def q_stream_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsrc = _staged("join_clicks", sf_dir, side("click", "click_id", "click_ts"), n_files=1)
     rsrc = _staged("join_purchases", sf_dir, side("purchase", "purchase_id", "purchase_ts"), n_files=1)
     tmp = tempfile.mkdtemp(prefix="q_stream_join_")
-    ls = spark.readStream.schema(spark.read.parquet(lsrc).schema).parquet(lsrc)
-    rs = spark.readStream.schema(spark.read.parquet(rsrc).schema).parquet(rsrc)
+    ls = spark.readStream.schema(_staged_schema(spark, lsrc)).parquet(lsrc)
+    rs = spark.readStream.schema(_staged_schema(spark, rsrc)).parquet(rsrc)
     joined = stream_stream_join(
         ls, rs, "user_id", "click_ts", "purchase_ts", watermark="1 hour", within="30 minutes"
     ).select("user_id", "click_id", "purchase_id", "purchase_ts")

@@ -27,8 +27,144 @@ TABLES = (
 )
 
 
+def _arrow_to_spark_type(t):
+    """Map a pyarrow type to the Spark type parquet inference yields
+    UNDER THIS ENGINE'S SESSION CONFIG (UTC session tz,
+    ``legacy.parquet.nanosAsLong=true``, NTZ inference on). Strict
+    whitelist: anything outside the verified set raises ValueError and
+    the caller falls back to Spark's own inference — a wrong silent
+    mapping would change query results, a fallback only costs the one
+    inference job this path exists to remove."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    if pa.types.is_int32(t):
+        return T.IntegerType()
+    if pa.types.is_int64(t):
+        return T.LongType()
+    if pa.types.is_float32(t):
+        return T.FloatType()
+    if pa.types.is_float64(t):
+        return T.DoubleType()
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return T.StringType()
+    if pa.types.is_boolean(t):
+        return T.BooleanType()
+    if pa.types.is_date32(t):
+        return T.DateType()
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return T.BinaryType()
+    if pa.types.is_timestamp(t):
+        # ns is resolved by the CALLER against the parquet physical type
+        # (INT64 TIMESTAMP(NANOS) → long via nanosAsLong; INT96 → Spark
+        # reads TimestampType but pyarrow reports the same timestamp[ns],
+        # so ns inside nested types is unverifiable here and raises)
+        if t.unit in ("us", "ms"):
+            return T.TimestampType() if t.tz is not None else T.TimestampNTZType()
+        raise ValueError(f"unverified timestamp layout: {t}")
+    if pa.types.is_list(t):
+        f = t.value_field
+        return T.ArrayType(_arrow_to_spark_type(f.type), f.nullable)
+    raise ValueError(f"unverified arrow type: {t}")
+
+
+def _force_nullable(dt):
+    """Recursively mark every field/element/value nullable — what Spark's
+    file-source read does to any written schema ('all columns are
+    automatically converted to be nullable for compatibility reasons'),
+    verified against inference in the footer-schema pin test."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _force_nullable(f.dataType), True) for f in dt]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_force_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(dt.keyType, _force_nullable(dt.valueType), True)
+    return dt
+
+
+def parquet_schema(path: str):
+    """Spark schema of a flat local parquet file/directory, read from ONE
+    footer on the driver — no Spark job (each ``spark.read.parquet`` call
+    otherwise launches a 1-task schema-inference job, ~25-50 ms plus a
+    driver round trip, per table per query execution). Same contract as
+    ``table_row_count``: recomputed from the files on every call, nothing
+    memoized; returns None (caller uses Spark inference) for nested/mixed
+    layouts, non-local filesystems, or any type outside the verified
+    whitelist. Equality with Spark's own inference — field names, types
+    AND nullability — is pinned per table per SF by tests/
+    test_sources_roundtrip.py::test_parquet_footer_schema_matches_inference."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            first = None
+            for f in sorted(os.listdir(path)):
+                if f.startswith(("_", ".")):
+                    continue  # _SUCCESS / .crc sidecars, ignored by readers
+                full = os.path.join(path, f)
+                if os.path.isdir(full) or not f.endswith(".parquet"):
+                    return None  # partitioned/mixed layout: infer instead
+                if first is None:
+                    first = full
+            if first is None:
+                return None
+        else:
+            first = path
+        pf = pq.ParquetFile(first)
+        sch = pf.schema_arrow
+        from pyspark.sql import types as T
+
+        # Engine-written files carry Spark's exact schema JSON in the
+        # footer key-value metadata — read it back directly (then force
+        # nullability the way every file-source read does). This covers
+        # types the pure-arrow mapping cannot (INT96 timestamps, maps,
+        # structs) with zero guesswork.
+        raw = (sch.metadata or {}).get(
+            b"org.apache.spark.sql.parquet.row.metadata"
+        )
+        if raw is not None:
+            import json
+
+            return _force_nullable(T.StructType.fromJson(json.loads(raw)))
+
+        # Foreign-written files: strict-whitelist arrow mapping. ns
+        # timestamps need the PHYSICAL type to disambiguate (INT64
+        # TIMESTAMP(NANOS) → long under nanosAsLong; INT96 → unverified,
+        # fall back to inference).
+        import pyarrow as pa
+
+        md = pf.metadata.schema
+        phys = {
+            md.column(i).path: md.column(i).physical_type
+            for i in range(pf.metadata.num_columns)
+            if "." not in md.column(i).path
+        }
+        fields = []
+        for f in sch:
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns" and f.type.tz is None:
+                if phys.get(f.name) != "INT64":
+                    raise ValueError(f"unverified ns-timestamp physical type: {f.name}")
+                dt = T.LongType()  # TIMESTAMP(NANOS) via nanosAsLong
+            else:
+                dt = _arrow_to_spark_type(f.type)
+            fields.append(T.StructField(f.name, dt, f.nullable))
+        return T.StructType(fields)
+    except (ImportError, OSError, ValueError, KeyError):
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = parquet_schema(path)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(path)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong

@@ -93,6 +93,77 @@ def test_table_row_count_partitioned_layout_exact(spark, tmp_path):
     assert table_row_count(spark, str(tmp_path), "t") == 500
 
 
+def test_parquet_footer_schema_matches_inference(spark):
+    """parquet_schema must equal Spark's own inference — field names, types
+    AND nullability — for every base table at every shipped SF, under this
+    engine's session config (UTC tz, nanosAsLong, NTZ inference). A wrong
+    mapping would silently change query results; any mismatch must fail
+    here, not in an oracle diff."""
+    import os
+
+    from hive_json_spark.sources import TABLES, parquet_schema
+
+    sf_dirs = [
+        d
+        for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+        if os.path.isdir(d)
+    ] or [SF_DIR]
+    for sf_dir in sf_dirs:
+        for name in TABLES:
+            path = f"{sf_dir}/{name}.parquet"
+            footer = parquet_schema(path)
+            assert footer is not None, f"{path}: footer schema unexpectedly fell back"
+            inferred = spark.read.parquet(path).schema
+            assert footer == inferred, f"{path}: {footer} != {inferred}"
+
+
+def test_load_table_launches_no_schema_inference_job(spark):
+    """With the footer schema supplied, building a base-table DataFrame is
+    fully lazy: ZERO Spark jobs (previously every spark.read.parquet call
+    paid a 1-task schema-inference job — q5 alone paid 6 per execution)."""
+    from hive_json_spark.sources import TABLES, load_table
+
+    tracker = spark.sparkContext.statusTracker()
+    for name in TABLES:
+        before = set(tracker.getJobIdsForGroup(None) or [])
+        load_table(spark, SF_DIR, name)
+        after = set(tracker.getJobIdsForGroup(None) or [])
+        assert after == before, f"{name}: load_table launched a Spark job"
+
+
+def test_parquet_footer_schema_matches_inference_engine_written(spark, tmp_path):
+    """Engine-written parquet (the streaming staged dirs) carries Spark's
+    schema JSON in the footer; parquet_schema must reproduce inference
+    exactly for the shapes the engine writes — INT96 timestamps (which
+    pyarrow reports as the same timestamp[ns] as TIMESTAMP(NANOS)),
+    non-null arrays/structs/maps (inference forces nullability), NTZ."""
+    from hive_json_spark.sources import parquet_schema
+
+    df = spark.range(3).select(
+        F.current_timestamp().alias("ts"),
+        F.array(F.lit("a"), F.lit("b")).alias("arr"),
+        F.struct(F.lit(1).alias("x"), F.lit("y").alias("s")).alias("st"),
+        F.create_map(F.lit("k"), F.lit(2)).alias("mp"),
+        F.localtimestamp().alias("ntz"),
+        F.col("id"),
+    )
+    path = str(tmp_path / "t.parquet")
+    df.write.parquet(path)
+    footer = parquet_schema(path)
+    assert footer is not None
+    assert footer == spark.read.parquet(path).schema
+
+
+def test_parquet_footer_schema_falls_back_on_partitioned_layout(spark, tmp_path):
+    """Nested (hive-partitioned) layouts return None so the caller uses
+    Spark's inference — the footer walk cannot see partition columns."""
+    from hive_json_spark.sources.tables import parquet_schema
+
+    df = spark.range(0, 100).withColumn("bucket", (F.col("id") % 4).cast("int"))
+    df.write.partitionBy("bucket").parquet(str(tmp_path / "t.parquet"))
+    assert parquet_schema(str(tmp_path / "t.parquet")) is None
+
+
 def test_table_row_count_fallback_non_parquet(spark, tmp_path):
     """A layout the footer walk cannot read falls back to a real count
     instead of raising (the non-local-filesystem / non-parquet path)."""
