@@ -1043,36 +1043,42 @@ def _set_similarity_pairs(
     # neighborhood/prefix explode downstream (the compute-heavy stage)
     # would then run single-task (measured 35 s vs 4 s at sf0.1). The
     # round-robin moves only rep rows.
+    from pyspark.sql import Observation
+
     n_parts = fpd.sparkSession.sparkContext.defaultParallelism
-    groups = (
-        fpd.groupBy("_fp")
-        .agg(
-            F.min("_id").alias("_grp"),
-            F.min_by("_tok", "_id").alias("_tok"),
-        )
-        .repartition(n_parts)
-        .localCheckpoint()
-    )
+    gsrc = fpd.groupBy("_fp").agg(
+        F.min("_id").alias("_grp"),
+        F.min_by("_tok", "_id").alias("_tok"),
+    ).repartition(n_parts)
+    # auto-dispatch probe rides the groups CHECKPOINT as an observed
+    # metric (r11; was its own .agg().first() job after it — observations
+    # fire on localCheckpoint, verified + test-pinned): max |tok| over
+    # representatives == max over all docs because identical sets have
+    # identical sizes. Only attached when the static budget bound can
+    # hold at all; otherwise the dispatch is decided at plan time.
+    gobs = None
+    if impl == "auto":
+        if int(max_tokens * (1 - threshold) / threshold) <= 3:
+            gobs = Observation()
+            gsrc = gsrc.observe(
+                gobs, F.coalesce(F.max(F.size("_tok")), F.lit(0)).alias("m")
+            )
+        else:
+            impl = "prefix"
+    groups = gsrc.localCheckpoint()
     rbase = groups.select(F.col("_grp").alias("_id"), "_tok")
+    # the member-map size rides ITS checkpoint the same way (r11; was a
+    # members.count() job — metadata-cheap but still a driver round trip)
+    mobs = Observation()
     members = (
         fpd.select("_id", "_fp")
         .join(groups.select("_fp", "_grp"), "_fp")
         .select("_id", "_grp")
+        .observe(mobs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
-    if impl == "auto":
-        # probe over REPS, not the corpus: identical sets have identical
-        # sizes, so max |tok| over representatives == max over all docs —
-        # the dispatch probe rides the rep-sized checkpoint instead of
-        # paying its own full corpus pass (r9; was base.agg(max(size)))
-        deletion_ok = (
-            int(max_tokens * (1 - threshold) / threshold) <= 3
-            and rbase.agg(
-                F.coalesce(F.max(F.size("_tok")), F.lit(0)).alias("m")
-            ).first()["m"]
-            <= max_tokens
-        )
-        impl = "deletion" if deletion_ok else "prefix"
+    if gobs is not None:
+        impl = "deletion" if gobs.get["m"] <= max_tokens else "prefix"
     if impl == "deletion":
         cand = _deletion_candidates(rbase, threshold, max_tokens)
     else:
@@ -1120,13 +1126,13 @@ def _set_similarity_pairs(
     all_pairs = rep_pairs.unionByName(self_pairs)
     ma = members.select(F.col("_grp").alias("id_a"), F.col("_id").alias("_da"))
     mb = members.select(F.col("_grp").alias("id_b"), F.col("_id").alias("_db"))
-    # The member map's size is KNOWN here (members is an eager checkpoint,
-    # so count() is a metadata-cheap job): broadcast it below the pinned
+    # The member map's size arrived with its checkpoint's observed metric
+    # (exact row count, no extra job): broadcast it below the pinned
     # bound — at graded scale this removes all four expansion shuffles —
     # and fall back to the sort-merge joins when the corpus outgrows it
     # (members is doc-count-sized; 2M rows ≈ 32 MB broadcast is the
     # comfortable ceiling, same adaptive-dispatch pattern as impl="auto").
-    if members.count() <= 2_000_000:
+    if mobs.get["n"] <= 2_000_000:
         ma, mb = F.broadcast(ma), F.broadcast(mb)
     return (
         all_pairs.join(ma, "id_a")
@@ -1585,7 +1591,15 @@ def blocked_components(
     edges = pairs.select(
         F.xxhash64(*[F.col(c) for c in block_cols]).alias("_blk"), id_a, id_b
     )
-    return edges.groupBy("_blk").applyInPandas(
+    # Pin the exchange's partition count (§2.5 stragglers): the edge frame
+    # is BYTE-small at bench scale, so AQE's size-based coalescing folds
+    # the post-shuffle side to ONE partition and every block's union-find
+    # runs serially in a single Python task (measured 0.55 s of a 1.9 s
+    # wall at sf0.1). An explicit same-key repartition is reused by the
+    # groupBy (no extra exchange) and AQE leaves user-specified partition
+    # counts alone; per-task state keeps the same one-block bound.
+    n_parts = edges.sparkSession.sparkContext.defaultParallelism
+    return edges.repartition(n_parts, "_blk").groupBy("_blk").applyInPandas(
         uf, "doc_id long, cluster_id long"
     )
 

@@ -57,7 +57,7 @@ JOB_BUDGETS = {
     "q_rollup_lineitem": 2,
     "q_running_events": 2,
     "q_sessionize_events": 2,
-    "q_setsim_prefix_join": 18,
+    "q_setsim_prefix_join": 14,
     "q_shred_props": 3,
     "q_similarity_bruteforce": 4,
     "q_text_profile": 2,

@@ -1692,3 +1692,24 @@ def test_gemm_top1_excludes_every_duplicate_id_row(spark):
         if r["query_id"] == 5:
             assert r["vec_id"] != 5, f"self-duplicate returned: {r}"
     assert got[5][0] == 2  # the 0.9-aligned vector, not the dup of itself
+
+
+def test_observation_fires_on_local_checkpoint(spark):
+    """_set_similarity_pairs reads its dispatch probe and member-map count
+    from Observations attached to its eager localCheckpoints (r11 — zero
+    extra jobs vs the old .first()/.count() probes). This pins the Spark
+    behavior those reads rely on: if an upgrade stopped CollectMetrics
+    firing for checkpoint actions, obs.get would block forever inside the
+    similarity queries — fail here with a timeout instead."""
+    import threading
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df = spark.range(50).observe(obs, F.count(F.lit(1)).alias("n"))
+    df.localCheckpoint()
+    got = {}
+    t = threading.Thread(target=lambda: got.update(v=obs.get), daemon=True)
+    t.start()
+    t.join(timeout=60)
+    assert got.get("v") == {"n": 50}
