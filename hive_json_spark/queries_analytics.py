@@ -1087,9 +1087,20 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     if table_row_count(spark, sf_dir, "customer") <= 50_000:
+        from hive_json_spark.operators.util import ensure_parallelism
+
         block = ["c_nationkey", "c_mktsegment"]
-        a = cust.select(
-            F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"), *block
+        # spread the PROBE side (r11): customer ships as one row group, so
+        # the broadcast join + per-pair levenshtein (~1.8M pairs at sf0.1)
+        # ran in ONE task (1.95 s of a 2.24 s wall, per-job probe); the
+        # round-robin moves 4 narrow columns once and the build side stays
+        # a broadcast
+        a = ensure_parallelism(
+            cust.select(
+                F.col("c_custkey").alias("key_a"),
+                F.col("c_name").alias("name_a"),
+                *block,
+            )
         )
         b = cust.select(
             F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"), *block

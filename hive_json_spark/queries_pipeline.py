@@ -2733,8 +2733,15 @@ def q_cross_dup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     swaps the window text for xxhash64 exactly as substring_dup_pairs
     documents, making the shuffle row 8 bytes + a small set."""
     from hive_json_spark.functions.text import tokens as _tokens
+    from hive_json_spark.operators.util import ensure_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread before the tokenize+window explode (r11): documents is one
+    # row group at the bench SFs, so the map side of the collect_set
+    # exchange ran as ONE task (1.07 s of a 1.6 s wall, per-job probe);
+    # no-op exchange on many-row-group inputs
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("source", "text")
+    )
     k = 8
     tk = _tokens("text")
     base = docs.select("source", tk.alias("_tk")).filter(F.size("_tk") >= k)

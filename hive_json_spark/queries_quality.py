@@ -1325,8 +1325,15 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     division of exact longs — order-free by construction.
     """
     from hive_json_spark.functions.text import tokens
+    from hive_json_spark.operators.util import ensure_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread before the tokenize+zip+explode (r11): documents is one row
+    # group at the bench SFs, so this whole map side ran as ONE task
+    # (0.68 s of a 1.25 s wall, per-job probe); the round-robin moves only
+    # the text column and is a no-op on many-row-group inputs
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("text")
+    )
     l = tokens("text")
     pair = F.explode(
         F.arrays_zip(
@@ -1624,8 +1631,17 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     each n-gram frame is explode → (doc, gram) count → per-doc agg —
     map-side partial aggregation, shuffle keyed on (doc, gram), volume
     linear in corpus tokens. The two gram sizes join on doc_id."""
+    from hive_json_spark.operators.util import ensure_parallelism
+
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", tokens("text").alias("_tk"))
+    # spread BEFORE the tokenize: documents ships as one row group at the
+    # bench SFs, so both gram arms' regex-tokenize+explode scan stages ran
+    # as ONE task each (~0.65 s serial, measured per-job at sf0.1); the
+    # round-robin moves only (doc_id, text) and the shared subtree is a
+    # ReusedExchange across the two arms. No-op on many-row-group inputs.
+    toked = ensure_parallelism(docs.select("doc_id", "text")).select(
+        "doc_id", tokens("text").alias("_tk")
+    )
 
     def gram_rows(n: int):
         idx = F.when(

@@ -591,7 +591,18 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     HUGEINT on DuckDB (both exact) — and each correlation is a pure
     function of those integers, so the rounded doubles are identical on
     any layout and engine."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from hive_json_spark.operators.util import ensure_parallelism
+
+    # spread before the 15 decimal(38,0) moment lanes (r11): lineitem is
+    # one row group at the bench SFs, so the partial agg ran on ONE core
+    # (1.0 s of a 1.8 s wall, per-job probe); the round-robin moves the 4
+    # measure columns once, the partials stay 14 numbers per partition.
+    # No-op exchange on many-row-group inputs.
+    li = ensure_parallelism(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+        )
+    )
     dec = "decimal(38,0)"
     q = F.col("l_quantity").cast("bigint").cast(dec)
     p = F.round(F.col("l_extendedprice") * 100).cast("bigint").cast(dec)

@@ -329,7 +329,14 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back on doc_id — all partial-aggregable, nothing quadratic; at
     100 TB this is the same shape as TF-IDF (already in the registry).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from hive_json_spark.operators.util import ensure_parallelism
+
+    # spread before the tokenize+explode (r11): documents is one row group
+    # at the bench SFs, so the map side ran as ONE task (0.35 s per-job
+    # probe); no-op exchange on many-row-group inputs
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     cnt = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
     tot = cnt.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))

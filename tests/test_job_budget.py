@@ -61,7 +61,9 @@ JOB_BUDGETS = {
     "q_shred_props": 3,
     "q_similarity_bruteforce": 4,
     "q_text_profile": 2,
-    "q_token_entropy": 5,
+    # +1 r11: the pre-tokenize spread exchange (a measured 2.1x at sf1
+    # for one extra AQE stage job; see OPTIMIZATION_r11.md)
+    "q_token_entropy": 6,
     "q_top3_orders_per_customer": 2,
     "q_zorder_layout": 14,
     # non-headline top job-count entries (r11 extension — iterative or
