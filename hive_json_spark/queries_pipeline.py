@@ -304,6 +304,13 @@ def _dedup_method_stats_run(spark: SparkSession, sf_dir: str) -> list:
     base = shingled_docs(docs, "doc_id", "text", n=3, keep_text=True).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    from pyspark.sql import Observation
+
+    # n_truth rides the truth arm's checkpoint as an observed metric
+    # (r11; was a separate truth.count() job in the serial spine —
+    # metadata-cheap but still a driver round trip; observation-on-
+    # localCheckpoint is pinned by the similarity-core test)
+    tobs = Observation()
     builders = {
         # 64x8 default: measured FASTER here than the 32x16 config the
         # standalone query uses — 16 bands doubles the band-join rows and
@@ -311,7 +318,7 @@ def _dedup_method_stats_run(spark: SparkSession, sf_dir: str) -> list:
         # verified pair sets are identical on this corpus either way
         "__truth__": lambda: shingle_jaccard_truth_pairs(
             base, "doc_id", "text", threshold=0.5, shingles_col="shingles"
-        ),
+        ).observe(tobs, F.count(F.lit(1)).alias("n")),
         "minhash_lsh": lambda: minhash_dedup_pairs(
             base, "doc_id", "text", threshold=0.5, shingles_col="shingles"
         ).select("id_a", "id_b"),
@@ -335,7 +342,7 @@ def _dedup_method_stats_run(spark: SparkSession, sf_dir: str) -> list:
     finally:
         base.unpersist()
     truth = pinned.pop("__truth__")
-    n_truth = truth.count()  # checkpointed: a metadata-cheap count
+    n_truth = int(tobs.get["n"])  # observed on the checkpoint: no job
     # ONE final action: tag each pinned pair set, union, left-join the
     # truth marker once, aggregate per method — sub-second on pair sets.
     t = truth.withColumn("_t", F.lit(1))
